@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so the
+suite exercises the multi-chip sharding paths without TPU hardware.  Must
+set the env vars before jax is first imported anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def scenes_dir():
+    return "/root/reference/scenes"

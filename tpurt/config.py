@@ -1,0 +1,74 @@
+"""Global configuration for tpurt.
+
+The reference's three config tiers (CLI flags -> Options, the .pbrt scene
+file, compile-time #defines; SURVEY.md §5) map here to: argparse in
+tpurt.cli, the scene grammar in tpurt.scene, and this frozen dataclass for
+the "compile-time" choices (dtype, wavefront sizes, device mesh).
+
+Reference analog: core/pbrt.h:157-185 (Float/Options).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # Device compute dtype.  The reference uses float unless
+    # PBRT_FLOAT_AS_DOUBLE (pbrt.h:157-161); RPF stats are double (sd.h:21).
+    # On TPU we default to f32 everywhere; f64 parity mode needs
+    # jax.config.update("jax_enable_x64", True) before any tracing.
+    dtype: str = "float32"
+
+    # Number of rays processed per wavefront megabatch.  At 700x700x8spp the
+    # full frame is 3.92M camera rays; we stream them through the device in
+    # chunks of this size so live SoA buffers stay comfortably inside HBM.
+    wavefront_size: int = 1 << 20
+
+    # BVH build options (reference: bvh.cpp:740-760 CreateBVHAccelerator).
+    bvh_max_prims_per_leaf: int = 4
+    bvh_split_method: str = "sah"  # sah | middle | equal
+
+    # Stack depth for the device BVH traversal (reference uses a 64-deep
+    # nodesToVisit stack, bvh.cpp:670).
+    bvh_stack_depth: int = 64
+
+    # Use Pallas kernels when running on real TPU; pure-JAX fallbacks are
+    # always available (and used on CPU, e.g. the virtual-mesh tests).
+    use_pallas: bool = True
+
+    # Device mesh axes for multi-chip rendering: pixels rows are data-
+    # parallel over "rows"; samples-per-pixel can be split over "spp".
+    mesh_axes: Tuple[str, ...] = ("rows",)
+
+    # Russian-roulette / integrator defaults live in the per-integrator
+    # ParamSets; nothing here.
+
+    # Deterministic-scatter mode: film accumulation uses sorted segment
+    # sums (bitwise deterministic) instead of jnp scatter-add.
+    deterministic_film: bool = True
+
+
+_CONFIG = Config()
+
+
+def get_config() -> Config:
+    return _CONFIG
+
+
+def set_config(**kw) -> Config:
+    global _CONFIG
+    _CONFIG = dataclasses.replace(_CONFIG, **kw)
+    return _CONFIG
+
+
+def on_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
