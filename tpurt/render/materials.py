@@ -1,0 +1,177 @@
+"""Material factories: pbrt Material directives -> MaterialRecords.
+
+Reference analog: src/materials/* Create*Material factories dispatched from
+api.cpp MakeMaterial (:538-608).  A MaterialRecord is a named bag of
+texture-or-constant slots; tpurt.render.build flattens all records into a
+per-primitive material parameter table (SoA) and the device shades with a
+masked lobe mixture instead of virtual BxDF stacks.
+
+Defaults match the reference factories (e.g. matte Kd=0.5 matte.cpp:
+CreateMatteMaterial; plastic Kd=0.25/Ks=0.25/rough=0.1 plastic.cpp).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+from tpurt.scene.paramset import TextureParams
+from tpurt.scene.records import MaterialRecord
+
+log = logging.getLogger("tpurt.scene")
+
+# Copper eta/k converted to RGB from the reference's sampled Cu spectra
+# (materials/metal.cpp CopperN/CopperK); values are the RGB projection of
+# those 56-sample spectra.
+COPPER_ETA_RGB = np.array([0.19999069, 0.92208463, 1.09985996])
+COPPER_K_RGB = np.array([3.90463543, 2.44763327, 2.13765264])
+
+
+def make_material(name: str, tp: TextureParams) -> Optional[MaterialRecord]:
+    if name in ("", "none"):
+        return None
+    fn = _FACTORIES.get(name)
+    if fn is None:
+        log.warning('material "%s" unknown; using "matte"', name)
+        fn = _matte
+    rec = fn(tp)
+    return rec
+
+
+def _common_bump(tp: TextureParams, slots: dict) -> None:
+    bump = tp.get_float_texture_or_none("bumpmap")
+    if bump is not None:
+        slots["bumpmap"] = bump
+
+
+def _matte(tp: TextureParams) -> MaterialRecord:
+    slots = {
+        "Kd": tp.get_spectrum_texture("Kd", 0.5),
+        "sigma": tp.get_float_texture("sigma", 0.0),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("matte", slots)
+
+
+def _plastic(tp: TextureParams) -> MaterialRecord:
+    slots = {
+        "Kd": tp.get_spectrum_texture("Kd", 0.25),
+        "Ks": tp.get_spectrum_texture("Ks", 0.25),
+        "roughness": tp.get_float_texture("roughness", 0.1),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("plastic", slots)
+
+
+def _mirror(tp: TextureParams) -> MaterialRecord:
+    slots = {"Kr": tp.get_spectrum_texture("Kr", 0.9)}
+    _common_bump(tp, slots)
+    return MaterialRecord("mirror", slots)
+
+
+def _glass(tp: TextureParams) -> MaterialRecord:
+    eta = tp.get_float_texture_or_none("eta")
+    if eta is None:
+        eta = tp.get_float_texture("index", 1.5)
+    slots = {
+        "Kr": tp.get_spectrum_texture("Kr", 1.0),
+        "Kt": tp.get_spectrum_texture("Kt", 1.0),
+        "eta": eta,
+        "uroughness": tp.get_float_texture("uroughness", 0.0),
+        "vroughness": tp.get_float_texture("vroughness", 0.0),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("glass", slots)
+
+
+def _metal(tp: TextureParams) -> MaterialRecord:
+    rough = tp.get_float_texture("roughness", 0.01)
+    slots = {
+        "eta": tp.get_spectrum_texture("eta", COPPER_ETA_RGB),
+        "k": tp.get_spectrum_texture("k", COPPER_K_RGB),
+        "roughness": rough,
+        "uroughness": tp.get_float_texture_or_none("uroughness"),
+        "vroughness": tp.get_float_texture_or_none("vroughness"),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("metal", slots)
+
+
+def _uber(tp: TextureParams) -> MaterialRecord:
+    eta = tp.get_float_texture_or_none("eta")
+    if eta is None:
+        eta = tp.get_float_texture("index", 1.5)
+    slots = {
+        "Kd": tp.get_spectrum_texture("Kd", 0.25),
+        "Ks": tp.get_spectrum_texture("Ks", 0.25),
+        "Kr": tp.get_spectrum_texture("Kr", 0.0),
+        "Kt": tp.get_spectrum_texture("Kt", 0.0),
+        "roughness": tp.get_float_texture("roughness", 0.1),
+        "uroughness": tp.get_float_texture_or_none("uroughness"),
+        "vroughness": tp.get_float_texture_or_none("vroughness"),
+        "eta": eta,
+        "opacity": tp.get_spectrum_texture("opacity", 1.0),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("uber", slots)
+
+
+def _substrate(tp: TextureParams) -> MaterialRecord:
+    slots = {
+        "Kd": tp.get_spectrum_texture("Kd", 0.5),
+        "Ks": tp.get_spectrum_texture("Ks", 0.5),
+        "uroughness": tp.get_float_texture("uroughness", 0.1),
+        "vroughness": tp.get_float_texture("vroughness", 0.1),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("substrate", slots)
+
+
+def _translucent(tp: TextureParams) -> MaterialRecord:
+    slots = {
+        "Kd": tp.get_spectrum_texture("Kd", 0.25),
+        "Ks": tp.get_spectrum_texture("Ks", 0.25),
+        "roughness": tp.get_float_texture("roughness", 0.1),
+        "reflect": tp.get_spectrum_texture("reflect", 0.5),
+        "transmit": tp.get_spectrum_texture("transmit", 0.5),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("translucent", slots)
+
+
+def _mix(tp: TextureParams) -> MaterialRecord:
+    slots = {
+        "amount": tp.get_spectrum_texture("amount", 0.5),
+        "namedmaterial1": ("constant", tp.find_string("namedmaterial1", "")),
+        "namedmaterial2": ("constant", tp.find_string("namedmaterial2", "")),
+    }
+    return MaterialRecord("mix", slots)
+
+
+def _fourier(tp: TextureParams) -> MaterialRecord:
+    slots = {"bsdffile": ("constant", tp.find_string("bsdffile", ""))}
+    _common_bump(tp, slots)
+    log.warning("fourier material is parsed but not yet shaded; using matte fallback")
+    return MaterialRecord("fourier", slots)
+
+
+_FACTORIES = {
+    "matte": _matte,
+    "plastic": _plastic,
+    "mirror": _mirror,
+    "glass": _glass,
+    "metal": _metal,
+    "uber": _uber,
+    "substrate": _substrate,
+    "translucent": _translucent,
+    "mix": _mix,
+    "fourier": _fourier,
+}

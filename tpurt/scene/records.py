@@ -1,0 +1,129 @@
+"""Intermediate scene representation produced by the API state machine.
+
+Where the reference's pbrtWorldEnd immediately constructs Scene + Integrator
+objects and renders (api.cpp:1591-1650), tpurt's API builds this declarative
+SceneDescription; tpurt.render.build then flattens it into device SoA
+tensors (vertex/index/material tables + BVH) and runs the integrator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tpurt.geom.transform import Transform
+from tpurt.scene.paramset import ParamSet
+
+
+@dataclasses.dataclass
+class TriangleMeshRecord:
+    """World-space triangle mesh (the reference transforms mesh vertices to
+    world space at creation; shapes/triangle.cpp mesh ctor)."""
+
+    vertices: np.ndarray  # (V, 3) float
+    indices: np.ndarray  # (T, 3) int
+    normals: Optional[np.ndarray] = None  # (V, 3)
+    uvs: Optional[np.ndarray] = None  # (V, 2)
+    tangents: Optional[np.ndarray] = None  # (V, 3)
+    alpha_texture: Optional[Any] = None
+    kind: str = "trianglemesh"
+
+
+@dataclasses.dataclass
+class QuadricRecord:
+    """Analytic quadric kept in object space with its transform pair.
+    Covers sphere/cylinder/disk/cone/paraboloid/hyperboloid via ``kind``."""
+
+    kind: str
+    object_to_world: Transform
+    radius: float = 1.0
+    z_min: float = -1.0
+    z_max: float = 1.0
+    phi_max: float = 360.0  # degrees
+    # disk-specific
+    height: float = 0.0
+    inner_radius: float = 0.0
+    # hyperboloid/cone-specific
+    p1: Optional[np.ndarray] = None
+    p2: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class MaterialRecord:
+    """Resolved material: factory name + texture-or-constant slots.
+    ``slots`` maps param name -> ("constant", value) | ("texture", TextureRecord)."""
+
+    name: str
+    slots: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    index: int = -1  # assigned at scene build
+
+
+@dataclasses.dataclass
+class TextureRecord:
+    name: str  # texture class: constant/scale/checkerboard/imagemap/...
+    tex_type: str  # "float" | "spectrum"
+    params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    world_to_texture: Optional[Transform] = None
+
+
+@dataclasses.dataclass
+class AreaLightRecord:
+    """DiffuseAreaLight attached to one shape (lights/diffuse.{h,cpp})."""
+
+    L: np.ndarray  # (3,) radiance
+    scale: np.ndarray  # (3,)
+    n_samples: int = 1
+    two_sided: bool = False
+
+
+@dataclasses.dataclass
+class LightRecord:
+    """Non-area light: point/spot/distant/infinite/projection/goniometric."""
+
+    kind: str
+    light_to_world: Transform
+    params: ParamSet = None
+    base_dir: str = "."
+
+
+@dataclasses.dataclass
+class PrimitiveRecord:
+    shape: Any  # TriangleMeshRecord | QuadricRecord
+    material: Optional[MaterialRecord]
+    area_light: Optional[AreaLightRecord] = None
+    reverse_orientation: bool = False
+    transform_swaps_handedness: bool = False
+
+
+@dataclasses.dataclass
+class SceneDescription:
+    film_params: ParamSet = None
+    film_name: str = "image"
+    filter_name: str = "box"
+    filter_params: ParamSet = None
+    camera_name: str = "perspective"
+    camera_params: ParamSet = None
+    camera_to_world: Transform = None
+    sampler_name: str = "halton"
+    sampler_params: ParamSet = None
+    integrator_name: str = "path"
+    integrator_params: ParamSet = None
+    accelerator_name: str = "bvh"
+    accelerator_params: ParamSet = None
+    primitives: List[PrimitiveRecord] = dataclasses.field(default_factory=list)
+    lights: List[LightRecord] = dataclasses.field(default_factory=list)
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        ps = self.film_params or ParamSet()
+        return (
+            ps.find_one_int("xresolution", 1280),
+            ps.find_one_int("yresolution", 720),
+        )
+
+    @property
+    def output_filename(self) -> str:
+        ps = self.film_params or ParamSet()
+        return ps.find_one_string("filename", "pbrt.exr")
