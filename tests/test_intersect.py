@@ -1,0 +1,236 @@
+"""Geometry gate tests: primitive intersections vs independent oracles, and
+BVH traversal vs brute force (SURVEY.md §7 stage-2 gate; reference analog:
+src/tests/shapes.cpp watertight + reintersection tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.geom.bvh import build_bvh
+from tpurt.geom.transform import Transform, translate, scale as xscale
+from tpurt.render.geometry_build import flatten_geometry
+from tpurt.render.intersect import (
+    DeviceGeometry,
+    intersect_any,
+    intersect_closest,
+    ray_triangle,
+)
+from tpurt.scene.records import PrimitiveRecord, QuadricRecord, TriangleMeshRecord
+
+
+def _moller_trumbore(o, d, v0, v1, v2):
+    """Independent oracle triangle intersect (classic algorithm, numpy f64)."""
+    e1, e2 = v1 - v0, v2 - v0
+    p = np.cross(d, e2)
+    det = e1 @ p
+    if abs(det) < 1e-12:
+        return None
+    inv = 1.0 / det
+    tv = o - v0
+    u = (tv @ p) * inv
+    if u < 0 or u > 1:
+        return None
+    q = np.cross(tv, e1)
+    v = (d @ q) * inv
+    if v < 0 or u + v > 1:
+        return None
+    t = (e2 @ q) * inv
+    return t if t > 0 else None
+
+
+def test_ray_triangle_matches_oracle():
+    rng = np.random.default_rng(3)
+    n_hit = 0
+    for _ in range(300):
+        v = rng.standard_normal((3, 3))
+        o = rng.standard_normal(3) * 3
+        target = v.mean(axis=0) + rng.standard_normal(3) * 0.7
+        d = target - o
+        d /= np.linalg.norm(d)
+        hit, t, b0, b1 = jax.jit(ray_triangle)(
+            jnp.float32(o), jnp.float32(d), jnp.float32(1e8),
+            jnp.float32(v[0]), jnp.float32(v[1]), jnp.float32(v[2]))
+        want = _moller_trumbore(o.astype(np.float64), d, *v.astype(np.float64))
+        if want is not None and want > 1e-3:
+            assert bool(hit), (o, d, v)
+            np.testing.assert_allclose(float(t), want, rtol=1e-3)
+            # barycentric point reconstruction
+            p_ours = float(b0) * v[0] + float(b1) * v[1] + (1 - float(b0) - float(b1)) * v[2]
+            np.testing.assert_allclose(p_ours, o + want * d, atol=1e-3)
+            n_hit += 1
+        elif want is None:
+            assert not bool(hit) or float(t) > 1e6
+    assert n_hit > 50  # sanity: the test exercised real hits
+
+
+def _scene_geo(prims):
+    mats = {}
+
+    def mat_index(m):
+        return -1
+
+    def al_index(p, _):
+        return -1
+
+    return flatten_geometry(prims, mat_index, al_index)
+
+
+def _random_tri_scene(rng, n_tri=120, n_sphere=8):
+    prims = []
+    centers = rng.uniform(-5, 5, (n_tri, 3))
+    verts = centers[:, None, :] + rng.standard_normal((n_tri, 3, 3)) * 0.6
+    mesh = TriangleMeshRecord(
+        vertices=verts.reshape(-1, 3).astype(np.float32),
+        indices=np.arange(n_tri * 3, dtype=np.int32).reshape(-1, 3),
+    )
+    prims.append(PrimitiveRecord(shape=mesh, material=None))
+    for _ in range(n_sphere):
+        c = rng.uniform(-5, 5, 3)
+        r = rng.uniform(0.3, 1.2)
+        prims.append(PrimitiveRecord(
+            shape=QuadricRecord("sphere", translate(c), radius=r,
+                                z_min=-r, z_max=r),
+            material=None))
+    return prims
+
+
+def test_bvh_traversal_matches_brute_force():
+    rng = np.random.default_rng(11)
+    geo_h = _scene_geo(_random_tri_scene(rng))
+    geo = DeviceGeometry.from_host(geo_h)
+
+    n_rays = 256
+    o = rng.uniform(-8, 8, (n_rays, 3)).astype(np.float32)
+    # aim at jittered scene points so a good fraction of rays hit something
+    targets = (rng.uniform(-5, 5, (n_rays, 3))
+               + rng.standard_normal((n_rays, 3))).astype(np.float32)
+    d = targets - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    hit = jax.jit(lambda o, d: intersect_closest(geo, o, d, 1e8))(o, d)
+
+    # brute force over all prims with the same primitive tests
+    from tpurt.render.intersect import _intersect_prim
+
+    def brute_one(oo, dd):
+        def body(pi, best):
+            t_b, p_b = best
+            h, t, _, _ = _intersect_prim(geo, pi, oo, dd, t_b)
+            better = h & (t < t_b)
+            return jnp.where(better, t, t_b), jnp.where(better, pi, p_b)
+
+        t, p = jax.lax.fori_loop(0, geo.prim_type.shape[0], body,
+                                 (jnp.float32(1e8), jnp.int32(-1)))
+        return t, p
+
+    bt, bp = jax.jit(jax.vmap(brute_one))(o, d)
+
+    bvh_hit = np.asarray(hit.prim >= 0)
+    brute_hit = np.asarray(bp >= 0)
+    np.testing.assert_array_equal(bvh_hit, brute_hit)
+    # same t (ties between prims allowed if t equal)
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[bvh_hit], np.asarray(bt)[brute_hit], rtol=1e-4
+    )
+    assert bvh_hit.sum() > n_rays // 4  # scene dense enough to be a real test
+
+
+def test_intersect_any_consistent_with_closest():
+    rng = np.random.default_rng(4)
+    geo = DeviceGeometry.from_host(_scene_geo(_random_tri_scene(rng, 60, 4)))
+    n = 128
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    closest = intersect_closest(geo, o, d, 1e8)
+    any_hit = intersect_any(geo, o, d, 1e8)
+    np.testing.assert_array_equal(np.asarray(any_hit), np.asarray(closest.valid))
+    # t_max clipping: a shadow ray ending before the first hit sees nothing
+    t = np.asarray(closest.t)
+    sel = np.asarray(closest.valid)
+    short = intersect_any(geo, o[sel], d[sel], jnp.asarray(t[sel] * 0.5))
+    assert not np.any(np.asarray(short))
+
+
+def test_sphere_partial_z_and_phi():
+    # z-clipped sphere: rays down the +x axis hit only where |z| <= zmax
+    prims = [PrimitiveRecord(
+        shape=QuadricRecord("sphere", Transform(), radius=1.0,
+                            z_min=-0.3, z_max=0.3),
+        material=None)]
+    geo = DeviceGeometry.from_host(_scene_geo(prims))
+    o = np.array([[-5, 0, 0], [-5, 0, 0.9], [-5, 0, 0.29]], np.float32)
+    d = np.tile(np.array([[1, 0, 0]], np.float32), (3, 1))
+    hit = intersect_closest(geo, o, d, 1e8)
+    assert bool(hit.valid[0])
+    assert not bool(hit.valid[1])
+    assert bool(hit.valid[2])
+    np.testing.assert_allclose(float(hit.t[0]), 4.0, rtol=1e-4)
+
+
+def test_cylinder_disk_quadrics():
+    prims = [
+        PrimitiveRecord(shape=QuadricRecord("cylinder", Transform(), radius=1.0,
+                                            z_min=-1, z_max=1), material=None),
+        PrimitiveRecord(shape=QuadricRecord("disk", translate([4, 0, 0]),
+                                            radius=1.0, height=0.0), material=None),
+    ]
+    geo = DeviceGeometry.from_host(_scene_geo(prims))
+    o = np.array([
+        [-5, 0, 0],     # hits cylinder at x=-1 -> t=4
+        [-5, 0, 2],     # above cylinder -> miss
+        [4, 0.5, -5],   # hits disk from below -> t=5
+        [4, 1.5, -5],   # outside disk radius -> miss
+    ], np.float32)
+    d = np.array([[1, 0, 0], [1, 0, 0], [0, 0, 1], [0, 0, 1]], np.float32)
+    hit = intersect_closest(geo, o, d, 1e8)
+    assert [bool(v) for v in hit.valid] == [True, False, True, False]
+    np.testing.assert_allclose(float(hit.t[0]), 4.0, rtol=1e-4)
+    np.testing.assert_allclose(float(hit.t[2]), 5.0, rtol=1e-4)
+
+
+def test_bvh_shadow_acne_reintersection():
+    """Spawning from a hit point offset along the normal must not re-hit
+    the same surface (shapes.cpp reintersection tests)."""
+    rng = np.random.default_rng(5)
+    geo = DeviceGeometry.from_host(_scene_geo(_random_tri_scene(rng, 80, 6)))
+    n = 200
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hit = intersect_closest(geo, o, d, 1e8)
+    sel = np.asarray(hit.valid)
+    p = o[sel] + np.asarray(hit.t)[sel, None] * d[sel]
+    # bounce straight back toward the origin side with a scaled offset
+    eps = 1e-3 * np.maximum(1.0, np.linalg.norm(p, axis=-1, keepdims=True))
+    back = -d[sel]
+    hit2 = intersect_closest(geo, (p + eps * back).astype(np.float32),
+                             back.astype(np.float32), 1e8)
+    # no re-hit at t ~ 0
+    t2 = np.asarray(hit2.t)
+    assert not np.any(t2 < 1e-4)
+
+
+def test_empty_scene():
+    geo = DeviceGeometry.from_host(_scene_geo([]))
+    o = np.zeros((4, 3), np.float32)
+    d = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    hit = intersect_closest(geo, o, d, 1e8)
+    assert not np.any(np.asarray(hit.valid))
+
+
+def test_bvh_build_structure():
+    rng = np.random.default_rng(9)
+    lo = rng.uniform(-10, 10, (500, 3))
+    hi = lo + rng.uniform(0.1, 1.0, (500, 3))
+    bvh = build_bvh(lo, hi)
+    assert sorted(bvh.prim_order.tolist()) == list(range(500))
+    # each leaf's prims are inside its bounds
+    for i in range(bvh.n_nodes):
+        np_ = bvh.n_prims[i]
+        if np_ > 0:
+            prims = bvh.prim_order[bvh.prim_offset[i]: bvh.prim_offset[i] + np_]
+            assert (lo[prims] >= bvh.bounds_lo[i] - 1e-4).all()
+            assert (hi[prims] <= bvh.bounds_hi[i] + 1e-4).all()
+    assert bvh.max_depth() < 64

@@ -1,0 +1,259 @@
+"""Flatten a SceneDescription's primitives into device SoA tensors + BVH.
+
+This replaces the reference's Primitive/Aggregate object graph
+(core/primitive.h:51-119, scene.h:50) with flat tables: one unified
+primitive array (triangles + quadrics) reordered by the BVH build so leaf
+references are contiguous, plus vertex-attribute pools for shading.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from tpurt.geom.bvh import LinearBVH, build_bvh
+from tpurt.scene.records import (
+    PrimitiveRecord,
+    QuadricRecord,
+    SceneDescription,
+    TriangleMeshRecord,
+)
+
+# primitive type codes
+PT_TRIANGLE = 0
+PT_SPHERE = 1
+PT_CYLINDER = 2
+PT_DISK = 3
+PT_CONE = 4
+PT_PARABOLOID = 5
+PT_HYPERBOLOID = 6
+_QUADRIC_CODES = {
+    "sphere": PT_SPHERE,
+    "cylinder": PT_CYLINDER,
+    "disk": PT_DISK,
+    "cone": PT_CONE,
+    "paraboloid": PT_PARABOLOID,
+    "hyperboloid": PT_HYPERBOLOID,
+}
+
+# per-prim flag bits
+FLAG_REVERSE_ORIENTATION = 1
+FLAG_XFORM_SWAPS_HANDEDNESS = 2
+FLAG_HAS_NORMALS = 4
+FLAG_HAS_UV = 8
+FLAG_HAS_TANGENTS = 16
+
+
+@dataclasses.dataclass
+class GeometryArrays:
+    """Host numpy arrays describing all scene geometry, BVH-ordered."""
+
+    # BVH (SoA)
+    bvh: LinearBVH
+    # unified primitive table, already permuted into BVH leaf order
+    prim_type: np.ndarray  # (P,) i32
+    material_id: np.ndarray  # (P,) i32 (-1 = none)
+    arealight_id: np.ndarray  # (P,) i32 (-1 = none)
+    flags: np.ndarray  # (P,) i32
+    # triangles: gathered vertices for intersection + attr indices for shading
+    tri_v0: np.ndarray  # (P, 3) f32 (zeros for non-triangles)
+    tri_v1: np.ndarray
+    tri_v2: np.ndarray
+    tri_vi: np.ndarray  # (P, 3) i32 into vertex pools
+    vert_n: np.ndarray  # (V, 3) f32
+    vert_uv: np.ndarray  # (V, 2) f32
+    vert_s: np.ndarray  # (V, 3) f32 shading tangents
+    # quadrics
+    quad_id: np.ndarray  # (P,) i32 index into quadric tables (-1 for tris)
+    quad_w2o: np.ndarray  # (Q, 4, 4) f32
+    quad_o2w: np.ndarray  # (Q, 4, 4) f32
+    quad_params: np.ndarray  # (Q, 8) f32: radius zmin zmax phimax height inner_r zmax_theta pad
+    # world bounds
+    world_lo: np.ndarray
+    world_hi: np.ndarray
+
+    @property
+    def n_prims(self) -> int:
+        return len(self.prim_type)
+
+
+def quadric_bounds(q: QuadricRecord) -> Tuple[np.ndarray, np.ndarray]:
+    """World-space bounds of a quadric: object bound corners through o2w
+    (conservative, like shape.h WorldBound default)."""
+    r = q.radius
+    if q.kind == "sphere":
+        ob_lo = np.array([-r, -r, q.z_min])
+        ob_hi = np.array([r, r, q.z_max])
+    elif q.kind == "cylinder":
+        ob_lo = np.array([-r, -r, q.z_min])
+        ob_hi = np.array([r, r, q.z_max])
+    elif q.kind == "disk":
+        ob_lo = np.array([-r, -r, q.height - 1e-4])
+        ob_hi = np.array([r, r, q.height + 1e-4])
+    elif q.kind == "cone":
+        ob_lo = np.array([-r, -r, 0.0])
+        ob_hi = np.array([r, r, q.z_max])
+    elif q.kind == "paraboloid":
+        ob_lo = np.array([-r, -r, q.z_min])
+        ob_hi = np.array([r, r, q.z_max])
+    elif q.kind == "hyperboloid":
+        p1, p2 = q.p1, q.p2
+        rr = max(np.hypot(*p1[:2]), np.hypot(*p2[:2]))
+        ob_lo = np.array([-rr, -rr, min(p1[2], p2[2])])
+        ob_hi = np.array([rr, rr, max(p1[2], p2[2])])
+    else:
+        raise ValueError(q.kind)
+    corners = np.array([[ob_lo[i] if (k >> i) & 1 == 0 else ob_hi[i]
+                         for i in range(3)] for k in range(8)])
+    wc = q.object_to_world.apply_point(corners)
+    return wc.min(axis=0), wc.max(axis=0)
+
+
+def flatten_geometry(
+    prims: List[PrimitiveRecord],
+    material_index,  # callable: MaterialRecord|None -> int
+    arealight_index,  # callable: (PrimitiveRecord, local_index) -> int
+    max_prims_per_leaf: int = 4,
+    split_method: str = "sah",
+) -> GeometryArrays:
+    tri_v0, tri_v1, tri_v2, tri_vi = [], [], [], []
+    prim_type, mat_id, al_id, flags, quad_id = [], [], [], [], []
+    vert_n, vert_uv, vert_s = [], [], []
+    quads_w2o, quads_o2w, quads_params = [], [], []
+    blo, bhi = [], []
+    vert_base = 0
+
+    for prim in prims:
+        m = material_index(prim.material)
+        base_flags = (
+            (FLAG_REVERSE_ORIENTATION if prim.reverse_orientation else 0)
+            | (FLAG_XFORM_SWAPS_HANDEDNESS if prim.transform_swaps_handedness else 0)
+        )
+        shape = prim.shape
+        if isinstance(shape, TriangleMeshRecord):
+            V = shape.vertices
+            I = shape.indices
+            f = base_flags
+            if shape.normals is not None:
+                f |= FLAG_HAS_NORMALS
+            if shape.uvs is not None:
+                f |= FLAG_HAS_UV
+            if shape.tangents is not None:
+                f |= FLAG_HAS_TANGENTS
+            v0, v1, v2 = V[I[:, 0]], V[I[:, 1]], V[I[:, 2]]
+            tri_v0.append(v0)
+            tri_v1.append(v1)
+            tri_v2.append(v2)
+            tri_vi.append(I + vert_base)
+            n_tri = len(I)
+            prim_type.append(np.full(n_tri, PT_TRIANGLE, np.int32))
+            mat_id.append(np.full(n_tri, m, np.int32))
+            a = arealight_index(prim, None)
+            al_id.append(np.full(n_tri, a, np.int32))
+            flags.append(np.full(n_tri, f, np.int32))
+            quad_id.append(np.full(n_tri, -1, np.int32))
+            blo.append(np.minimum(np.minimum(v0, v1), v2))
+            bhi.append(np.maximum(np.maximum(v0, v1), v2))
+            vert_n.append(shape.normals if shape.normals is not None
+                          else np.zeros_like(V))
+            vert_uv.append(shape.uvs if shape.uvs is not None
+                           else np.zeros((len(V), 2), np.float32))
+            vert_s.append(shape.tangents if shape.tangents is not None
+                          else np.zeros_like(V))
+            vert_base += len(V)
+        elif isinstance(shape, QuadricRecord):
+            qi = len(quads_w2o)
+            quads_w2o.append(shape.object_to_world.m_inv.astype(np.float32))
+            quads_o2w.append(shape.object_to_world.m.astype(np.float32))
+            r = shape.radius
+            zmin, zmax = min(shape.z_min, shape.z_max), max(shape.z_min, shape.z_max)
+            if shape.kind == "sphere":
+                zmin, zmax = np.clip([zmin, zmax], -r, r)
+            params = np.array([
+                r, zmin, zmax, np.deg2rad(np.clip(shape.phi_max, 0, 360)),
+                shape.height, shape.inner_radius, 0.0, 0.0,
+            ], np.float32)
+            quads_params.append(params)
+            prim_type.append(np.array([_QUADRIC_CODES[shape.kind]], np.int32))
+            mat_id.append(np.array([m], np.int32))
+            al_id.append(np.array([arealight_index(prim, None)], np.int32))
+            flags.append(np.array([base_flags], np.int32))
+            quad_id.append(np.array([qi], np.int32))
+            tri_v0.append(np.zeros((1, 3), np.float32))
+            tri_v1.append(np.zeros((1, 3), np.float32))
+            tri_v2.append(np.zeros((1, 3), np.float32))
+            tri_vi.append(np.zeros((1, 3), np.int64))
+            qlo, qhi = quadric_bounds(shape)
+            blo.append(qlo[None])
+            bhi.append(qhi[None])
+        else:
+            raise TypeError(f"unknown shape record {type(shape)}")
+
+    if not prims:
+        # Pad with one degenerate triangle (never hits: zero-area, and the
+        # root node's bounds are impossible) so device gathers are never
+        # taken from zero-sized arrays.
+        prim_type.append(np.array([PT_TRIANGLE], np.int32))
+        mat_id.append(np.array([-1], np.int32))
+        al_id.append(np.array([-1], np.int32))
+        flags.append(np.array([0], np.int32))
+        quad_id.append(np.array([-1], np.int32))
+        for t in (tri_v0, tri_v1, tri_v2):
+            t.append(np.zeros((1, 3), np.float32))
+        tri_vi.append(np.zeros((1, 3), np.int64))
+        vert_n.append(np.zeros((1, 3), np.float32))
+        vert_uv.append(np.zeros((1, 2), np.float32))
+        vert_s.append(np.zeros((1, 3), np.float32))
+        blo.append(np.zeros((1, 3)))
+        bhi.append(np.zeros((1, 3)))
+
+    cat = lambda xs, dt, shape2: (
+        np.concatenate(xs).astype(dt) if xs else np.zeros(shape2, dt))
+    prim_type = cat(prim_type, np.int32, (0,))
+    mat_id = cat(mat_id, np.int32, (0,))
+    al_id = cat(al_id, np.int32, (0,))
+    flags = cat(flags, np.int32, (0,))
+    quad_idx = cat(quad_id, np.int32, (0,))
+    tri_v0 = cat(tri_v0, np.float32, (0, 3))
+    tri_v1 = cat(tri_v1, np.float32, (0, 3))
+    tri_v2 = cat(tri_v2, np.float32, (0, 3))
+    tri_vi = cat(tri_vi, np.int32, (0, 3))
+    blo = cat(blo, np.float64, (0, 3))
+    bhi = cat(bhi, np.float64, (0, 3))
+
+    bvh = build_bvh(blo, bhi, max_prims_per_leaf, split_method)
+    # Conservative f32 rounding so the flattened bounds always contain the
+    # f64 build bounds.
+    bvh.bounds_lo = np.nextafter(bvh.bounds_lo, -np.inf).astype(np.float32)
+    bvh.bounds_hi = np.nextafter(bvh.bounds_hi, np.inf).astype(np.float32)
+
+    # permute primitives into BVH leaf order so leaves are contiguous
+    perm = bvh.prim_order
+    geo = GeometryArrays(
+        bvh=bvh,
+        prim_type=prim_type[perm],
+        material_id=mat_id[perm],
+        arealight_id=al_id[perm],
+        flags=flags[perm],
+        tri_v0=tri_v0[perm],
+        tri_v1=tri_v1[perm],
+        tri_v2=tri_v2[perm],
+        tri_vi=tri_vi[perm],
+        vert_n=cat(vert_n, np.float32, (0, 3)),
+        vert_uv=cat(vert_uv, np.float32, (0, 2)),
+        vert_s=cat(vert_s, np.float32, (0, 3)),
+        quad_id=quad_idx[perm],
+        # pad quadric tables with one identity entry so gathers in the
+        # (select-executed) quadric branch never index a zero-sized axis
+        quad_w2o=(np.stack(quads_w2o) if quads_w2o
+                  else np.eye(4, dtype=np.float32)[None]),
+        quad_o2w=(np.stack(quads_o2w) if quads_o2w
+                  else np.eye(4, dtype=np.float32)[None]),
+        quad_params=(np.stack(quads_params) if quads_params
+                     else np.ones((1, 8), np.float32)),
+        world_lo=(blo.min(axis=0) if len(blo) else np.zeros(3)),
+        world_hi=(bhi.max(axis=0) if len(bhi) else np.zeros(3)),
+    )
+    return geo
