@@ -1,0 +1,144 @@
+"""RPF filter tests: JAX kernels vs the literal numpy oracle, plus
+denoising behavior.  (The reference ships NO tests for src/custom —
+SURVEY.md §4 — so these gates are new.)"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rpf_oracle as oracle
+from tpurt.rpf.filter import (
+    _cf_weights,
+    _mutual_information,
+    apply_rpf_filter,
+)
+
+
+def test_mutual_information_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = 60
+    # correlated + independent variables across the 19 columns
+    base = rng.standard_normal(n)
+    cols = np.zeros((n, 19), np.float32)
+    for c in range(19):
+        mix = (c % 4) / 4.0
+        cols[:, c] = mix * base + (1 - mix) * rng.standard_normal(n)
+    mask = jnp.ones((n, 1), jnp.float32)
+    bins = max(1, int(np.sqrt(n)))
+    got = np.asarray(_mutual_information(
+        jnp.asarray(cols), mask, jnp.float32(n), jnp.int32(bins),
+        bins + 1))
+    from tpurt.rpf.filter import _PAIRS
+
+    for k in range(0, 96, 7):  # spot-check a spread of pairs
+        a, b = _PAIRS[k]
+        want = oracle.mutual_information(cols[:, a].astype(np.float64),
+                                         cols[:, b].astype(np.float64))
+        np.testing.assert_allclose(got[k], want, rtol=1e-4, atol=1e-5)
+
+
+def test_mutual_information_degenerate_constant():
+    # constant column: reference dumps all mass in bin 0 -> MI = 0
+    rng = np.random.default_rng(1)
+    n = 25
+    cols = np.zeros((n, 19), np.float32)
+    cols[:, 7] = 1.0  # constant feature
+    cols[:, 5] = rng.standard_normal(n)  # random param
+    mask = jnp.ones((n, 1), jnp.float32)
+    got = np.asarray(_mutual_information(
+        jnp.asarray(cols), mask, jnp.float32(n), jnp.int32(5), 6))
+    want = oracle.mutual_information(cols[:, 7].astype(np.float64),
+                                     cols[:, 5].astype(np.float64))
+    np.testing.assert_allclose(got[0], want, atol=1e-5)  # pair (7,5)
+
+
+def test_cf_weights_match_oracle():
+    rng = np.random.default_rng(2)
+    n = 80
+    nb = rng.standard_normal((n, 19)).astype(np.float32)
+    # make color depend on features strongly, weakly on randoms
+    nb[:, 2] = nb[:, 7] * 2 + 0.1 * rng.standard_normal(n)
+    nb[:, 3] = nb[:, 8] + nb[:, 5] * 0.5
+    mask = jnp.ones((n, 1), jnp.float32)
+    bins = max(1, int(np.sqrt(n)))
+    mi = _mutual_information(jnp.asarray(nb), mask, jnp.float32(n),
+                             jnp.int32(bins), bins + 1)
+    a_got, b_got, w_got = _cf_weights(mi)
+    a_want, b_want, w_want = oracle.cf_weights(nb.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(a_got), a_want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(b_got), b_want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(w_got), w_want, rtol=2e-3)
+    # structure: alpha in [0,1], beta in [0,1]
+    assert np.all(np.asarray(a_got) >= -1e-6) and np.all(np.asarray(a_got) <= 1 + 1e-6)
+
+
+def test_full_filter_matches_oracle():
+    rng = np.random.default_rng(3)
+    h, w, s = 6, 7, 4
+    buf = np.zeros((h, w, s, 19), np.float32)
+    # pFilm: absolute positions
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    buf[..., 0] = xx[..., None] + rng.uniform(0, 1, (h, w, s))
+    buf[..., 1] = yy[..., None] + rng.uniform(0, 1, (h, w, s))
+    # colors: smooth ramp + noise
+    buf[..., 2:5] = (xx[..., None, None] / w
+                     + 0.3 * rng.standard_normal((h, w, s, 3)))
+    buf[..., 5:7] = rng.uniform(0, 1, (h, w, s, 2))  # lens randoms
+    # features: two flat regions (simulating geometry)
+    feat = np.where(xx[..., None, None] < w // 2, 1.0, -1.0)
+    buf[..., 7:19] = feat + 0.01 * rng.standard_normal((h, w, s, 12))
+
+    got = np.asarray(apply_rpf_filter(jnp.asarray(buf), 5, pixel_chunk=16))
+    want = oracle.filter_buffer(buf.astype(np.float64), 5)
+    # colors replaced; everything else untouched
+    np.testing.assert_array_equal(got[..., 0:2], buf[..., 0:2])
+    np.testing.assert_array_equal(got[..., 5:], buf[..., 5:])
+    np.testing.assert_allclose(got[..., 2:5], want[..., 2:5],
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_filter_denoises_flat_region():
+    """A flat-geometry region with pure color noise must get smoother while
+    keeping its mean (the whole point of RPF)."""
+    rng = np.random.default_rng(4)
+    h, w, s = 10, 10, 4
+    buf = np.zeros((h, w, s, 19), np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    buf[..., 0] = xx[..., None] + rng.uniform(0, 1, (h, w, s))
+    buf[..., 1] = yy[..., None] + rng.uniform(0, 1, (h, w, s))
+    buf[..., 2:5] = 1.0 + 0.5 * rng.standard_normal((h, w, s, 3))
+    buf[..., 5:7] = rng.uniform(0, 1, (h, w, s, 2))
+    # near-flat features with tiny noise: EXACTLY constant features give
+    # sigma=0 and the reference's strict 3-sigma test admits no neighbors
+    buf[..., 7:19] = 1.0 + 1e-4 * rng.standard_normal((h, w, s, 12))
+
+    out = np.asarray(apply_rpf_filter(jnp.asarray(buf), 7, pixel_chunk=32))
+    pre_var = buf[2:-2, 2:-2, :, 2:5].var()
+    post_var = out[2:-2, 2:-2, :, 2:5].var()
+    assert post_var < pre_var * 0.5, (pre_var, post_var)
+    np.testing.assert_allclose(out[..., 2:5].mean(), buf[..., 2:5].mean(),
+                               rtol=0.05)
+
+
+def test_filter_preserves_feature_edges():
+    """Samples across a feature discontinuity must not bleed: the 3-sigma
+    clustering keeps the two sides apart."""
+    rng = np.random.default_rng(5)
+    h, w, s = 8, 8, 4
+    buf = np.zeros((h, w, s, 19), np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    buf[..., 0] = xx[..., None] + rng.uniform(0, 1, (h, w, s))
+    buf[..., 1] = yy[..., None] + rng.uniform(0, 1, (h, w, s))
+    left = xx < w // 2
+    # left: color 0, right: color 10; tiny noise
+    buf[..., 2:5] = np.where(left[..., None, None], 0.0, 10.0) \
+        + 0.05 * rng.standard_normal((h, w, s, 3))
+    buf[..., 5:7] = rng.uniform(0, 1, (h, w, s, 2))
+    buf[..., 7:19] = np.where(left[..., None, None], 1.0, -1.0) \
+        + 1e-4 * rng.standard_normal((h, w, s, 12))
+
+    out = np.asarray(apply_rpf_filter(jnp.asarray(buf), 7, pixel_chunk=32))
+    left_cols = out[:, : w // 2 - 1, :, 2:5]
+    right_cols = out[:, w // 2 + 1:, :, 2:5]
+    assert left_cols.max() < 1.0, left_cols.max()  # no bleed from the right
+    assert right_cols.min() > 9.0, right_cols.min()

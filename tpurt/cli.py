@@ -1,0 +1,85 @@
+"""pbrt-compatible command line.
+
+Reference analog: main/pbrt.cpp:76-139 — flag parsing into Options,
+pbrtInit, per-file parse+render, pbrtCleanup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tpurt",
+        description="TPU-native pbrt renderer with RPF denoising "
+                    "(capabilities of pbrt-v3 + Integrator \"rpf\")",
+    )
+    ap.add_argument("scenes", nargs="*", help=".pbrt scene files (- = stdin)")
+    ap.add_argument("--outfile", "-o", help="override Film filename")
+    ap.add_argument("--quick", action="store_true",
+                    help="quarter resolution, 1 spp (pbrt --quick)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument("--cropwindow", nargs=4, type=float, metavar=("X0", "X1", "Y0", "Y1"))
+    ap.add_argument("--nthreads", type=int, default=0,
+                    help="accepted for pbrt CLI compatibility (parallelism "
+                         "is device-wide on TPU)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+    logging.basicConfig(
+        level=(logging.WARNING if args.quiet
+               else logging.DEBUG if args.verbose else logging.INFO),
+        format="%(levelname).1s %(name)s: %(message)s",
+    )
+    log = logging.getLogger("tpurt")
+
+    if not args.scenes:
+        ap.print_usage()
+        print("error: no scene files given", file=sys.stderr)
+        return 1
+
+    # defer heavy imports until after arg handling
+    import jax
+
+    import os
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TPURT_CACHE",
+                       os.path.expanduser("~/.cache/tpurt")) + "/jaxcache",
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurt.scene import load_scene
+    from tpurt.render.driver import render
+
+    for path in args.scenes:
+        log.info("parsing %s", path)
+        sd = load_scene(path)
+        crop = args.cropwindow
+        if sd.integrator_name == "rpf":
+            from tpurt.rpf.driver import render_rpf
+
+            img, job = render_rpf(sd, quick=args.quick, crop_override=crop)
+        else:
+            img, job = render(sd, quick=args.quick, crop_override=crop)
+        out = args.outfile or job.film.filename
+        from tpurt.io.image import write_image
+
+        write_image(out, img)
+        log.info("wrote %s (%dx%d)", out, img.shape[1], img.shape[0])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""Cameras: batched ray generation on device.
+
+Reference analog: core/camera.{h,cpp} (Camera/ProjectiveCamera),
+cameras/perspective.cpp (thin-lens GenerateRay :79-93), orthographic.cpp,
+environment.cpp.  A camera is a NamedTuple of precomputed transforms; ray
+generation maps (N,2) film points + (N,2) lens points to (N,3) origins and
+directions, all elementwise (no MXU — see intersect._xform_point).
+
+Screen-window convention: pbrt's default screen window spans [-1,1] in the
+narrower image axis, scaled by aspect in the wider one (camera.h:84
+ProjectiveCamera ctor).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.geom import transform as xf
+from tpurt.scene.paramset import ParamSet
+
+
+def _xform_point_batch(m, p):
+    # p: (N, 3); returns (N, 3); elementwise to stay off the MXU
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    w = m[3, 0] * x + m[3, 1] * y + m[3, 2] * z + m[3, 3]
+    out = jnp.stack([
+        m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3],
+        m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3],
+        m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3],
+    ], axis=-1)
+    return out / w[:, None]
+
+
+def _xform_vector_batch(m, v):
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    return jnp.stack([
+        m[0, 0] * x + m[0, 1] * y + m[0, 2] * z,
+        m[1, 0] * x + m[1, 1] * y + m[1, 2] * z,
+        m[2, 0] * x + m[2, 1] * y + m[2, 2] * z,
+    ], axis=-1)
+
+
+def concentric_sample_disk(u: jnp.ndarray) -> jnp.ndarray:
+    """Shirley-Chiu concentric disk warp (sampling.cpp ConcentricSampleDisk)."""
+    u_off = 2.0 * u - 1.0
+    ux, uy = u_off[:, 0], u_off[:, 1]
+    zero = (ux == 0) & (uy == 0)
+    use_x = jnp.abs(ux) > jnp.abs(uy)
+    r = jnp.where(use_x, ux, uy)
+    theta = jnp.where(
+        use_x,
+        (np.pi / 4) * (uy / jnp.where(ux == 0, 1.0, ux)),
+        (np.pi / 2) - (np.pi / 4) * (ux / jnp.where(uy == 0, 1.0, uy)),
+    )
+    pt = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+    return jnp.where(zero[:, None], 0.0, pt)
+
+
+class Camera(NamedTuple):
+    kind: str  # perspective | orthographic | environment
+    camera_to_world: jnp.ndarray  # (4,4)
+    raster_to_camera: jnp.ndarray  # (4,4)
+    lens_radius: float
+    focal_distance: float
+    shutter_open: float
+    shutter_close: float
+    res_x: int
+    res_y: int
+
+    def generate_rays(self, p_film: jnp.ndarray, p_lens: jnp.ndarray):
+        """p_film: (N,2) raster-space points; p_lens: (N,2) in [0,1)^2.
+        Returns (o, d, weight) with o,d (N,3) world-space; d normalized.
+        Mirrors PerspectiveCamera::GenerateRay (perspective.cpp:79-93)."""
+        n = p_film.shape[0]
+        p_raster = jnp.concatenate(
+            [p_film, jnp.zeros((n, 1), p_film.dtype)], axis=-1)
+        p_cam = _xform_point_batch(self.raster_to_camera, p_raster)
+
+        if self.kind == "perspective":
+            d = p_cam / jnp.linalg.norm(p_cam, axis=-1, keepdims=True)
+            o = jnp.zeros_like(d)
+        elif self.kind == "orthographic":
+            o = p_cam
+            d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], p_cam.dtype),
+                                 p_cam.shape)
+        elif self.kind == "environment":
+            # equirectangular: theta over height, phi over width
+            theta = np.pi * p_film[:, 1] / self.res_y
+            phi = 2 * np.pi * p_film[:, 0] / self.res_x
+            d = jnp.stack([jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta),
+                           jnp.sin(theta) * jnp.sin(phi)], axis=-1)
+            o = jnp.zeros_like(d)
+        else:
+            raise ValueError(self.kind)
+
+        if self.lens_radius > 0 and self.kind in ("perspective", "orthographic"):
+            p_disk = self.lens_radius * concentric_sample_disk(p_lens)
+            ft = self.focal_distance / jnp.where(d[:, 2] == 0, 1e-9, d[:, 2])
+            p_focus = o + ft[:, None] * d
+            o = jnp.concatenate([p_disk, jnp.zeros((n, 1), p_disk.dtype)], -1)
+            d = p_focus - o
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+        o_w = _xform_point_batch(self.camera_to_world, o)
+        d_w = _xform_vector_batch(self.camera_to_world, d)
+        d_w = d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
+        return o_w, d_w, jnp.ones(n, p_film.dtype)
+
+
+from tpurt.pytrees import register_static_pytree  # noqa: E402
+
+register_static_pytree(Camera, ["camera_to_world", "raster_to_camera"])
+
+
+def _screen_window(res_x: int, res_y: int, ps: ParamSet):
+    aspect = res_x / res_y
+    if aspect > 1:
+        default = [-aspect, aspect, -1.0, 1.0]
+    else:
+        default = [-1.0, 1.0, -1.0 / aspect, 1.0 / aspect]
+    sw = ps.find_float_array("screenwindow")
+    if sw is not None and len(sw) == 4:
+        return [float(v) for v in sw]
+    return default
+
+
+def _raster_to_screen_to_camera(camera_to_screen: xf.Transform, sw,
+                                res_x: int, res_y: int) -> np.ndarray:
+    x0, x1, y0, y1 = sw
+    screen_to_raster = (
+        xf.scale(res_x, res_y, 1.0)
+        * xf.scale(1.0 / (x1 - x0), 1.0 / (y0 - y1), 1.0)
+        * xf.translate([-x0, -y1, 0.0])
+    )
+    raster_to_screen = screen_to_raster.inverse()
+    raster_to_camera = camera_to_screen.inverse() * raster_to_screen
+    return raster_to_camera.m.astype(np.float32)
+
+
+def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
+                res_x: int, res_y: int) -> Camera:
+    """MakeCamera dispatch (api.cpp :786-815) with reference defaults."""
+    shutter_open = ps.find_one_float("shutteropen", 0.0)
+    shutter_close = ps.find_one_float("shutterclose", 1.0)
+    lens_radius = ps.find_one_float("lensradius", 0.0)
+    focal_distance = ps.find_one_float("focaldistance", 1e6)
+    sw = _screen_window(res_x, res_y, ps)
+
+    if name == "perspective":
+        fov = ps.find_one_float("fov", 90.0)
+        half_fov = ps.find_one_float("halffov", -1.0)
+        if half_fov > 0:
+            fov = 2 * half_fov
+        cam_to_screen = xf.perspective(fov, 1e-2, 1000.0)
+    elif name == "orthographic":
+        cam_to_screen = xf.orthographic(0.0, 1.0)
+    elif name in ("environment",):
+        cam_to_screen = xf.Transform()
+    elif name == "realistic":
+        import logging
+
+        logging.getLogger("tpurt.scene").warning(
+            "realistic camera not yet supported; using perspective fov=45")
+        cam_to_screen = xf.perspective(45.0, 1e-2, 1000.0)
+        name = "perspective"
+    else:
+        raise ValueError(f'camera "{name}" unknown')
+
+    return Camera(
+        kind=name,
+        camera_to_world=jnp.asarray(camera_to_world.m.astype(np.float32)),
+        raster_to_camera=jnp.asarray(
+            _raster_to_screen_to_camera(cam_to_screen, sw, res_x, res_y)),
+        lens_radius=lens_radius,
+        focal_distance=focal_distance,
+        shutter_open=shutter_open,
+        shutter_close=shutter_close,
+        res_x=res_x,
+        res_y=res_y,
+    )

@@ -1,0 +1,204 @@
+"""Render driver: SceneDescription -> device tables -> wavefront render.
+
+Reference analog: what happens inside pbrtWorldEnd (api.cpp:1591-1650):
+MakeIntegrator/MakeScene followed by integrator->Render(scene).  Here the
+render is a host loop streaming wavefront chunks of (pixel, sample) lanes
+through one jitted trace+accumulate step, with the film as a donated
+device-resident accumulator.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.config import get_config
+from tpurt.render.camera import make_camera
+from tpurt.render.film import Film, make_film
+from tpurt.render.filters import make_filter
+from tpurt.render.geometry_build import flatten_geometry
+from tpurt.render.integrator import (
+    RADIANCE_FNS,
+    IntegratorConfig,
+    SceneData,
+)
+from tpurt.render.intersect import DeviceGeometry
+from tpurt.render.lights import build_light_table
+from tpurt.render.materials_build import (
+    MaterialIndexer,
+    build_material_table,
+)
+from tpurt.sampling.samplers import make_sampler
+from tpurt.scene.records import SceneDescription
+
+log = logging.getLogger("tpurt.render")
+
+
+class RenderJob(NamedTuple):
+    scene: SceneData
+    camera: object
+    sampler: object
+    film: Film
+    cfg: IntegratorConfig
+    integrator_name: str
+    integrator_params: object
+
+
+def make_integrator_config(sd: SceneDescription,
+                           capture_features: bool = False) -> IntegratorConfig:
+    ps = sd.integrator_params
+    name = sd.integrator_name
+    if name in ("path", "volpath", "rpf"):
+        return IntegratorConfig(
+            name=name,
+            max_depth=ps.find_one_int("maxdepth", 5),
+            rr_threshold=ps.find_one_float("rrthreshold", 1.0),
+            light_strategy=ps.find_one_string("lightsamplestrategy", "spatial"),
+            capture_features=capture_features or name == "rpf",
+        )
+    if name == "directlighting":
+        return IntegratorConfig(
+            name=name,
+            max_depth=ps.find_one_int("maxdepth", 5),
+            direct_strategy=ps.find_one_string("strategy", "all"),
+        )
+    if name == "whitted":
+        return IntegratorConfig(name=name, max_depth=ps.find_one_int("maxdepth", 5))
+    if name == "ao":
+        return IntegratorConfig(
+            name=name,
+            ao_samples=ps.find_one_int("nsamples", 64),
+            ao_cos_sample=ps.find_one_bool("cossample", True),
+        )
+    if name in ("bdpt", "mlt", "sppm"):
+        log.warning('integrator "%s" not yet implemented; falling back to '
+                    '"path" (bdpt/mlt/sppm: later rounds)', name)
+        return IntegratorConfig(name="path",
+                                max_depth=ps.find_one_int("maxdepth", 5))
+    log.warning('integrator "%s" unknown; using "path"', name)
+    return IntegratorConfig(name="path")
+
+
+def build_job(sd: SceneDescription, quick: bool = False,
+              crop_override=None) -> RenderJob:
+    cfgl = get_config()
+    mat_index = MaterialIndexer()
+    area_records = []
+
+    def arealight_index(prim, _):
+        if prim.area_light is None:
+            return -1
+        key = id(prim.area_light)
+        for i, (k, _r) in enumerate(area_records):
+            if k == key:
+                return i
+        area_records.append((key, prim.area_light))
+        return len(area_records) - 1
+
+    t0 = time.time()
+    geo_h = flatten_geometry(
+        sd.primitives, mat_index, arealight_index,
+        max_prims_per_leaf=(sd.accelerator_params.find_one_int(
+            "maxnodeprims", 4) if sd.accelerator_params else 4),
+    )
+    log.info("scene flatten + BVH build: %.2fs (%d prims, %d nodes)",
+             time.time() - t0, geo_h.n_prims, geo_h.bvh.n_nodes)
+
+    mt = build_material_table(mat_index.materials)
+    lights = build_light_table(
+        sd.lights, geo_h,
+        [(r.L, r.scale, r.two_sided) for _k, r in area_records],
+    )
+    scene = SceneData(
+        geo=DeviceGeometry.from_host(geo_h),
+        lights=lights,
+        mt_table=jnp.asarray(mt.table),
+        mt_k3=jnp.asarray(mt.k3),
+        mt_kinds=jnp.asarray(mt.kinds),
+    )
+
+    filt = make_filter(sd.filter_name, sd.filter_params)
+    film = make_film(sd.film_params, filt, quick=quick,
+                     crop_override=crop_override)
+    res_x, res_y = film.full_x, film.full_y
+    sampler = make_sampler(sd.sampler_name, sd.sampler_params, res_x, res_y,
+                           quick=quick)
+    camera = make_camera(sd.camera_name, sd.camera_params, sd.camera_to_world,
+                         res_x, res_y)
+    cfg = make_integrator_config(sd)
+    return RenderJob(scene=scene, camera=camera, sampler=sampler, film=film,
+                     cfg=cfg, integrator_name=cfg.name,
+                     integrator_params=sd.integrator_params)
+
+
+def _chunk_lanes(film: Film, spp: int, chunk: int):
+    """Yield (px, py, sidx, mask) numpy lane batches of fixed size."""
+    x0, x1, y0, y1 = film.crop
+    w, h = x1 - x0, y1 - y0
+    total = w * h * spp
+    ids = np.arange(total, dtype=np.int64)
+    for start in range(0, total, chunk):
+        sl = ids[start:start + chunk]
+        pad = chunk - len(sl)
+        mask = np.ones(chunk, bool)
+        if pad:
+            mask[len(sl):] = False
+            sl = np.concatenate([sl, np.zeros(pad, np.int64)])
+        pid = sl // spp
+        sidx = (sl % spp).astype(np.int32)
+        px = (x0 + pid % w).astype(np.int32)
+        py = (y0 + pid // w).astype(np.int32)
+        yield px, py, sidx, mask
+
+
+def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
+           crop_override=None, return_state: bool = False):
+    """Render a scene description; returns (image, film) — and writes no
+    files (the CLI drives Film.write)."""
+    job = build_job(sd, quick=quick, crop_override=crop_override)
+    radiance_fn = RADIANCE_FNS[job.cfg.name]
+    film = job.film
+    spp = job.sampler.spp
+    total = max(1, film.width * film.height) * spp
+    # Fixed lane-count buckets so small renders share compiled executables
+    # (partial chunks are padded + masked).
+    min_chunk = 1 << 14
+    chunk = min_chunk if total <= min_chunk * 4 else get_config().wavefront_size
+    x0, _, y0, _ = film.crop
+
+    # scene/sampler/camera are jit ARGUMENTS (pytrees with static aux):
+    # closed-over arrays would become HLO constants, bloating compiles and
+    # defeating the persistent compilation cache across scenes.
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(7,))
+    def step(scene, camera, smplr, cfg, px, py, sidx, state, mask):
+        out = radiance_fn(scene, smplr, camera, px, py, sidx, cfg,
+                          crop_xy=(x0, y0))
+        return film.add_samples(state, out["p_film"], out["L"],
+                                out["ray_weight"], mask=mask)
+
+    state = film.initial_state()
+    total = film.width * film.height * spp
+    done = 0
+    t0 = time.time()
+    for px, py, sidx, mask in _chunk_lanes(film, spp, chunk):
+        state = step(job.scene, job.camera, job.sampler, job.cfg,
+                     jnp.asarray(px), jnp.asarray(py), jnp.asarray(sidx),
+                     state, jnp.asarray(mask))
+        done += int(mask.sum())
+        if progress:
+            el = time.time() - t0
+            log.info("rendered %d/%d samples (%.1f%%, %.1fs)",
+                     done, total, 100.0 * done / total, el)
+    jax.block_until_ready(state.rgb)
+    log.info("render complete: %.2fs (%.2f Msamples/s)",
+             time.time() - t0, done / max(time.time() - t0, 1e-9) / 1e6)
+    img = film.to_image(state)
+    if return_state:
+        return img, job, state
+    return img, job

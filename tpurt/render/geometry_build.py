@@ -223,6 +223,15 @@ def flatten_geometry(
     blo = cat(blo, np.float64, (0, 3))
     bhi = cat(bhi, np.float64, (0, 3))
 
+    def _bucket(n: int, lo: int = 64) -> int:
+        """Round up to a power of two (min ``lo``) so differently-sized
+        scenes share array shapes — and therefore share XLA executables in
+        the persistent compilation cache."""
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
     bvh = build_bvh(blo, bhi, max_prims_per_leaf, split_method)
     # Conservative f32 rounding so the flattened bounds always contain the
     # f64 build bounds.
@@ -231,28 +240,56 @@ def flatten_geometry(
 
     # permute primitives into BVH leaf order so leaves are contiguous
     perm = bvh.prim_order
+
+    def pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+        if len(a) >= n:
+            return a
+        pad_shape = (n - len(a),) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+    p_bucket = _bucket(len(prim_type))
+    v_n = (cat(vert_n, np.float32, (0, 3)) if vert_n
+           else np.zeros((1, 3), np.float32))
+    v_uv = (cat(vert_uv, np.float32, (0, 2)) if vert_uv
+            else np.zeros((1, 2), np.float32))
+    v_s = (cat(vert_s, np.float32, (0, 3)) if vert_s
+           else np.zeros((1, 3), np.float32))
+    v_bucket = _bucket(len(v_n))
+    # pad quadric tables with identity entries so gathers in the
+    # (select-executed) quadric branch never index a zero-sized axis
+    q_w2o = (np.stack(quads_w2o) if quads_w2o
+             else np.eye(4, dtype=np.float32)[None])
+    q_o2w = (np.stack(quads_o2w) if quads_o2w
+             else np.eye(4, dtype=np.float32)[None])
+    q_par = (np.stack(quads_params) if quads_params
+             else np.ones((1, 8), np.float32))
+    q_bucket = _bucket(len(q_w2o), lo=8)
+    m_bucket = _bucket(bvh.n_nodes)
+    # pad BVH with unreachable leaf nodes (nothing points at them)
+    bvh.bounds_lo = pad_rows(bvh.bounds_lo, m_bucket)
+    bvh.bounds_hi = pad_rows(bvh.bounds_hi, m_bucket, -1.0)
+    bvh.right_child = pad_rows(bvh.right_child, m_bucket)
+    bvh.prim_offset = pad_rows(bvh.prim_offset, m_bucket)
+    bvh.n_prims = pad_rows(bvh.n_prims, m_bucket, 1)
+    bvh.axis = pad_rows(bvh.axis, m_bucket)
+
     geo = GeometryArrays(
         bvh=bvh,
-        prim_type=prim_type[perm],
-        material_id=mat_id[perm],
-        arealight_id=al_id[perm],
-        flags=flags[perm],
-        tri_v0=tri_v0[perm],
-        tri_v1=tri_v1[perm],
-        tri_v2=tri_v2[perm],
-        tri_vi=tri_vi[perm],
-        vert_n=cat(vert_n, np.float32, (0, 3)),
-        vert_uv=cat(vert_uv, np.float32, (0, 2)),
-        vert_s=cat(vert_s, np.float32, (0, 3)),
-        quad_id=quad_idx[perm],
-        # pad quadric tables with one identity entry so gathers in the
-        # (select-executed) quadric branch never index a zero-sized axis
-        quad_w2o=(np.stack(quads_w2o) if quads_w2o
-                  else np.eye(4, dtype=np.float32)[None]),
-        quad_o2w=(np.stack(quads_o2w) if quads_o2w
-                  else np.eye(4, dtype=np.float32)[None]),
-        quad_params=(np.stack(quads_params) if quads_params
-                     else np.ones((1, 8), np.float32)),
+        prim_type=pad_rows(prim_type[perm], p_bucket, PT_TRIANGLE),
+        material_id=pad_rows(mat_id[perm], p_bucket, -1),
+        arealight_id=pad_rows(al_id[perm], p_bucket, -1),
+        flags=pad_rows(flags[perm], p_bucket),
+        tri_v0=pad_rows(tri_v0[perm], p_bucket),
+        tri_v1=pad_rows(tri_v1[perm], p_bucket),
+        tri_v2=pad_rows(tri_v2[perm], p_bucket),
+        tri_vi=pad_rows(tri_vi[perm], p_bucket),
+        vert_n=pad_rows(v_n, v_bucket),
+        vert_uv=pad_rows(v_uv, v_bucket),
+        vert_s=pad_rows(v_s, v_bucket),
+        quad_id=pad_rows(quad_idx[perm], p_bucket, -1),
+        quad_w2o=pad_rows(q_w2o, q_bucket),
+        quad_o2w=pad_rows(q_o2w, q_bucket),
+        quad_params=pad_rows(q_par, q_bucket, 1.0),
         world_lo=(blo.min(axis=0) if len(blo) else np.zeros(3)),
         world_hi=(bhi.max(axis=0) if len(bhi) else np.zeros(3)),
     )

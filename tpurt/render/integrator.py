@@ -1,0 +1,348 @@
+"""Wavefront integrators: path, directlighting, whitted, ao.
+
+Reference analog: core/integrator.{h,cpp} (SamplerIntegrator tile loop
+:228-339, UniformSampleOneLight :85, EstimateDirect :108) and
+integrators/path.cpp:64 (Li).  The reference's per-ray recursion becomes a
+lax.scan over bounces of one batched bounce body (intersect + shade + NEE
++ BSDF sample) over SoA lane buffers — one compiled body regardless of
+max_depth, which keeps XLA compile time flat and lets the same code run
+any depth.
+
+MIS structure: pbrt's EstimateDirect draws a light sample AND a separate
+BSDF sample per bounce (tracing an extra ray toward the light).  The
+wavefront folds the BSDF-MIS term into the next bounce's emitted-light
+hit: when the continued path ray lands on an emitter, its contribution is
+weighted by PowerHeuristic(bsdf_pdf, light_pdf) — the standard wavefront
+formulation (same MIS estimator family, one intersection per bounce).
+
+Dimension schedule is static per bounce: camera dims 0-4 (pFilm, time,
+pLens — GetCameraSample order, sampler.h:58), then 7 dims per bounce
+(light-choice, uLight.xy, lobe-choice, uBSDF.xy, RR).  The RR dim is
+consumed every bounce (the reference consumes it only when rrBeta puts it
+at risk, path.cpp; unconditional consumption keeps the schedule static —
+a pure shift of low-discrepancy dims, statistically immaterial).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.render.bsdf import bsdf_f, bsdf_pdf, bsdf_sample
+from tpurt.render.interaction import (
+    SurfaceInteraction,
+    compute_interaction,
+    offset_ray_origin,
+)
+from tpurt.render.intersect import DeviceGeometry, intersect_any, intersect_closest
+from tpurt.render.lights import (
+    LIGHT_INFINITE,
+    LightTable,
+    choose_light,
+    pdf_li_from_hit,
+    sample_li,
+)
+from tpurt.render.materials_build import fetch_lobes
+from tpurt.render.sampling_warps import (
+    build_onb,
+    cosine_sample_hemisphere,
+    dot,
+    power_heuristic,
+    to_local,
+    to_world,
+)
+
+INF = jnp.float32(np.inf)
+SHADOW_EPS = 1e-4  # pbrt ShadowEpsilon (pbrt.h:195)
+DIMS_PER_BOUNCE = 7
+CAMERA_DIMS = 5
+
+
+class IntegratorConfig(NamedTuple):
+    name: str = "path"
+    max_depth: int = 5
+    rr_threshold: float = 1.0
+    light_strategy: str = "spatial"  # spatial|power|uniform (spatial->power)
+    ao_samples: int = 64
+    ao_cos_sample: bool = True
+    direct_strategy: str = "all"  # directlighting: all|one
+    capture_features: bool = False  # RPF per-sample feature capture
+
+
+class SceneData(NamedTuple):
+    geo: DeviceGeometry
+    lights: LightTable
+    mt_table: jnp.ndarray
+    mt_k3: jnp.ndarray
+    mt_kinds: jnp.ndarray
+
+
+def _emitted(scene: SceneData, si: SurfaceInteraction):
+    """Area-light radiance toward wo at a hit (DiffuseAreaLight::L,
+    diffuse.h:58: twoSided || dot(n, w) > 0)."""
+    lrow = jnp.where(si.valid,
+                     scene.lights.prim_to_light[jnp.maximum(si.prim, 0)], -1)
+    has = lrow >= 0
+    lrow_c = jnp.maximum(lrow, 0)
+    L = scene.lights.L[lrow_c]
+    two_sided = scene.lights.params[lrow_c, 3] > 0
+    emits = has & (two_sided | (dot(si.ng, si.wo) > 0))
+    return jnp.where(emits[:, None], L, 0.0), lrow
+
+
+def _infinite_L(lights: LightTable):
+    inf_mask = lights.kind == LIGHT_INFINITE
+    return jnp.sum(jnp.where(inf_mask[:, None], lights.L, 0.0), axis=0), inf_mask
+
+
+def _choice_pmf_at(scene: SceneData, lrow_c, strategy: str, n: int):
+    if strategy in ("power", "spatial"):
+        return scene.lights.power_pmf[lrow_c]
+    return jnp.full((n,), 1.0 / scene.lights.n_lights, jnp.float32)
+
+
+def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
+         strategy: str, alive):
+    """Next-event estimation: one light sample with MIS weighting
+    (UniformSampleOneLight + the light half of EstimateDirect)."""
+    lt = scene.lights
+    lidx, pmf = choose_light(lt, u_choice,
+                             "power" if strategy in ("power", "spatial")
+                             else "uniform")
+    ls = sample_li(lt, lidx, si.p, u_light)
+
+    t, b = build_onb(si.ns)
+    wo_l = to_local(t, b, si.ns, si.wo)
+    wi_l = to_local(t, b, si.ns, ls.wi)
+    f = bsdf_f(lobes, wo_l, wi_l) * jnp.abs(dot(ls.wi, si.ns))[:, None]
+    scatter_pdf = bsdf_pdf(lobes, wo_l, wi_l)
+
+    usable = (alive & si.valid & (ls.pdf > 0)
+              & jnp.any(ls.li > 0, axis=-1) & jnp.any(f > 0, axis=-1))
+
+    # shadow ray: offset endpoints, shortened by ShadowEpsilon
+    o_sh = offset_ray_origin(si.p, si.ng, ls.wi)
+    dist = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
+    t_max = jnp.where(usable, dist * (1.0 - SHADOW_EPS) - 2e-3
+                      * jnp.maximum(1.0, jnp.max(jnp.abs(ls.p_light), axis=-1)),
+                      0.0)
+    occluded = intersect_any(scene.geo, o_sh, ls.wi, jnp.maximum(t_max, 0.0))
+
+    w = jnp.where(ls.is_delta, 1.0,
+                  power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
+    contrib = f * ls.li * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
+    return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
+
+
+def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
+    fx, fy = sampler.film_offset(px, py, sidx)
+    p_film = jnp.stack([px.astype(jnp.float32) + fx,
+                        py.astype(jnp.float32) + fy], axis=-1)
+    _time = sampler.dim(px, py, sidx, 2)  # consumed; animation later round
+    p_lens = jnp.stack([sampler.dim(px, py, sidx, 3),
+                        sampler.dim(px, py, sidx, 4)], axis=-1)
+    o, d, ray_w = camera.generate_rays(p_film, p_lens)
+    p_film_crop = p_film - jnp.asarray(crop_xy, jnp.float32)
+    return p_film, p_film_crop, p_lens, o, d, ray_w
+
+
+def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
+                  cfg: IntegratorConfig, crop_xy=(0, 0),
+                  texture_eval=None, specular_only: bool = False
+                  ) -> Dict[str, Any]:
+    """Trace one wavefront of camera samples.  With specular_only=True this
+    is the directlighting/whitted integrator (NEE + specular continuation);
+    otherwise the full path integrator.
+
+    px, py: (N,) global pixel coords; sidx: (N,) sample numbers.
+    """
+    n = px.shape[0]
+    p_film, p_film_crop, p_lens, o, d, ray_w = _camera_setup(
+        sampler, camera, px, py, sidx, crop_xy)
+
+    inf_L, _ = _infinite_L(scene.lights)
+    has_inf = scene.lights.has_infinite
+    uniform_strategy = cfg.light_strategy not in ("power", "spatial")
+
+    z3 = jnp.zeros((n, 3), jnp.float32)
+
+    def bounce_body(carry, bounce):
+        (o, d, beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
+         n0, p0, n1, p1) = carry
+
+        t_max = jnp.where(alive, INF, 0.0)
+        hit = intersect_closest(scene.geo, o, d, t_max)
+        si = compute_interaction(scene.geo, hit, o, d)
+
+        if cfg.capture_features:
+            # RPF captures the GEOMETRIC normal + hit point at bounces 0/1,
+            # after the escape check (rpf.cpp:851-857 uses isect.n/isect.p)
+            m0 = ((bounce == 0) & alive & si.valid)[:, None]
+            m1 = ((bounce == 1) & alive & si.valid)[:, None]
+            n0 = jnp.where(m0, si.ng, n0)
+            p0 = jnp.where(m0, si.p, p0)
+            n1 = jnp.where(m1, si.ng, n1)
+            p1 = jnp.where(m1, si.p, p1)
+
+        # ---- emitted light ----
+        Le, lrow = _emitted(scene, si)
+        lrow_c = jnp.maximum(lrow, 0)
+        light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p, si.ng)
+        pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n)
+        w_mis = power_heuristic(1.0, prev_pdf, 1.0, light_pdf * pmf)
+        w_emit = jnp.where((bounce == 0) | specular, 1.0, w_mis)
+        L = L + jnp.where((alive & si.valid)[:, None],
+                          beta * Le * w_emit[:, None], 0.0)
+
+        # escaped rays -> infinite lights
+        if has_inf:
+            if uniform_strategy:
+                pmf_inf = 1.0 / scene.lights.n_lights
+            else:
+                inf_mask = scene.lights.kind == LIGHT_INFINITE
+                pmf_inf = jnp.sum(jnp.where(inf_mask, scene.lights.power_pmf, 0.0))
+            w_mis_inf = power_heuristic(
+                1.0, prev_pdf, 1.0,
+                jnp.full((n,), 1.0 / (4 * np.pi), jnp.float32) * pmf_inf)
+            w_inf = jnp.where((bounce == 0) | specular, 1.0, w_mis_inf)
+            L = L + jnp.where((alive & ~si.valid)[:, None],
+                              beta * inf_L[None, :] * w_inf[:, None], 0.0)
+
+        alive = alive & si.valid & (bounce < cfg.max_depth)
+
+        overrides = texture_eval(si) if texture_eval is not None else None
+        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
+                            si.material_id, overrides)
+        alive = alive & jnp.any(lobes.active, axis=-1)
+
+        # ---- NEE ----
+        d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE
+        u_choice = sampler.dim_dyn(px, py, sidx, d0)
+        u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1),
+                             sampler.dim_dyn(px, py, sidx, d0 + 2)], axis=-1)
+        has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
+        Ld = _nee(scene, si, lobes, u_choice, u_light, cfg.light_strategy,
+                  alive & has_smooth)
+        L = L + beta * Ld
+
+        # ---- BSDF sampling ----
+        u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 3)
+        u1 = sampler.dim_dyn(px, py, sidx, d0 + 4)
+        u2 = sampler.dim_dyn(px, py, sidx, d0 + 5)
+        t, b = build_onb(si.ns)
+        wo_l = to_local(t, b, si.ns, si.wo)
+        wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
+        wi = to_world(t, b, si.ns, wi_l)
+
+        ok = alive & (pdf > 0) & jnp.any(f > 0, axis=-1)
+        if specular_only:
+            ok = ok & is_spec
+        beta = jnp.where(ok[:, None],
+                         beta * f * (jnp.abs(dot(wi, si.ns))
+                                     / jnp.maximum(pdf, 1e-20))[:, None], beta)
+        # refraction radiance scaling bookkeeping (path.cpp etaScale)
+        eta2 = jnp.where(dot(si.wo, si.ng) > 0, lobes.eta * lobes.eta,
+                         1.0 / jnp.maximum(lobes.eta * lobes.eta, 1e-9))
+        eta_scale = jnp.where(ok & is_spec & is_trans, eta_scale * eta2,
+                              eta_scale)
+        alive = ok
+        specular = is_spec
+        prev_pdf = jnp.maximum(pdf, 1e-20)
+        prev_p = si.p
+        o = offset_ray_origin(si.p, si.ng, wi)
+        d = wi
+
+        # ---- Russian roulette (path.cpp: bounces > 3) ----
+        u_rr = sampler.dim_dyn(px, py, sidx, d0 + 6)
+        rr_beta = jnp.max(beta, axis=-1) * eta_scale
+        q = jnp.maximum(0.05, 1.0 - rr_beta)
+        do_rr = (rr_beta < cfg.rr_threshold) & (bounce > 3) & alive
+        killed = do_rr & (u_rr < q)
+        alive = alive & ~killed
+        beta = jnp.where((do_rr & ~killed)[:, None],
+                         beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+
+        return (o, d, beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
+                n0, p0, n1, p1), None
+
+    # all carries derived from lane data so they carry the same varying-axes
+    # type as the body's outputs under shard_map
+    v0 = px.astype(jnp.float32) * 0.0  # (n,) varying zero
+    v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
+    init = (o, d, v03 + 1.0, v03,
+            px == px, px != px,
+            v0 + 1.0, o, v0 + 1.0,
+            v03, v03, v03, v03)
+    carry, _ = jax.lax.scan(bounce_body, init,
+                            jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
+    L = carry[3]
+    out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}
+    if cfg.capture_features:
+        out["features"] = {"n0": carry[9], "p0": carry[10],
+                           "n1": carry[11], "p1": carry[12]}
+        out["p_lens"] = p_lens
+    return out
+
+
+def direct_radiance(scene, sampler, camera, px, py, sidx, cfg,
+                    crop_xy=(0, 0), texture_eval=None):
+    """DirectLightingIntegrator analog (directlighting.cpp): emitted + NEE,
+    specular-only continuation up to max_depth."""
+    return path_radiance(scene, sampler, camera, px, py, sidx, cfg,
+                         crop_xy, texture_eval, specular_only=True)
+
+
+def whitted_radiance(scene, sampler, camera, px, py, sidx, cfg,
+                     crop_xy=(0, 0), texture_eval=None):
+    """WhittedIntegrator analog (integrators/whitted.cpp)."""
+    return path_radiance(scene, sampler, camera, px, py, sidx, cfg,
+                         crop_xy, texture_eval, specular_only=True)
+
+
+def ao_radiance(scene: SceneData, sampler, camera, px, py, sidx,
+                cfg: IntegratorConfig, crop_xy=(0, 0), texture_eval=None):
+    """AOIntegrator analog (integrators/ao.cpp): cosine-weighted visibility."""
+    n = px.shape[0]
+    p_film, p_film_crop, p_lens, o, d, ray_w = _camera_setup(
+        sampler, camera, px, py, sidx, crop_xy)
+    hit = intersect_closest(scene.geo, o, d, INF)
+    si = compute_interaction(scene.geo, hit, o, d)
+    # flip normal to the ray side (ao.cpp Faceforward(n, -ray.d))
+    ns = jnp.where(dot(si.ns, si.wo)[:, None] < 0, -si.ns, si.ns)
+    t, b = build_onb(ns)
+
+    def ao_body(acc, k):
+        u1 = sampler.dim_dyn(px, py, sidx, 5 + 2 * k)
+        u2 = sampler.dim_dyn(px, py, sidx, 6 + 2 * k)
+        if cfg.ao_cos_sample:
+            w_l = cosine_sample_hemisphere(u1, u2)
+            weight = jnp.ones((n,), jnp.float32)
+        else:
+            z = u1
+            r = jnp.sqrt(jnp.maximum(0.0, 1 - z * z))
+            phi = 2 * np.pi * u2
+            w_l = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+            weight = 2.0 * w_l[:, 2]
+        w = to_world(t, b, ns, w_l)
+        o_sh = offset_ray_origin(si.p, si.ng, w)
+        occ = intersect_any(scene.geo, o_sh, w,
+                            jnp.full((n,), 1e8, jnp.float32))
+        return acc + jnp.where(si.valid & ~occ, weight, 0.0), None
+
+    acc, _ = jax.lax.scan(ao_body, px.astype(jnp.float32) * 0.0,
+                          jnp.arange(cfg.ao_samples, dtype=jnp.int32))
+    L = jnp.repeat((acc / cfg.ao_samples)[:, None], 3, axis=-1)
+    return {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}
+
+
+RADIANCE_FNS = {
+    "path": path_radiance,
+    "volpath": path_radiance,  # media support later; surface paths identical
+    "rpf": path_radiance,  # rpf = path + sample capture + filter pass
+    "directlighting": direct_radiance,
+    "whitted": whitted_radiance,
+    "ao": ao_radiance,
+}

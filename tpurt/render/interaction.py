@@ -1,0 +1,179 @@
+"""Surface interactions: hit records -> shading-ready SoA buffers.
+
+Reference analog: core/interaction.{h,cpp} (SurfaceInteraction :117,
+shading frame setup, SpawnRay offset) and the per-shape uv/dpdu math in
+shapes/triangle.cpp:355-470 and shapes/sphere.cpp.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.render.geometry_build import (
+    FLAG_HAS_NORMALS,
+    FLAG_HAS_UV,
+    FLAG_REVERSE_ORIENTATION,
+    FLAG_XFORM_SWAPS_HANDEDNESS,
+    PT_TRIANGLE,
+)
+from tpurt.render.intersect import DeviceGeometry, Hit
+from tpurt.render.sampling_warps import dot, face_forward, normalize
+
+F32_EPS = np.float32(1e-12)
+
+
+class SurfaceInteraction(NamedTuple):
+    """(N,) SoA surface interaction."""
+
+    p: jnp.ndarray  # (N,3) hit point
+    ng: jnp.ndarray  # (N,3) geometric normal (oriented per pbrt rules)
+    ns: jnp.ndarray  # (N,3) shading normal
+    uv: jnp.ndarray  # (N,2)
+    wo: jnp.ndarray  # (N,3)
+    material_id: jnp.ndarray  # (N,) i32
+    arealight_id: jnp.ndarray  # (N,) i32
+    prim: jnp.ndarray  # (N,) i32
+    valid: jnp.ndarray  # (N,) bool
+
+
+def _gather3(arr, idx):
+    return arr[idx]
+
+
+def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d) -> SurfaceInteraction:
+    """Build shading data for each lane from its Hit.  Invalid lanes get
+    benign values (ns=+z) and valid=False."""
+    n = hit.t.shape[0]
+    prim = jnp.maximum(hit.prim, 0)
+    valid = hit.prim >= 0
+    t = jnp.where(valid, hit.t, 1.0)
+    p_ray = o + t[:, None] * d
+
+    flags = geo.flags[prim]
+    ptype = geo.prim_type[prim]
+    is_tri = ptype == PT_TRIANGLE
+
+    # --- triangle attributes ---
+    v0 = geo.tri_v0[prim]
+    v1 = geo.tri_v1[prim]
+    v2 = geo.tri_v2[prim]
+    b0 = hit.b0
+    b1 = hit.b1
+    b2 = 1.0 - b0 - b1
+    p_tri = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
+    # geometric normal from the winding (triangle.cpp: dp02 x dp12)
+    ng_tri = normalize(jnp.cross(v0 - v2, v1 - v2))
+    vi = geo.tri_vi[prim]
+    has_n = (flags & FLAG_HAS_NORMALS) != 0
+    n0 = geo.vert_n[vi[:, 0]]
+    n1 = geo.vert_n[vi[:, 1]]
+    n2 = geo.vert_n[vi[:, 2]]
+    ns_interp = b0[:, None] * n0 + b1[:, None] * n1 + b2[:, None] * n2
+    ns_len = jnp.linalg.norm(ns_interp, axis=-1, keepdims=True)
+    ns_ok = has_n & (ns_len[:, 0] > F32_EPS)
+    ns_tri = jnp.where(ns_ok[:, None], ns_interp / jnp.maximum(ns_len, F32_EPS),
+                       ng_tri)
+    # orient ng toward ns when shading normals exist (triangle.cpp:438)
+    ng_tri = jnp.where(ns_ok[:, None], face_forward(ng_tri, ns_tri), ng_tri)
+    has_uv = (flags & FLAG_HAS_UV) != 0
+    uv0 = geo.vert_uv[vi[:, 0]]
+    uv1 = geo.vert_uv[vi[:, 1]]
+    uv2 = geo.vert_uv[vi[:, 2]]
+    # default uvs (0,0),(1,0),(1,1) (triangle.cpp GetUVs)
+    duv0 = jnp.asarray([0.0, 0.0], jnp.float32)
+    duv1 = jnp.asarray([1.0, 0.0], jnp.float32)
+    duv2 = jnp.asarray([1.0, 1.0], jnp.float32)
+    uv_tri = jnp.where(
+        has_uv[:, None],
+        b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2,
+        b0[:, None] * duv0 + b1[:, None] * duv1 + b2[:, None] * duv2,
+    )
+
+    # --- quadric attributes (normal from object-space gradient) ---
+    qi = jnp.maximum(geo.quad_id[prim], 0)
+    w2o = geo.quad_w2o[qi]
+    o2w = geo.quad_o2w[qi]
+    params = geo.quad_params[qi]
+
+    def xp(m, pnt):
+        x, y, z = pnt[:, 0], pnt[:, 1], pnt[:, 2]
+        return jnp.stack([
+            m[:, 0, 0] * x + m[:, 0, 1] * y + m[:, 0, 2] * z + m[:, 0, 3],
+            m[:, 1, 0] * x + m[:, 1, 1] * y + m[:, 1, 2] * z + m[:, 1, 3],
+            m[:, 2, 0] * x + m[:, 2, 1] * y + m[:, 2, 2] * z + m[:, 2, 3],
+        ], axis=-1)
+
+    def xn(m_inv, nrm):
+        # normals transform by the inverse transpose: n' = n @ m_inv
+        x, y, z = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+        return jnp.stack([
+            m_inv[:, 0, 0] * x + m_inv[:, 1, 0] * y + m_inv[:, 2, 0] * z,
+            m_inv[:, 0, 1] * x + m_inv[:, 1, 1] * y + m_inv[:, 2, 1] * z,
+            m_inv[:, 0, 2] * x + m_inv[:, 1, 2] * y + m_inv[:, 2, 2] * z,
+        ], axis=-1)
+
+    p_obj = xp(w2o, p_ray)
+    # object-space gradients per quadric type
+    radius = params[:, 0]
+    zmin, zmax = params[:, 1], params[:, 2]
+    grad_sphere = p_obj
+    grad_cyl = jnp.stack([p_obj[:, 0], p_obj[:, 1],
+                          jnp.zeros_like(radius)], axis=-1)
+    grad_disk = jnp.stack([jnp.zeros_like(radius), jnp.zeros_like(radius),
+                           jnp.ones_like(radius)], axis=-1)
+    h = jnp.maximum(zmax, F32_EPS)
+    k_cone = (radius / h) ** 2
+    grad_cone = jnp.stack([p_obj[:, 0], p_obj[:, 1],
+                           k_cone * (h - p_obj[:, 2])], axis=-1)
+    k_par = zmax / jnp.maximum(radius * radius, F32_EPS)
+    grad_par = jnp.stack([2 * k_par * p_obj[:, 0], 2 * k_par * p_obj[:, 1],
+                          -jnp.ones_like(radius)], axis=-1)
+    ptype_q = ptype - 1  # 0 sphere, 1 cyl, 2 disk, 3 cone, 4 paraboloid
+    grad = jnp.where((ptype_q == 0)[:, None], grad_sphere,
+           jnp.where((ptype_q == 1)[:, None], grad_cyl,
+           jnp.where((ptype_q == 2)[:, None], grad_disk,
+           jnp.where((ptype_q == 3)[:, None], grad_cone, grad_par))))
+    ng_quad = normalize(xn(w2o, grad))
+    uv_quad = jnp.stack([hit.b0, hit.b1], axis=-1)
+
+    p = jnp.where(is_tri[:, None], p_tri, p_ray)
+    ng = jnp.where(is_tri[:, None], ng_tri, ng_quad)
+    ns = jnp.where(is_tri[:, None], ns_tri, ng_quad)
+    uv = jnp.where(is_tri[:, None], uv_tri, uv_quad)
+
+    # reverse orientation ^ transform swaps handedness flips both normals
+    # (shape.h:97, interaction.cpp SurfaceInteraction ctor)
+    ro = (flags & FLAG_REVERSE_ORIENTATION) != 0
+    sh = (flags & FLAG_XFORM_SWAPS_HANDEDNESS) != 0
+    flip = ro ^ sh
+    ng = jnp.where(flip[:, None], -ng, ng)
+    ns = jnp.where(flip[:, None], -ns, ns)
+
+    wo = normalize(-d)
+    safe = valid[:, None]
+    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), ng.shape)
+    return SurfaceInteraction(
+        p=jnp.where(safe, p, 0.0),
+        ng=jnp.where(safe, ng, up),
+        ns=jnp.where(safe, ns, up),
+        uv=jnp.where(safe, uv, 0.0),
+        wo=wo,
+        material_id=jnp.where(valid, geo.material_id[prim], -1),
+        arealight_id=jnp.where(valid, geo.arealight_id[prim], -1),
+        prim=hit.prim,
+        valid=valid,
+    )
+
+
+def offset_ray_origin(p, ng, w):
+    """Offset a spawned ray's origin along the geometric normal to escape
+    self-intersection.  The reference computes exact error bounds
+    (interaction.h:51 OffsetRayOrigin + EFloat); in f32 we use a
+    magnitude-relative epsilon, validated by the reintersection tests."""
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(p), axis=-1))
+    eps = (2e-4 * scale)[:, None]
+    sign = jnp.where(dot(ng, w)[:, None] >= 0, 1.0, -1.0)
+    return p + sign * eps * ng

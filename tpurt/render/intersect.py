@@ -373,10 +373,14 @@ def _traverse_one(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
     inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
     dir_neg = inv_d < 0
 
-    stack = jnp.zeros(STACK_DEPTH, dtype=jnp.int32)
-    # state: stack, sp, best (t, prim, b0, b1), done
-    init = (stack, jnp.int32(1), jnp.asarray(t_max, jnp.float32),
-            jnp.int32(-1), jnp.float32(0), jnp.float32(0))
+    # carries derived from ray data so their varying-axes types match the
+    # loop body under shard_map (plain constants would be unvarying)
+    vz_f = jnp.asarray(t_max, jnp.float32) * 0.0
+    vz_i = vz_f.astype(jnp.int32)
+    stack = jnp.zeros(STACK_DEPTH, dtype=jnp.int32) + vz_i
+    # state: stack, sp, best (t, prim, b0, b1)
+    init = (stack, jnp.int32(1) + vz_i, jnp.asarray(t_max, jnp.float32),
+            jnp.int32(-1) + vz_i, vz_f, vz_f)
 
     def cond(state):
         _, sp, _, prim, _, _ = state

@@ -1,0 +1,405 @@
+"""Lights: SoA light table + batched Sample_Li / Pdf_Li / Le.
+
+Reference analog: core/light.h (Light, Sample_Li + VisibilityTester
+:68-104), src/lights/* (point/spot/distant/diffuse-area/infinite), and the
+shape solid-angle sampling in shapes/sphere.cpp Sample / triangle.cpp
+Sample.  Like the reference (api.cpp:1330-1400), every emissive primitive
+becomes its OWN area light (one DiffuseAreaLight per triangle/sphere).
+
+All sampling is masked-select over light types — no virtual dispatch.
+The infinite light currently supports constant radiance (environment-map
+importance sampling is a follow-up; records keep the mapname).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.geom.transform import Transform
+from tpurt.render.geometry_build import GeometryArrays, PT_SPHERE, PT_TRIANGLE
+from tpurt.render.sampling_warps import (
+    build_onb,
+    dot,
+    normalize,
+    to_world,
+    uniform_cone_pdf,
+    uniform_sample_cone,
+    uniform_sample_sphere,
+    uniform_sample_triangle,
+)
+from tpurt.scene.records import LightRecord, PrimitiveRecord
+
+log = logging.getLogger("tpurt.render")
+
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_DISTANT = 2
+LIGHT_AREA_TRI = 3
+LIGHT_AREA_SPHERE = 4
+LIGHT_INFINITE = 5
+LIGHT_PROJECTION = 6
+LIGHT_GONIO = 7
+
+DELTA_LIGHTS = (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT,
+                LIGHT_PROJECTION, LIGHT_GONIO)
+
+
+class LightTable(NamedTuple):
+    """Pytree of light arrays.  (L,) rows; one per light."""
+
+    kind: jnp.ndarray  # (L,) i32
+    L: jnp.ndarray  # (L,3) radiance / intensity (scaled)
+    p0: jnp.ndarray  # (L,3) position (point/spot) / direction (distant)
+    p1: jnp.ndarray  # (L,3) spot axis (normalized)
+    params: jnp.ndarray  # (L,4): [cosTotal, cosFalloff, radius, two_sided]
+    # area-light geometry (world space)
+    tri_v0: jnp.ndarray  # (L,3)
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    prim: jnp.ndarray  # (L,) i32 owning primitive (-1 for non-area)
+    prim_to_light: jnp.ndarray  # (P,) i32: light row per primitive (-1)
+    power_pmf: jnp.ndarray  # (L,) light-choice pmf (power heuristic strategy)
+    power_cdf: jnp.ndarray  # (L,)
+    world_radius: jnp.ndarray  # scalar
+    n_lights: int
+    has_infinite: bool
+
+    @property
+    def num(self):
+        return self.n_lights
+
+
+from tpurt.pytrees import register_static_pytree  # noqa: E402
+
+register_static_pytree(LightTable, [
+    "kind", "L", "p0", "p1", "params", "tri_v0", "tri_v1", "tri_v2",
+    "prim", "prim_to_light", "power_pmf", "power_cdf", "world_radius",
+])
+
+
+def build_light_table(
+    scene_lights: List[LightRecord],
+    geo: GeometryArrays,
+    area_records: List,  # indexed by arealight_id: (L(3,), scale(3,), two_sided)
+) -> LightTable:
+    """Assemble the light table: explicit LightSource records + one area
+    light per emissive primitive."""
+    kinds, Ls, p0s, p1s, params, tv0, tv1, tv2, prim_ids = ([] for _ in range(9))
+
+    world_lo, world_hi = geo.world_lo, geo.world_hi
+    center = 0.5 * (world_lo + world_hi)
+    world_radius = float(np.linalg.norm(world_hi - center)) or 1.0
+
+    def add(kind, L, p0=(0, 0, 0), p1=(0, 0, 1), par=(0, 0, 0, 0),
+            v0=(0, 0, 0), v1=(0, 0, 0), v2=(0, 0, 0), prim=-1):
+        kinds.append(kind)
+        Ls.append(np.asarray(L, np.float64) * np.ones(3))
+        p0s.append(np.asarray(p0, np.float64))
+        p1s.append(np.asarray(p1, np.float64))
+        params.append(np.asarray(par, np.float64))
+        tv0.append(np.asarray(v0, np.float64))
+        tv1.append(np.asarray(v1, np.float64))
+        tv2.append(np.asarray(v2, np.float64))
+        prim_ids.append(prim)
+
+    prim_to_light = np.full(geo.n_prims, -1, np.int32)
+
+    has_infinite = False
+    for lr in scene_lights:
+        ps = lr.params
+        l2w = lr.light_to_world
+        scale = ps.find_one_spectrum("scale", 1.0)
+        if lr.kind == "point":
+            I = ps.find_one_spectrum("I", 1.0) * scale
+            frm = l2w.apply_point(ps.find_one_point3("from", [0, 0, 0]))
+            add(LIGHT_POINT, I, p0=frm)
+        elif lr.kind == "spot":
+            I = ps.find_one_spectrum("I", 1.0) * scale
+            cone = ps.find_one_float("coneangle", 30.0)
+            delta = ps.find_one_float("conedeltaangle", 5.0)
+            frm = ps.find_one_point3("from", [0, 0, 0])
+            to = ps.find_one_point3("to", [0, 0, 1])
+            wfrm = l2w.apply_point(frm)
+            wto = l2w.apply_point(to)
+            axis = wto - wfrm
+            axis = axis / np.linalg.norm(axis)
+            add(LIGHT_SPOT, I, p0=wfrm, p1=axis,
+                par=(np.cos(np.deg2rad(cone)),
+                     np.cos(np.deg2rad(cone - delta)), 0, 0))
+        elif lr.kind == "distant":
+            L = ps.find_one_spectrum("L", 1.0) * scale
+            frm = l2w.apply_point(ps.find_one_point3("from", [0, 0, 0]))
+            to = l2w.apply_point(ps.find_one_point3("to", [0, 0, 1]))
+            w = frm - to
+            w = w / np.linalg.norm(w)
+            add(LIGHT_DISTANT, L, p0=w)
+        elif lr.kind in ("infinite", "exinfinite"):
+            L = ps.find_one_spectrum("L", 1.0) * scale
+            mapname = ps.find_one_filename("mapname", "")
+            if mapname:
+                try:
+                    from tpurt.io.image import read_image
+
+                    img = read_image(mapname)
+                    L = L * img.reshape(-1, 3).mean(axis=0)
+                    log.warning(
+                        "infinite light: environment map %s reduced to its "
+                        "mean radiance (importance-sampled envmaps: later "
+                        "round)", mapname)
+                except (OSError, ValueError) as e:
+                    log.error("infinite light map %s unreadable: %s", mapname, e)
+            add(LIGHT_INFINITE, L)
+            has_infinite = True
+        elif lr.kind in ("projection", "goniometric"):
+            I = ps.find_one_spectrum("I", 1.0) * scale
+            frm = l2w.apply_point([0, 0, 0])
+            log.warning('light "%s" approximated as a point light (native '
+                        'support: later round)', lr.kind)
+            add(LIGHT_POINT, I, p0=frm)
+        else:
+            log.warning('light "%s" unknown', lr.kind)
+
+    # area lights: one per emissive flattened primitive (BVH order)
+    n_area = 0
+    for row in range(geo.n_prims):
+        al = geo.arealight_id[row]
+        if al < 0:
+            continue
+        L = np.asarray(area_records[al][0]) * np.asarray(area_records[al][1])
+        two_sided = float(area_records[al][2])
+        if geo.prim_type[row] == PT_TRIANGLE:
+            add(LIGHT_AREA_TRI, L,
+                v0=geo.tri_v0[row], v1=geo.tri_v1[row], v2=geo.tri_v2[row],
+                par=(0, 0, 0, two_sided), prim=row)
+        elif geo.prim_type[row] == PT_SPHERE:
+            qi = geo.quad_id[row]
+            c = geo.quad_o2w[qi][:3, 3]
+            r = geo.quad_params[qi][0]
+            add(LIGHT_AREA_SPHERE, L, p0=c, par=(0, 0, r, two_sided), prim=row)
+        else:
+            log.warning("area light on unsupported shape type %d",
+                        int(geo.prim_type[row]))
+            continue
+        prim_to_light[row] = len(kinds) - 1
+        n_area += 1
+
+    n = len(kinds)
+    if n == 0:
+        log.warning("no lights in scene")
+        add(LIGHT_POINT, [0.0, 0.0, 0.0])
+        n = 1
+
+    kind_a = np.asarray(kinds, np.int32)
+    L_a = np.stack(Ls).astype(np.float32)
+    # power pmf (lightdistrib "power"): ~ luminance * area factor
+    power = L_a.mean(axis=-1).astype(np.float64).copy()
+    for i in range(n):
+        if kind_a[i] == LIGHT_AREA_TRI:
+            e1 = tv1[i] - tv0[i]
+            e2 = tv2[i] - tv0[i]
+            power[i] *= 0.5 * np.linalg.norm(np.cross(e1, e2)) * np.pi
+        elif kind_a[i] == LIGHT_AREA_SPHERE:
+            power[i] *= 4 * np.pi * params[i][2] ** 2 * np.pi
+        elif kind_a[i] == LIGHT_INFINITE:
+            power[i] *= np.pi * world_radius ** 2
+    total = power.sum()
+    pmf = (power / total) if total > 0 else np.full(n, 1.0 / n)
+
+    return LightTable(
+        kind=jnp.asarray(kind_a),
+        L=jnp.asarray(L_a),
+        p0=jnp.asarray(np.stack(p0s).astype(np.float32)),
+        p1=jnp.asarray(np.stack(p1s).astype(np.float32)),
+        params=jnp.asarray(np.stack(params).astype(np.float32)),
+        tri_v0=jnp.asarray(np.stack(tv0).astype(np.float32)),
+        tri_v1=jnp.asarray(np.stack(tv1).astype(np.float32)),
+        tri_v2=jnp.asarray(np.stack(tv2).astype(np.float32)),
+        prim=jnp.asarray(np.asarray(prim_ids, np.int32)),
+        prim_to_light=jnp.asarray(prim_to_light),
+        power_pmf=jnp.asarray(pmf.astype(np.float32)),
+        power_cdf=jnp.asarray(np.cumsum(pmf).astype(np.float32)),
+        world_radius=jnp.float32(world_radius),
+        n_lights=n,
+        has_infinite=has_infinite,
+    )
+
+
+class LightSample(NamedTuple):
+    wi: jnp.ndarray  # (N,3)
+    li: jnp.ndarray  # (N,3) incident radiance (no visibility)
+    pdf: jnp.ndarray  # (N,) solid-angle pdf (w.r.t. the chosen light)
+    p_light: jnp.ndarray  # (N,3) point on light (for shadow ray)
+    light_idx: jnp.ndarray  # (N,) i32
+    choice_pmf: jnp.ndarray  # (N,) pmf of having chosen this light
+    is_delta: jnp.ndarray  # (N,) bool
+
+
+def choose_light(lt: LightTable, u: jnp.ndarray, strategy: str = "uniform"):
+    """Light selection (lightdistrib.h strategies; 'spatial' currently maps
+    to 'power' — the voxel-grid cache is a later-round item)."""
+    if strategy == "uniform" or lt.n_lights == 1:
+        idx = jnp.minimum((u * lt.n_lights).astype(jnp.int32), lt.n_lights - 1)
+        pmf = jnp.full(u.shape, 1.0 / lt.n_lights, jnp.float32)
+        return idx, pmf
+    # power / spatial: CDF inversion
+    idx = jnp.searchsorted(lt.power_cdf, u, side="right").astype(jnp.int32)
+    idx = jnp.minimum(idx, lt.n_lights - 1)
+    return idx, lt.power_pmf[idx]
+
+
+def sample_li(lt: LightTable, idx: jnp.ndarray, ref_p: jnp.ndarray,
+              u2: jnp.ndarray) -> LightSample:
+    """Batched Sample_Li for the chosen lights (masked over types)."""
+    kind = lt.kind[idx]
+    L = lt.L[idx]
+    p0 = lt.p0[idx]
+    p1 = lt.p1[idx]
+    par = lt.params[idx]
+    u, v = u2[:, 0], u2[:, 1]
+    wr = lt.world_radius
+
+    # --- point / spot ---
+    to_l = p0 - ref_p
+    dist2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-12)
+    wi_point = to_l / jnp.sqrt(dist2)[:, None]
+    li_point = L / dist2[:, None]
+    # spot falloff (spot.cpp Falloff)
+    cos_t = dot(-wi_point, p1)
+    cos_total, cos_fall = par[:, 0], par[:, 1]
+    delta = jnp.clip((cos_t - cos_total)
+                     / jnp.maximum(cos_fall - cos_total, 1e-6), 0.0, 1.0)
+    falloff = jnp.where(cos_t < cos_total, 0.0,
+                        jnp.where(cos_t > cos_fall, 1.0, (delta ** 2) ** 2))
+    li_spot = li_point * falloff[:, None]
+
+    # --- distant ---
+    wi_dist = p0
+    p_dist = ref_p + wi_dist * (2.0 * wr)
+
+    # --- area triangle (uniform by area; triangle.cpp Sample) ---
+    b0, b1 = uniform_sample_triangle(u, v)
+    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    p_tri = b0[:, None] * tv0 + b1[:, None] * tv1 + (1 - b0 - b1)[:, None] * tv2
+    n_tri = jnp.cross(tv1 - tv0, tv2 - tv0)
+    area_tri = 0.5 * jnp.linalg.norm(n_tri, axis=-1)
+    n_tri = normalize(n_tri)
+    to_tri = p_tri - ref_p
+    d2_tri = jnp.maximum(jnp.sum(to_tri * to_tri, axis=-1), 1e-12)
+    wi_tri = to_tri / jnp.sqrt(d2_tri)[:, None]
+    cos_l_tri = jnp.abs(dot(n_tri, -wi_tri))
+    pdf_tri = d2_tri / jnp.maximum(cos_l_tri * area_tri, 1e-12)
+    two_sided = par[:, 3] > 0
+    emits_tri = two_sided | (dot(n_tri, -wi_tri) > 0)
+    li_tri = jnp.where(emits_tri[:, None], L, 0.0)
+
+    # --- area sphere (cone sampling outside; sphere.cpp Sample(ref)) ---
+    c = p0
+    r = par[:, 2]
+    to_c = c - ref_p
+    dc2 = jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-12)
+    dc = jnp.sqrt(dc2)
+    outside = dc2 > r * r * (1.0 + 1e-4)
+    # cone frame toward the sphere center
+    wz = to_c / dc[:, None]
+    tx, ty = build_onb(wz)
+    sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    wi_cone_local = uniform_sample_cone(u, v, cos_max)
+    wi_sph = to_world(tx, ty, wz, wi_cone_local)
+    # project to the sphere surface: nearest intersection distance
+    cos_theta = wi_cone_local[:, 2]
+    ds = dc * cos_theta - jnp.sqrt(jnp.maximum(
+        r * r - dc2 * (1.0 - cos_theta * cos_theta), 0.0))
+    p_sph = ref_p + ds[:, None] * wi_sph
+    # snap to the surface
+    p_sph = c + r[:, None] * normalize(p_sph - c)
+    pdf_sph_out = uniform_cone_pdf(cos_max)
+    # inside: uniform over sphere area
+    dir_in = uniform_sample_sphere(u, v)
+    p_in = c + r[:, None] * dir_in
+    to_in = p_in - ref_p
+    d2_in = jnp.maximum(jnp.sum(to_in * to_in, axis=-1), 1e-12)
+    wi_in = to_in / jnp.sqrt(d2_in)[:, None]
+    cos_in = jnp.abs(dot(dir_in, -wi_in))
+    pdf_in = d2_in / jnp.maximum(
+        cos_in * 4 * np.pi * r * r, 1e-12)
+    wi_sphere = jnp.where(outside[:, None], wi_sph, wi_in)
+    p_sphere = jnp.where(outside[:, None], p_sph, p_in)
+    pdf_sphere = jnp.where(outside, pdf_sph_out, pdf_in)
+    n_sphere = normalize(p_sphere - c)
+    emits_sph = (par[:, 3] > 0) | (dot(n_sphere, -wi_sphere) > 0)
+    li_sphere = jnp.where(emits_sph[:, None], L, 0.0)
+
+    # --- infinite (constant radiance; uniform sphere) ---
+    wi_inf = uniform_sample_sphere(u, v)
+    p_inf = ref_p + wi_inf * (2.0 * wr)
+    pdf_inf = jnp.full(u.shape, 1.0 / (4 * np.pi), jnp.float32)
+
+    def sel(k):
+        return (kind == k)[:, None]
+
+    wi = jnp.where(sel(LIGHT_POINT) | sel(LIGHT_SPOT), wi_point,
+         jnp.where(sel(LIGHT_DISTANT), wi_dist,
+         jnp.where(sel(LIGHT_AREA_TRI), wi_tri,
+         jnp.where(sel(LIGHT_AREA_SPHERE), wi_sphere, wi_inf))))
+    li = jnp.where(sel(LIGHT_POINT), li_point,
+         jnp.where(sel(LIGHT_SPOT), li_spot,
+         jnp.where(sel(LIGHT_DISTANT), L,
+         jnp.where(sel(LIGHT_AREA_TRI), li_tri,
+         jnp.where(sel(LIGHT_AREA_SPHERE), li_sphere, L)))))
+    pdf = jnp.where(kind == LIGHT_AREA_TRI, pdf_tri,
+          jnp.where(kind == LIGHT_AREA_SPHERE, pdf_sphere,
+          jnp.where(kind == LIGHT_INFINITE, pdf_inf, 1.0)))
+    p_light = jnp.where(sel(LIGHT_POINT) | sel(LIGHT_SPOT), p0,
+              jnp.where(sel(LIGHT_DISTANT), p_dist,
+              jnp.where(sel(LIGHT_AREA_TRI), p_tri,
+              jnp.where(sel(LIGHT_AREA_SPHERE), p_sphere, p_inf))))
+    is_delta = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT) | (kind == LIGHT_DISTANT)
+
+    return LightSample(wi=wi, li=li, pdf=pdf, p_light=p_light,
+                       light_idx=idx, choice_pmf=jnp.ones_like(pdf),
+                       is_delta=is_delta)
+
+
+def pdf_li_from_hit(lt: LightTable, light_idx: jnp.ndarray,
+                    ref_p: jnp.ndarray, wi: jnp.ndarray,
+                    p_hit: jnp.ndarray, ng_hit: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf that Sample_Li would have generated wi from ref_p —
+    used for the MIS weight when a BSDF-sampled ray lands on a light
+    (DiffuseAreaLight::Pdf_Li -> shape Pdf(ref, wi))."""
+    kind = lt.kind[light_idx]
+    par = lt.params[light_idx]
+
+    to_hit = p_hit - ref_p
+    d2 = jnp.maximum(jnp.sum(to_hit * to_hit, axis=-1), 1e-12)
+    cos_l = jnp.abs(dot(ng_hit, -wi))
+
+    # triangle: area pdf -> solid angle
+    tv0 = lt.tri_v0[light_idx]
+    tv1 = lt.tri_v1[light_idx]
+    tv2 = lt.tri_v2[light_idx]
+    area_tri = 0.5 * jnp.linalg.norm(jnp.cross(tv1 - tv0, tv2 - tv0), axis=-1)
+    pdf_tri = d2 / jnp.maximum(cos_l * area_tri, 1e-12)
+
+    # sphere: cone pdf from ref (outside) or area pdf (inside)
+    c = lt.p0[light_idx]
+    r = par[:, 2]
+    to_c = c - ref_p
+    dc2 = jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-12)
+    outside = dc2 > r * r * (1.0 + 1e-4)
+    sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    pdf_cone = uniform_cone_pdf(cos_max)
+    pdf_area = d2 / jnp.maximum(cos_l * 4 * np.pi * r * r, 1e-12)
+    pdf_sph = jnp.where(outside, pdf_cone, pdf_area)
+
+    pdf_inf = jnp.full(d2.shape, 1.0 / (4 * np.pi), jnp.float32)
+
+    return jnp.where(kind == LIGHT_AREA_TRI, pdf_tri,
+           jnp.where(kind == LIGHT_AREA_SPHERE, pdf_sph,
+           jnp.where(kind == LIGHT_INFINITE, pdf_inf, 0.0)))

@@ -1,0 +1,148 @@
+"""RPF render driver: sampling pass -> feature buffers -> joint bilateral
+filter -> film splat.
+
+Reference analog: custom/rpf.cpp Render (:737-805): FillSampleFilm ->
+visualizeSF feature dumps -> ApplyRPFFilter per box size ({7}; the
+multi-scale {55,35,17,7} schedule is available via box_sizes) -> splat all
+filtered samples through the film filter -> WriteImage.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.render.driver import build_job, _chunk_lanes
+from tpurt.render.integrator import path_radiance
+from tpurt.rpf.filter import COL, SD_LEN, apply_rpf_filter
+
+log = logging.getLogger("tpurt.rpf")
+
+DEFAULT_BOX_SIZES = (7,)  # rpf.cpp:767 (multi-scale list commented out there)
+
+
+def fill_sample_buffer(job, chunk: Optional[int] = None):
+    """FillSampleFilm analog: path-trace every (pixel, sample) lane with
+    feature capture, assembling the (H, W, S, 19) sample buffer."""
+    film = job.film
+    spp = job.sampler.spp
+    h, w = film.height, film.width
+    x0, _, y0, _ = film.crop
+    cfg = job.cfg._replace(capture_features=True,
+                           light_strategy="uniform")  # rpf.cpp Li passes a
+    # null light distribution to UniformSampleOneLight -> uniform choice
+
+    if chunk is None:
+        from tpurt.config import get_config
+
+        chunk = min(get_config().wavefront_size, h * w * spp)
+        chunk = max(8, (chunk // 8) * 8)
+
+    @jax.jit
+    def trace(scene, camera, smplr, px, py, sidx):
+        out = path_radiance(scene, smplr, camera, px, py, sidx, cfg,
+                            crop_xy=(x0, y0))
+        f = out["features"]
+        # SampleData layout (sd.h:40-59)
+        return jnp.concatenate([
+            out["p_film"],  # 0:2 (crop-space raster coords)
+            out["L"],  # 2:5
+            out["p_lens"],  # 5:7
+            f["n0"], f["p0"], f["n1"], f["p1"],  # 7:19
+        ], axis=-1)
+
+    buf = np.zeros((h * w * spp, SD_LEN), np.float32)
+    done = 0
+    for px, py, sidx, mask in _chunk_lanes(film, spp, chunk):
+        rows = np.asarray(
+            trace(job.scene, job.camera, job.sampler,
+                  jnp.asarray(px), jnp.asarray(py), jnp.asarray(sidx)))
+        # lanes are pixel-major: id = pid * spp + sidx
+        ids = (py - y0).astype(np.int64) * w * spp \
+            + (px - x0).astype(np.int64) * spp + sidx
+        buf[ids[mask]] = rows[mask]
+        done += int(mask.sum())
+        log.info("sampling pass: %d/%d", done, h * w * spp)
+    return buf.reshape(h, w, spp, SD_LEN)
+
+
+def visualize_sf(buffer: np.ndarray, filename: str) -> None:
+    """visualizeSF analog (rpf.cpp:37-101): write the six averaged,
+    max-normalized feature-buffer debug EXRs."""
+    from tpurt.io.exr import write_exr_rgb
+
+    base = os.path.splitext(filename)[0]
+    mean = buffer.mean(axis=2)  # (H, W, 19)
+
+    def norm(img):
+        m = np.abs(img).max()
+        return (img / m if m > 0 else img).astype(np.float32)
+
+    def rgb2(v2):
+        return np.concatenate([v2, np.zeros_like(v2[..., :1])], axis=-1)
+
+    write_exr_rgb(base + "_I0_Normal.exr", norm(mean[..., 7:10]))
+    write_exr_rgb(base + "_I1_Normal.exr", norm(mean[..., 13:16]))
+    write_exr_rgb(base + "_I0_Position.exr", norm(mean[..., 10:13]))
+    write_exr_rgb(base + "_I1_Position.exr", norm(mean[..., 16:19]))
+    write_exr_rgb(base + "_Film_Position.exr", norm(rgb2(mean[..., 0:2])))
+    write_exr_rgb(base + "_Lens_Position.exr", norm(rgb2(mean[..., 5:7])))
+
+
+def splat_buffer(job, buffer: jnp.ndarray):
+    """Splat (filtered) samples to the film through the reconstruction
+    filter (rpf.cpp:779-794 uses FilmTile::AddSample over the full bounds)."""
+    film = job.film
+    h, w, s, _ = buffer.shape
+    flat = buffer.reshape(-1, SD_LEN)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def add(rows, state):
+        return film.add_samples(state, rows[:, 0:2], rows[:, 2:5],
+                                jnp.ones(rows.shape[0], jnp.float32))
+
+    state = film.initial_state()
+    chunk = 1 << 20
+    for start in range(0, flat.shape[0], chunk):
+        state = add(jnp.asarray(flat[start:start + chunk]), state)
+    return film.to_image(state)
+
+
+def render_rpf(sd, quick: bool = False, crop_override=None,
+               box_sizes: Sequence[int] = DEFAULT_BOX_SIZES,
+               write_feature_exrs: bool = True,
+               return_buffers: bool = False):
+    """The full RPF pipeline."""
+    job = build_job(sd, quick=quick, crop_override=crop_override)
+    t0 = time.time()
+    buffer = fill_sample_buffer(job)
+    log.info("sampling pass: %.2fs", time.time() - t0)
+
+    if write_feature_exrs:
+        try:
+            visualize_sf(buffer, job.film.filename)
+        except OSError as e:
+            log.error("feature EXR dump failed: %s", e)
+
+    raw = buffer.copy()
+    t0 = time.time()
+    buf = jnp.asarray(buffer)
+    for box in box_sizes:
+        buf = apply_rpf_filter(buf, box)
+        jax.block_until_ready(buf)
+        log.info("RPF filter pass (box %d) done", box)
+    filter_time = time.time() - t0
+    log.info("RPF filter: %.2fs", filter_time)
+
+    img = splat_buffer(job, buf)
+    if return_buffers:
+        return img, job, {"raw_buffer": raw, "filtered_buffer": np.asarray(buf),
+                          "filter_time": filter_time}
+    return img, job

@@ -1,0 +1,272 @@
+"""Random Parameter Filtering: the dense per-pixel filter kernels.
+
+Reference analog: custom/rpf.cpp ApplyRPFFilter (:497-733),
+ComputeCFWeights (:356-488) and the histogram mutual-information estimator
+in custom/mi.cpp.  The per-pixel neighborhood loops become batched tensor
+ops: the sample buffer is an (H, W, S, 19) array; each pixel gathers its
+(box x box x S) window, builds a 3-sigma feature-clustered neighborhood
+mask, z-normalizes, estimates all 96 pairwise mutual informations via
+one-hot histogram MATMULS (MXU work), derives the alpha/beta dependency
+weights, and blends its own S samples against the neighborhood with the
+joint bilateral weight — all vmapped over pixel chunks.
+
+Sample vector layout (custom/sd.h:21-59): [0:2]=pFilm, [2:5]=L rgb,
+[5:7]=pLens (the random parameters), [7:19]=n0,p0,n1,p1.
+
+Faithfully kept reference quirks (SURVEY.md §7 "quirk preservation"):
+- sigma_p = box_size // 4 with INTEGER division (rpf.cpp:531),
+- sigma_c^2 = sigma_f^2 = 0.002^2 / (1 - W_r_c)^2 (:662-663),
+- divide-by-zero -> 0 in z-normalization (ops.h:45-51),
+- population (1/N) mean/stddev (ops.h:111-144),
+- bins = max(1, floor(sqrt(N))) with degenerate ranges dumping all mass in
+  bin 0 (mi.cpp:5-20), natural-log MI,
+- blending uses UNNORMALIZED neighborhood colors (rpf.cpp:692),
+- neighborhood = own samples (unconditionally) + window samples passing
+  the STRICT 3-sigma test on all 12 features vs the pixel's own stats.
+
+One deliberate fix: the reference's W_c_fk uses D_f_ck[i] for i in 0..11 —
+an out-of-bounds read of a 3-element array (rpf.cpp:466, undefined
+behavior).  We compute the intended quantity from the paper (Sen & Darabi
+2011, eq. 20): D_c_fk = sum_l MI(f_k, c_l).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# column groups in the 19-vector
+POS = slice(0, 2)
+COL = slice(2, 5)
+RND = slice(5, 7)
+FEAT = slice(7, 19)
+N_POS, N_COL, N_RND, N_FEAT = 2, 3, 2, 12
+SD_LEN = 19
+
+SIGMA_FC_SEED = 0.002  # rpf.cpp:533
+
+
+def _mi_pairs():
+    """The 96 (a, b) column-index pairs whose MI the CF weights need."""
+    f = list(range(7, 19))
+    p = [0, 1]
+    r = [5, 6]
+    c = [2, 3, 4]
+    pairs = []
+    for fi in f:
+        for rj in r:
+            pairs.append((fi, rj))  # D_r_fk
+    for fi in f:
+        for pj in p:
+            pairs.append((fi, pj))  # D_p_fk
+    for ci in c:
+        for rj in r:
+            pairs.append((ci, rj))  # D_r_ck
+    for ci in c:
+        for pj in p:
+            pairs.append((ci, pj))  # D_p_ck
+    for ci in c:
+        for fj in f:
+            pairs.append((ci, fj))  # D_f_ck / D_c_fk
+    return np.asarray(pairs, np.int32)
+
+
+_PAIRS = _mi_pairs()
+_O_R_FK = 0
+_O_P_FK = 24
+_O_R_CK = 48
+_O_P_CK = 54
+_O_F_CK = 60  # 36 entries: (color-major, feature-minor)
+
+
+def _masked_mean_std(x, mask, axis=0):
+    """Population mean/std over masked rows (ops.h getMean/getStdDev)."""
+    cnt = jnp.maximum(jnp.sum(mask, axis=axis), 1.0)
+    m = jnp.sum(x * mask, axis=axis) / cnt
+    ex2 = jnp.sum(x * x * mask, axis=axis) / cnt
+    var = jnp.maximum(ex2 - m * m, 0.0)
+    return m, jnp.sqrt(var)
+
+
+def _mutual_information(cols, mask, n, bins, b_max):
+    """MI for all _PAIRS at one pixel.
+
+    cols: (N, 19) normalized values; mask: (N, 1) float; n: scalar count;
+    bins: scalar traced bin count (= max(1, floor(sqrt(n))));
+    b_max: static upper bound on bins.
+    Returns (96,) MI values (natural log), mirroring mi.cpp:45-90.
+    """
+    # ranges over the masked set (degenerate -> all mass in bin 0)
+    big = jnp.float32(3.4e38)
+    vmin = jnp.min(jnp.where(mask > 0, cols, big), axis=0)  # (19,)
+    vmax = jnp.max(jnp.where(mask > 0, cols, -big), axis=0)
+    rng = vmax - vmin
+    binsf = bins.astype(jnp.float32)
+    scaled = jnp.where(rng > 0, (cols - vmin) / jnp.where(rng == 0, 1.0, rng)
+                       * binsf, 0.0)
+    idx = jnp.clip(scaled.astype(jnp.int32), 0, bins - 1)  # (N, 19)
+
+    # one-hot over b_max bins, masked
+    onehot = (idx[..., None] == jnp.arange(b_max)[None, None, :]).astype(
+        jnp.float32) * mask[..., None]  # (N, 19, B)
+
+    hist = jnp.sum(onehot, axis=0)  # (19, B) marginals
+
+    a_idx = jnp.asarray(_PAIRS[:, 0])
+    b_idx = jnp.asarray(_PAIRS[:, 1])
+    oa = jnp.transpose(onehot[:, a_idx, :], (1, 2, 0))  # (96, B, N)
+    ob = jnp.transpose(onehot[:, b_idx, :], (1, 0, 2))  # (96, N, B)
+    joint = jnp.einsum("pbn,pnc->pbc", oa, ob,
+                       preferred_element_type=jnp.float32)  # (96,B,B)
+
+    total = jnp.maximum(n.astype(jnp.float32), 1.0)
+    p_xy = joint / total
+    p_x = (hist[a_idx] / total)[:, :, None]  # (96, B, 1)
+    p_y = (hist[b_idx] / total)[:, None, :]  # (96, 1, B)
+    denom = p_x * p_y
+    safe = (p_xy > 0) & (denom != 0)
+    mi = jnp.sum(
+        jnp.where(safe, p_xy * jnp.log(jnp.where(safe, p_xy / jnp.where(
+            denom == 0, 1.0, denom), 1.0)), 0.0),
+        axis=(1, 2),
+    )
+    return mi
+
+
+def _cf_weights(mi):
+    """alpha_k, beta_k, W_r_c from the 96 MI values (rpf.cpp:416-487)."""
+    d_r_fk = mi[_O_R_FK:_O_R_FK + 24].reshape(12, 2).sum(-1)
+    d_p_fk = mi[_O_P_FK:_O_P_FK + 24].reshape(12, 2).sum(-1)
+    d_r_ck = mi[_O_R_CK:_O_R_CK + 6].reshape(3, 2).sum(-1)
+    d_p_ck = mi[_O_P_CK:_O_P_CK + 6].reshape(3, 2).sum(-1)
+    cf = mi[_O_F_CK:_O_F_CK + 36].reshape(3, 12)
+    d_f_ck = cf.sum(-1)  # (3,) per color over features
+    d_c_fk = cf.sum(0)  # (12,) per feature over colors (the UB fix)
+
+    d_f_c = d_f_ck.sum()
+    d_r_c = d_r_ck.sum()
+    d_p_c = d_p_ck.sum()
+
+    eps = 0.0  # the reference divides blindly; 0/0 -> nan would propagate,
+    # but D sums are strictly positive in practice (log-hist MI >= 0 with
+    # equality only in degenerate pixels); guard with tiny denominators.
+    w_c_fk = d_c_fk / jnp.maximum(d_f_c + d_r_c + d_p_c, 1e-12)
+    w_r_fk = d_r_fk / jnp.maximum(d_r_fk + d_p_fk, 1e-12)
+    w_r_ck = d_r_ck / jnp.maximum(d_r_ck + d_p_ck, 1e-12)
+
+    alpha_k = 1.0 - w_r_ck  # (3,)
+    beta_k = (1.0 - w_r_fk) * w_c_fk  # (12,)
+    w_r_c = jnp.mean(w_r_ck)
+    return alpha_k, beta_k, w_r_c
+
+
+def _filter_pixel(own, window, window_valid, window_center, box_size, b_max):
+    """Filter one pixel.
+
+    own: (S, 19) the pixel's samples; window: (K, 19) all samples in the
+    box (K = box^2 * S, INCLUDING the center pixel's); window_valid: (K,)
+    in-bounds flags; window_center: (K,) True for the center pixel's rows.
+    Returns (S, 3) filtered colors.
+    """
+    s = own.shape[0]
+    feats_own = own[:, FEAT]
+    f_mean = jnp.mean(feats_own, axis=0)
+    f_ex2 = jnp.mean(feats_own * feats_own, axis=0)
+    f_std = jnp.sqrt(jnp.maximum(f_ex2 - f_mean * f_mean, 0.0))
+
+    # 3-sigma clustering of non-center window samples (STRICT <)
+    within = jnp.all(jnp.abs(window[:, FEAT] - f_mean) < 3.0 * f_std, axis=-1)
+    cand_mask = window_valid & ~window_center & within
+
+    # neighborhood = own samples + accepted candidates
+    nb = jnp.concatenate([own, window], axis=0)  # (S + K, 19)
+    nb_mask = jnp.concatenate(
+        [jnp.ones((s,), bool), cand_mask], axis=0).astype(jnp.float32)[:, None]
+    n = jnp.sum(nb_mask)
+
+    # z-normalize the whole 19-vector over the neighborhood (div0 -> 0)
+    mu, sd = _masked_mean_std(nb, nb_mask, axis=0)
+    nb_norm = jnp.where(sd > 0, (nb - mu) / jnp.where(sd == 0, 1.0, sd), 0.0)
+    own_norm = nb_norm[:s]
+
+    # mutual information + dependency weights
+    bins = jnp.maximum(jnp.int32(1), jnp.sqrt(n).astype(jnp.int32))
+    mi = _mutual_information(nb_norm, nb_mask, n, bins, b_max)
+    alpha_k, beta_k, w_r_c = _cf_weights(mi)
+
+    # bilateral weights (rpf.cpp:637-678); quirks preserved: integer-divided
+    # sigma_p, shared sigma_c/sigma_f inflated by the color randomness
+    sigma_p = float(box_size // 4)
+    sigma_p2 = max(sigma_p * sigma_p, 1e-12)
+    sigma_c2 = (SIGMA_FC_SEED ** 2) / jnp.maximum((1.0 - w_r_c) ** 2, 1e-12)
+    sigma_f2 = sigma_c2
+
+    dp = own_norm[:, None, POS] - nb_norm[None, :, POS]  # (S, N, 2)
+    dc = own_norm[:, None, COL] - nb_norm[None, :, COL]
+    df = own_norm[:, None, FEAT] - nb_norm[None, :, FEAT]
+    w = (jnp.exp(-jnp.sum(dp * dp, -1) / (2.0 * sigma_p2))
+         * jnp.exp(-jnp.sum(dc * dc * alpha_k, -1) / (2.0 * sigma_c2))
+         * jnp.exp(-jnp.sum(df * df * beta_k, -1) / (2.0 * sigma_f2)))
+    w = w * nb_mask[None, :, 0]  # mask out rejected candidates
+
+    # blend with UNNORMALIZED colors (rpf.cpp:682-717)
+    sum_w = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-30)
+    new_c = (w @ nb[:, COL]) / sum_w  # (S, 3)
+    return new_c
+
+
+def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
+                     pixel_chunk: int = 4096) -> jnp.ndarray:
+    """One ApplyRPFFilter pass over the full sample buffer.
+
+    buffer: (H, W, S, 19).  Returns the buffer with filtered colors.
+    """
+    h, w, s, _ = buffer.shape
+    bd = (box_size - 1) // 2
+    k = box_size * box_size * s
+    b_max = int(math.floor(math.sqrt(s + k))) + 1
+
+    padded = jnp.pad(buffer, ((bd, bd), (bd, bd), (0, 0), (0, 0)))
+    valid = jnp.pad(jnp.ones((h, w), bool), ((bd, bd), (bd, bd)))
+
+    # extract (box, box) windows: windows[y, x] covers pixel (y, x)'s box
+    def window_at(py, px):
+        win = jax.lax.dynamic_slice(
+            padded, (py, px, 0, 0), (box_size, box_size, s, SD_LEN))
+        val = jax.lax.dynamic_slice(valid, (py, px), (box_size, box_size))
+        center = jnp.zeros((box_size, box_size), bool).at[bd, bd].set(True)
+        return (win.reshape(k, SD_LEN),
+                jnp.repeat(val.reshape(-1), s),
+                jnp.repeat(center.reshape(-1), s))
+
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    ys = ys.reshape(-1)
+    xs = xs.reshape(-1)
+
+    def one(py, px):
+        win, val, cen = window_at(py, px)
+        own = jax.lax.dynamic_slice(padded, (py + bd, px + bd, 0, 0),
+                                    (1, 1, s, SD_LEN)).reshape(s, SD_LEN)
+        return _filter_pixel(own, win, val, cen, box_size, b_max)
+
+    n_pix = h * w
+    out_colors = []
+    fn = jax.jit(jax.vmap(one))
+    for start in range(0, n_pix, pixel_chunk):
+        end = min(start + pixel_chunk, n_pix)
+        cy, cx = ys[start:end], xs[start:end]
+        pad = 0
+        if end - start < pixel_chunk and n_pix > pixel_chunk:
+            pad = pixel_chunk - (end - start)
+            cy = jnp.concatenate([cy, jnp.zeros(pad, cy.dtype)])
+            cx = jnp.concatenate([cx, jnp.zeros(pad, cx.dtype)])
+        cols = fn(cy, cx)
+        if pad:
+            cols = cols[: end - start]
+        out_colors.append(cols)
+    new_c = jnp.concatenate(out_colors, axis=0).reshape(h, w, s, 3)
+    return buffer.at[..., COL].set(new_c)

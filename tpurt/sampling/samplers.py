@@ -85,6 +85,39 @@ def _scrambled_radical_inverse(a: jnp.ndarray, base: int,
     return jnp.minimum(acc + tail, ONE_MINUS_EPS)
 
 
+def _scrambled_radical_inverse_dyn(a: jnp.ndarray, base: jnp.ndarray,
+                                   perms: jnp.ndarray,
+                                   perm_off: jnp.ndarray,
+                                   n_digits: int) -> jnp.ndarray:
+    """Scrambled radical inverse with a TRACED base (one per call, scalar)
+    and the flat permutation table.  Used inside lax.scan over bounces,
+    where the dimension is a loop-carried value.  n_digits must bound
+    ceil(log_base(max_index)) for the smallest base that can occur."""
+    basef = base.astype(jnp.float32)
+    inv_base = 1.0 / basef
+    # derive carries from `a` so their varying-axes type matches the loop
+    # body under shard_map (constants would be unvarying -> scan vma error)
+    zero = a.astype(jnp.float32) * 0.0
+    acc = zero
+    scale = zero + inv_base
+    inv_base_n = zero + 1.0
+
+    def body(_, carry):
+        a, acc, scale, inv_base_n = carry
+        digit = a % base
+        active = a > 0
+        acc = jnp.where(active,
+                        acc + perms[perm_off + digit].astype(jnp.float32) * scale,
+                        acc)
+        inv_base_n = jnp.where(active, inv_base_n * inv_base, inv_base_n)
+        return a // base, acc, scale * inv_base, inv_base_n
+
+    _, acc, _, inv_base_n = jax.lax.fori_loop(
+        0, n_digits, body, (a, acc, scale, inv_base_n))
+    tail = inv_base_n * perms[perm_off].astype(jnp.float32) / (basef - 1.0)
+    return jnp.minimum(acc + tail, ONE_MINUS_EPS)
+
+
 def _radical_inverse(a: jnp.ndarray, base: int) -> jnp.ndarray:
     inv_base = np.float32(1.0 / base)
     acc = jnp.zeros_like(a, dtype=jnp.float32)
@@ -108,6 +141,8 @@ class HaltonSampler(NamedTuple):
     stride: int
     exp_x: int
     scale_y: int
+    primes: jnp.ndarray = None  # (1000,) int32
+    prime_sums: jnp.ndarray = None  # (1000,) int32
     sample_at_center: bool = False
 
     name: str = "halton"
@@ -128,6 +163,14 @@ class HaltonSampler(NamedTuple):
         base = int(ld.PRIMES[d])
         off = int(ld.PRIME_SUMS[d])
         return _scrambled_radical_inverse(idx, base, self.perms[off:off + base])
+
+    def dim_dyn(self, px, py, sidx, d) -> jnp.ndarray:
+        """Sample a TRACED dimension d (scalar int32, must be >= 2) — the
+        in-scan variant used by the bounce loop.  14 digit iterations cover
+        any base >= 5 up to 2^31 indices."""
+        idx = self.index(px, py, sidx)
+        return _scrambled_radical_inverse_dyn(
+            idx, self.primes[d], self.perms, self.prime_sums[d], 14)
 
     # dims 0/1 ARE the in-pixel offsets: stripping the low exp_x base-2 /
     # base-3 digits (which encode the pixel) leaves the radical inverse of
@@ -151,6 +194,8 @@ def make_halton(spp: int, res_x: int, res_y: int,
         stride=int(geom["sample_stride"]),
         exp_x=int(geom["base_exponents"][0]),
         scale_y=int(geom["base_scales"][1]),
+        primes=jnp.asarray(ld.PRIMES.astype(np.int32)),
+        prime_sums=jnp.asarray(ld.PRIME_SUMS.astype(np.int32)),
         sample_at_center=sample_at_center,
     )
 
@@ -166,8 +211,9 @@ class RandomSampler(NamedTuple):
 
     name: str = "random"
 
-    def dim(self, px, py, sample_idx, d: int) -> jnp.ndarray:
-        key = jax.random.key(self.seed + d)
+    def dim(self, px, py, sample_idx, d) -> jnp.ndarray:
+        # d may be a static int or a traced scalar (fold_in accepts both)
+        key = jax.random.fold_in(jax.random.key(self.seed), d)
         # fold pixel+sample into per-lane counters: one uniform per lane
         counter = ((py.astype(jnp.uint32) * np.uint32(self.res_x)
                     + px.astype(jnp.uint32)) * np.uint32(16384)
@@ -176,6 +222,8 @@ class RandomSampler(NamedTuple):
         bits = jax.vmap(lambda k: jax.random.bits(k, (), jnp.uint32))(keys)
         return jnp.minimum(bits.astype(jnp.float32) * jnp.float32(2 ** -32),
                            ONE_MINUS_EPS)
+
+    dim_dyn = dim
 
     def film_offset(self, px, py, sample_idx):
         return (self.dim(px, py, sample_idx, 0),
@@ -201,8 +249,9 @@ class StratifiedSampler(NamedTuple):
 
     name: str = "stratified"
 
-    def _u(self, px, py, sample_idx, d: int, salt: int) -> jnp.ndarray:
-        key = jax.random.key(self.seed + 977 * d + salt)
+    def _u(self, px, py, sample_idx, d, salt: int) -> jnp.ndarray:
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(self.seed), d), salt)
         counter = ((py.astype(jnp.uint32) * np.uint32(self.res_x)
                     + px.astype(jnp.uint32)) * np.uint32(16384)
                    + sample_idx.astype(jnp.uint32))
@@ -210,12 +259,10 @@ class StratifiedSampler(NamedTuple):
         bits = jax.vmap(lambda k: jax.random.bits(k, (), jnp.uint32))(keys)
         return bits.astype(jnp.float32) * jnp.float32(2 ** -32)
 
-    def _permuted_index(self, px, py, sample_idx, d: int) -> jnp.ndarray:
+    def _permuted_index(self, px, py, sample_idx, d) -> jnp.ndarray:
         """Per-(pixel, dim) pseudorandom bijection of sample_idx over
         [0, spp) — a stateless stand-in for Shuffle."""
-        # multiplicative hash bijection modulo spp via random odd multiplier
-        # only bijective for power-of-two spp; otherwise use xor-fold hash
-        key = jax.random.key(self.seed ^ (0x9E3779B9 + d))
+        key = jax.random.fold_in(jax.random.key(self.seed ^ 0x9E3779B9), d)
         pix = (py.astype(jnp.uint32) * np.uint32(self.res_x)
                + px.astype(jnp.uint32))
         rk = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pix)
@@ -227,14 +274,16 @@ class StratifiedSampler(NamedTuple):
         return ((sample_idx.astype(jnp.uint32) + r)
                 % np.uint32(max(self.spp, 1))).astype(jnp.int32)
 
-    def dim(self, px, py, sample_idx, d: int) -> jnp.ndarray:
-        if d in (0, 1):
+    def dim(self, px, py, sample_idx, d) -> jnp.ndarray:
+        if isinstance(d, int) and d in (0, 1):
             fx, fy = self.film_offset(px, py, sample_idx)
             return fx if d == 0 else fy
         s = self._permuted_index(px, py, sample_idx, d).astype(jnp.float32)
         j = self._u(px, py, sample_idx, d, 1) if self.jitter else 0.5
         return jnp.minimum((s + j) / np.float32(max(self.spp, 1)),
                            ONE_MINUS_EPS)
+
+    dim_dyn = dim
 
     def film_offset(self, px, py, sample_idx):
         sx = (sample_idx % self.nx).astype(jnp.float32)
@@ -293,8 +342,8 @@ class ZeroTwoSequenceSampler(NamedTuple):
 
     name: str = "02sequence"
 
-    def _scrambles(self, px, py, d: int):
-        key = jax.random.key(self.seed + 131 * d)
+    def _scrambles(self, px, py, d):
+        key = jax.random.fold_in(jax.random.key(self.seed), d)
         pix = (py.astype(jnp.uint32) * np.uint32(self.res_x)
                + px.astype(jnp.uint32))
         ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pix)
@@ -305,13 +354,26 @@ class ZeroTwoSequenceSampler(NamedTuple):
         sx, sy = self._scrambles(px, py, d)
         return _sobol_2d(sample_idx.astype(jnp.uint32), sx, sy)
 
-    def dim(self, px, py, sample_idx, d: int) -> jnp.ndarray:
+    def dim(self, px, py, sample_idx, d) -> jnp.ndarray:
         # pair consecutive dims into one 2D (0,2) lookup
-        u = self.dim2(px, py, sample_idx, d // 2)
-        return u[d % 2]
+        ux, uy = self.dim2(px, py, sample_idx, d // 2)
+        if isinstance(d, int):
+            return ux if d % 2 == 0 else uy
+        return jnp.where(d % 2 == 0, ux, uy)
+
+    dim_dyn = dim
 
     def film_offset(self, px, py, sample_idx):
         return self.dim2(px, py, sample_idx, 0)
+
+
+from tpurt.pytrees import register_static_pytree  # noqa: E402
+
+register_static_pytree(HaltonSampler,
+                       ["perms", "offsets", "primes", "prime_sums"])
+register_static_pytree(RandomSampler, [])
+register_static_pytree(StratifiedSampler, [])
+register_static_pytree(ZeroTwoSequenceSampler, [])
 
 
 def make_sampler(name: str, params, res_x: int, res_y: int, quick: bool = False):
