@@ -23,10 +23,12 @@ class Config:
     # jax.config.update("jax_enable_x64", True) before any tracing.
     dtype: str = "float32"
 
-    # Number of rays processed per wavefront megabatch.  At 700x700x8spp the
-    # full frame is 3.92M camera rays; we stream them through the device in
-    # chunks of this size so live SoA buffers stay comfortably inside HBM.
-    wavefront_size: int = 1 << 20
+    # Number of rays processed per wavefront megabatch.  Sized so one jitted
+    # render step (max_depth bounces x closest+shadow traversal + shading)
+    # stays well under the TPU execution watchdog (~30 s) — the axon tunnel
+    # kills longer device calls.  At 700x700x8spp the frame streams through
+    # in ~120 chunks.
+    wavefront_size: int = 1 << 15
 
     # BVH build options (reference: bvh.cpp:740-760 CreateBVHAccelerator).
     bvh_max_prims_per_leaf: int = 4

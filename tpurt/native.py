@@ -1,0 +1,124 @@
+"""ctypes loader for the native runtime library (native/tpurt_native.cpp).
+
+Compiles the shared library on first use (g++ -O3) and caches it next to
+the source; every entry point has a pure-Python fallback so the framework
+works without a toolchain.  (pybind11 is not available in this image, so
+the boundary is a plain C ABI — see the build-environment notes.)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger("tpurt.native")
+
+_LIB = None
+_LOCK = threading.Lock()
+_TRIED = False
+
+
+def _source_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native", "tpurt_native.cpp")
+
+
+def _lib_path() -> str:
+    cache = os.environ.get("TPURT_CACHE", os.path.expanduser("~/.cache/tpurt"))
+    return os.path.join(cache, "libtpurt_native.so")
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        src = _source_path()
+        out = _lib_path()
+        try:
+            if (not os.path.exists(out)
+                    or os.path.getmtime(out) < os.path.getmtime(src)):
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                       "-o", out, src]
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+                log.info("built native library: %s", out)
+            lib = ctypes.CDLL(out)
+        except (OSError, subprocess.SubprocessError) as e:
+            log.warning("native library unavailable (%s); using Python "
+                        "fallbacks", e)
+            return None
+
+        lib.build_bvh_sah.restype = ctypes.c_int32
+        lib.build_bvh_sah.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.gen_halton_perms.restype = None
+        lib.gen_halton_perms.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def build_bvh_native(lo: np.ndarray, hi: np.ndarray, max_leaf: int = 1):
+    """Native SAH build; returns the LinearBVH field tuple or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(lo)
+    lo32 = np.ascontiguousarray(lo, np.float32)
+    hi32 = np.ascontiguousarray(hi, np.float32)
+    cap = 2 * n
+    nb_lo = np.empty((cap, 3), np.float32)
+    nb_hi = np.empty((cap, 3), np.float32)
+    right = np.zeros(cap, np.int32)
+    prim_off = np.zeros(cap, np.int32)
+    n_prims = np.zeros(cap, np.int32)
+    axis = np.zeros(cap, np.int32)
+    order = np.zeros(n, np.int32)
+    m = lib.build_bvh_sah(_fptr(lo32), _fptr(hi32), n, max_leaf,
+                          _fptr(nb_lo), _fptr(nb_hi), _iptr(right),
+                          _iptr(prim_off), _iptr(n_prims), _iptr(axis),
+                          _iptr(order))
+    if m <= 0:
+        return None
+    return (nb_lo[:m].copy(), nb_hi[:m].copy(), right[:m].copy(),
+            prim_off[:m].copy(), n_prims[:m].copy(), axis[:m].copy(), order)
+
+
+def gen_halton_perms_native(primes: np.ndarray):
+    """Native permutation-table generation, bit-exact with the Python
+    PCG32 path; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    primes32 = np.ascontiguousarray(primes, np.int32)
+    total = int(primes32.sum())
+    out = np.zeros(total, np.uint16)
+    lib.gen_halton_perms(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _iptr(primes32), len(primes32))
+    return out

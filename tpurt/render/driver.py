@@ -166,10 +166,15 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
     film = job.film
     spp = job.sampler.spp
     total = max(1, film.width * film.height) * spp
-    # Fixed lane-count buckets so small renders share compiled executables
-    # (partial chunks are padded + masked).
+    # Fixed power-of-two lane-count buckets so renders share compiled
+    # executables (partial chunks are padded + masked), capped by the
+    # wavefront size (device-watchdog limit).
     min_chunk = 1 << 14
-    chunk = min_chunk if total <= min_chunk * 4 else get_config().wavefront_size
+    bucket = min_chunk
+    while bucket < total:
+        bucket *= 2
+    chunk = min(bucket, get_config().wavefront_size, 1 << 20)
+    chunk = max(chunk, min_chunk)
     x0, _, y0, _ = film.crop
 
     # scene/sampler/camera are jit ARGUMENTS (pytrees with static aux):

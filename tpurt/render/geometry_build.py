@@ -48,7 +48,10 @@ FLAG_HAS_TANGENTS = 16
 
 @dataclasses.dataclass
 class GeometryArrays:
-    """Host numpy arrays describing all scene geometry, BVH-ordered."""
+    """Host numpy arrays describing all scene geometry.
+
+    Primitive rows are ordered [triangles in BVH-leaf order, quadrics];
+    the BVH (1 triangle per leaf) covers rows [0, n_tris)."""
 
     # BVH (SoA)
     bvh: LinearBVH
@@ -73,6 +76,9 @@ class GeometryArrays:
     # world bounds
     world_lo: np.ndarray
     world_hi: np.ndarray
+    # prim row layout
+    n_tris: int = 0
+    n_quads: int = 0
 
     @property
     def n_prims(self) -> int:
@@ -232,14 +238,39 @@ def flatten_geometry(
             b *= 2
         return b
 
-    bvh = build_bvh(blo, bhi, max_prims_per_leaf, split_method)
+    # The BVH covers TRIANGLES only, with exactly one prim per leaf (the
+    # leaf triangle is fused into its node record for one-gather traversal
+    # steps; intersect.py).  Quadrics are few and analytic: they are tested
+    # in a vectorized gather-free pass outside the tree, as prim rows
+    # appended after the triangles.
+    all_rows = np.arange(len(prim_type))
+    tri_rows = all_rows[prim_type == PT_TRIANGLE]
+    quad_rows = all_rows[prim_type != PT_TRIANGLE]
+    if len(tri_rows) == 0:
+        # always have at least the degenerate triangle so the BVH exists
+        prim_type = np.concatenate([prim_type, [PT_TRIANGLE]]).astype(np.int32)
+        mat_id = np.concatenate([mat_id, [-1]]).astype(np.int32)
+        al_id = np.concatenate([al_id, [-1]]).astype(np.int32)
+        flags = np.concatenate([flags, [0]]).astype(np.int32)
+        quad_idx = np.concatenate([quad_idx, [-1]]).astype(np.int32)
+        tri_v0 = np.concatenate([tri_v0, np.zeros((1, 3), np.float32)])
+        tri_v1 = np.concatenate([tri_v1, np.zeros((1, 3), np.float32)])
+        tri_v2 = np.concatenate([tri_v2, np.zeros((1, 3), np.float32)])
+        tri_vi = np.concatenate([tri_vi, np.zeros((1, 3), np.int32)])
+        blo = np.concatenate([blo, np.zeros((1, 3))])
+        bhi = np.concatenate([bhi, np.zeros((1, 3))])
+        tri_rows = np.array([len(prim_type) - 1])
+
+    bvh = build_bvh(blo[tri_rows], bhi[tri_rows], 1, split_method)
     # Conservative f32 rounding so the flattened bounds always contain the
     # f64 build bounds.
     bvh.bounds_lo = np.nextafter(bvh.bounds_lo, -np.inf).astype(np.float32)
     bvh.bounds_hi = np.nextafter(bvh.bounds_hi, np.inf).astype(np.float32)
 
-    # permute primitives into BVH leaf order so leaves are contiguous
-    perm = bvh.prim_order
+    # final prim order: triangles in BVH leaf order, then quadrics
+    perm = np.concatenate([tri_rows[bvh.prim_order], quad_rows]).astype(np.int64)
+    n_tris = len(tri_rows)
+    n_quads = len(quad_rows)
 
     def pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
         if len(a) >= n:
@@ -247,7 +278,7 @@ def flatten_geometry(
         pad_shape = (n - len(a),) + a.shape[1:]
         return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
 
-    p_bucket = _bucket(len(prim_type))
+    p_bucket = _bucket(len(perm))
     v_n = (cat(vert_n, np.float32, (0, 3)) if vert_n
            else np.zeros((1, 3), np.float32))
     v_uv = (cat(vert_uv, np.float32, (0, 2)) if vert_uv
@@ -292,5 +323,7 @@ def flatten_geometry(
         quad_params=pad_rows(q_par, q_bucket, 1.0),
         world_lo=(blo.min(axis=0) if len(blo) else np.zeros(3)),
         world_hi=(bhi.max(axis=0) if len(bhi) else np.zeros(3)),
+        n_tris=n_tris,
+        n_quads=n_quads,
     )
     return geo

@@ -94,8 +94,33 @@ def _emitted(scene: SceneData, si: SurfaceInteraction):
 
 
 def _infinite_L(lights: LightTable):
+    """Constant-radiance part of the infinite lights (the env-mapped light,
+    if any, is looked up per-direction via env_le)."""
     inf_mask = lights.kind == LIGHT_INFINITE
+    if lights.env_light_row >= 0:
+        inf_mask = inf_mask & (jnp.arange(lights.kind.shape[0])
+                               != lights.env_light_row)
     return jnp.sum(jnp.where(inf_mask[:, None], lights.L, 0.0), axis=0), inf_mask
+
+
+def _escape_radiance(lights: LightTable, inf_L, d):
+    """Total infinite-light radiance for escaped rays along d."""
+    L = jnp.broadcast_to(inf_L[None, :], (d.shape[0], 3))
+    if lights.env_light_row >= 0:
+        from tpurt.render.lights import env_le
+
+        L = L + env_le(lights, d)
+    return L
+
+
+def _escape_pdf(lights: LightTable, d):
+    """Sample_Li solid-angle pdf for escaped directions (for the MIS
+    weight): env-importance pdf when mapped, else uniform sphere."""
+    if lights.env_light_row >= 0:
+        from tpurt.render.lights import env_pdf
+
+        return env_pdf(lights, d)
+    return jnp.full((d.shape[0],), 1.0 / (4 * np.pi), jnp.float32)
 
 
 def _choice_pmf_at(scene: SceneData, lrow_c, strategy: str, n: int):
@@ -205,11 +230,11 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 inf_mask = scene.lights.kind == LIGHT_INFINITE
                 pmf_inf = jnp.sum(jnp.where(inf_mask, scene.lights.power_pmf, 0.0))
             w_mis_inf = power_heuristic(
-                1.0, prev_pdf, 1.0,
-                jnp.full((n,), 1.0 / (4 * np.pi), jnp.float32) * pmf_inf)
+                1.0, prev_pdf, 1.0, _escape_pdf(scene.lights, d) * pmf_inf)
             w_inf = jnp.where((bounce == 0) | specular, 1.0, w_mis_inf)
+            Le_inf = _escape_radiance(scene.lights, inf_L, d)
             L = L + jnp.where((alive & ~si.valid)[:, None],
-                              beta * inf_L[None, :] * w_inf[:, None], 0.0)
+                              beta * Le_inf * w_inf[:, None], 0.0)
 
         alive = alive & si.valid & (bounce < cfg.max_depth)
 

@@ -40,14 +40,29 @@ _BOX_T_SCALE = jnp.float32(1.0 + 2.0 * _GAMMA3)
 
 
 class DeviceGeometry(NamedTuple):
-    """Pytree of device arrays mirroring GeometryArrays."""
+    """Pytree of device arrays mirroring GeometryArrays.
 
-    bvh_lo: jnp.ndarray
-    bvh_hi: jnp.ndarray
-    bvh_right: jnp.ndarray
-    bvh_prim_off: jnp.ndarray
-    bvh_nprims: jnp.ndarray
-    bvh_axis: jnp.ndarray
+    The traversal hot path reads exactly ONE packed table row per step —
+    random gathers are latency-bound on TPU (measured ~58us per gather
+    round regardless of field count), so the leaf triangle is FUSED into
+    its node record and interior/leaf share one 64-byte row:
+
+    nodes_packed (M, 16) f32:
+        interior: [0:3]=bounds lo, [3:6]=bounds hi,
+                  [12]=bitcast i32 right_child, [13]=bitcast i32 axis,
+                  [15]=0
+        leaf:     [0:9]=triangle v0,v1,v2,
+                  [12]=bitcast i32 prim row, [15]=1
+        (the BVH holds triangles only, one per leaf; quadrics are tested
+        in a gather-free vectorized pass over static rows)
+    prims_packed (P, 16) f32 (brute-force oracle path + leaf fallback):
+        [0:9] tri v0,v1,v2; [9] bitcast i32 prim_type;
+        [10] bitcast i32 quad_id
+    """
+
+    nodes_packed: jnp.ndarray
+    prims_packed: jnp.ndarray
+    # unpacked shading-time tables
     prim_type: jnp.ndarray
     material_id: jnp.ndarray
     arealight_id: jnp.ndarray
@@ -64,13 +79,42 @@ class DeviceGeometry(NamedTuple):
     quad_o2w: jnp.ndarray
     quad_params: jnp.ndarray
 
+    n_tris: int = 0
+    n_quads: int = 0
+
     @staticmethod
     def from_host(g: GeometryArrays) -> "DeviceGeometry":
         f = jnp.asarray
+        assert (g.bvh.n_prims <= 1).all(), "traversal expects 1-prim leaves"
+        m = g.bvh.n_nodes
+        nodes = np.zeros((m, 16), np.float32)
+        leaf = g.bvh.n_prims > 0
+        interior = ~leaf
+        nodes[interior, 0:3] = g.bvh.bounds_lo[interior]
+        nodes[interior, 3:6] = g.bvh.bounds_hi[interior]
+        # leaf rows carry the triangle itself (prim rows are already in
+        # BVH-leaf order, so the leaf's prim row == its prim_offset)
+        pi = np.minimum(g.bvh.prim_offset[leaf], len(g.prim_type) - 1)
+        nodes[leaf, 0:3] = g.tri_v0[pi]
+        nodes[leaf, 3:6] = g.tri_v1[pi]
+        nodes[leaf, 6:9] = g.tri_v2[pi]
+        meta_a = np.where(leaf, g.bvh.prim_offset,
+                          g.bvh.right_child).astype(np.int32)
+        nodes[:, 12] = meta_a.view(np.float32)
+        nodes[:, 13] = g.bvh.axis.astype(np.int32).view(np.float32)
+        nodes[:, 15] = leaf.astype(np.float32)
+
+        p = len(g.prim_type)
+        prims = np.zeros((p, 16), np.float32)
+        prims[:, 0:3] = g.tri_v0
+        prims[:, 3:6] = g.tri_v1
+        prims[:, 6:9] = g.tri_v2
+        prims[:, 9] = g.prim_type.astype(np.int32).view(np.float32)
+        prims[:, 10] = np.maximum(g.quad_id, 0).astype(np.int32).view(np.float32)
+
         return DeviceGeometry(
-            bvh_lo=f(g.bvh.bounds_lo), bvh_hi=f(g.bvh.bounds_hi),
-            bvh_right=f(g.bvh.right_child), bvh_prim_off=f(g.bvh.prim_offset),
-            bvh_nprims=f(g.bvh.n_prims), bvh_axis=f(g.bvh.axis),
+            n_tris=g.n_tris, n_quads=g.n_quads,
+            nodes_packed=f(nodes), prims_packed=f(prims),
             prim_type=f(g.prim_type), material_id=f(g.material_id),
             arealight_id=f(g.arealight_id), flags=f(g.flags),
             tri_v0=f(g.tri_v0), tri_v1=f(g.tri_v1), tri_v2=f(g.tri_v2),
@@ -79,6 +123,14 @@ class DeviceGeometry(NamedTuple):
             quad_w2o=f(g.quad_w2o), quad_o2w=f(g.quad_o2w),
             quad_params=f(g.quad_params),
         )
+
+
+from tpurt.pytrees import register_static_pytree  # noqa: E402
+
+register_static_pytree(
+    DeviceGeometry,
+    [f for f in DeviceGeometry._fields if f not in ("n_tris", "n_quads")],
+)
 
 
 class Hit(NamedTuple):
@@ -339,19 +391,27 @@ def ray_quadric(o, d, t_max, kind, w2o, params):
 
 
 def _intersect_prim(geo: DeviceGeometry, pi, o, d, t_max):
-    """Dispatch one primitive by type. Returns (hit, t, b0, b1)."""
-    ptype = geo.prim_type[pi]
+    """Dispatch one primitive by type. Returns (hit, t, b0, b1).
 
-    def tri(_):
-        return ray_triangle(o, d, t_max, geo.tri_v0[pi], geo.tri_v1[pi],
-                            geo.tri_v2[pi])
-
-    def quad(_):
-        qi = geo.quad_id[pi]
-        return ray_quadric(o, d, t_max, ptype, geo.quad_w2o[qi],
-                           geo.quad_params[qi])
-
-    return jax.lax.cond(ptype == PT_TRIANGLE, tri, quad, None)
+    Branch-free: both the triangle and quadric tests run and a select picks
+    the live one.  A lax.cond here looks cheaper but is poison under vmap:
+    batching the predicate turns the cond into select_n over every value
+    the branches CLOSE OVER — including the whole geometry tables, which
+    materializes (lanes x prims x 3) intermediates (observed 1.5 TB at a
+    1M-lane wavefront)."""
+    rec = geo.prims_packed[pi]  # ONE contiguous gather
+    ptype = jax.lax.bitcast_convert_type(rec[9], jnp.int32)
+    ht, tt, b0t, b1t = ray_triangle(o, d, t_max, rec[0:3], rec[3:6], rec[6:9])
+    if geo.quad_w2o.shape[0] == 1 and geo.quad_params.shape[0] == 1:
+        # triangle-only scene (quad table is the padding row): statically
+        # skip the quadric path and its gathers
+        return ht, tt, b0t, b1t
+    qi = jax.lax.bitcast_convert_type(rec[10], jnp.int32)
+    hq, tq, uq, vq = ray_quadric(o, d, t_max, ptype, geo.quad_w2o[qi],
+                                 geo.quad_params[qi])
+    is_tri = ptype == PT_TRIANGLE
+    return (jnp.where(is_tri, ht, hq), jnp.where(is_tri, tt, tq),
+            jnp.where(is_tri, b0t, uq), jnp.where(is_tri, b1t, vq))
 
 
 # ---------------------------------------------------------------------------
@@ -368,8 +428,139 @@ def _slab_test(lo, hi, o, inv_d, t_max):
     return (t_near <= t_far) & (t_far > 0) & (t_near < t_max)
 
 
+def _ray_triangle_batch(o, d, t_max, v0, v1, v2):
+    """Batched watertight triangle test: all args (N, ...) — the hand-
+    batched twin of ray_triangle (vmapping the scalar form through the
+    traversal while_loop faults the TPU runtime at >16k lanes)."""
+    # dimension permutation as elementwise selects on COLUMN vectors —
+    # take_along_axis over the minor axis scalarizes into cross-lane
+    # shuffles on TPU (measured ~15x slowdown of the whole traversal)
+    ax = jnp.abs(d[:, 0])
+    ay = jnp.abs(d[:, 1])
+    az = jnp.abs(d[:, 2])
+    use2 = (az >= ax) & (az >= ay)  # kz = 2 -> (kx,ky,kz) = (0,1,2)
+    use1 = ~use2 & (ay >= ax)       # kz = 1 -> (2,0,1)
+    # else kz = 0 -> (1,2,0)
+
+    def permute(v):
+        x = jnp.where(use2, v[:, 0], jnp.where(use1, v[:, 2], v[:, 1]))
+        y = jnp.where(use2, v[:, 1], jnp.where(use1, v[:, 0], v[:, 2]))
+        z = jnp.where(use2, v[:, 2], jnp.where(use1, v[:, 1], v[:, 0]))
+        return x, y, z
+
+    dpx, dpy, dpz = permute(d)
+    p0x, p0y, p0z = permute(v0 - o)
+    p1x, p1y, p1z = permute(v1 - o)
+    p2x, p2y, p2z = permute(v2 - o)
+    sx = -dpx / dpz
+    sy = -dpy / dpz
+    sz = 1.0 / dpz
+    x0 = p0x + sx * p0z
+    y0 = p0y + sy * p0z
+    x1 = p1x + sx * p1z
+    y1 = p1y + sy * p1z
+    x2 = p2x + sx * p2z
+    y2 = p2y + sy * p2z
+    e0 = x1 * y2 - y1 * x2
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+    same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
+        (e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+    det = e0 + e1 + e2
+    t_scaled = e0 * sz * p0z + e1 * sz * p1z + e2 * sz * p2z
+    neg_det = det < 0
+    t_ok = jnp.where(neg_det,
+                     (t_scaled <= 0) & (t_scaled > t_max * det),
+                     (t_scaled >= 0) & (t_scaled < t_max * det))
+    hit = same_sign & (det != 0) & t_ok
+    inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
+    return hit, jnp.where(hit, t_scaled * inv_det, INF), e0 * inv_det, e1 * inv_det
+
+
+def _slab_test_batch(lo, hi, o, inv_d, t_max):
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * _BOX_T_SCALE
+    return (t_near <= t_far) & (t_far > 0) & (t_near < t_max)
+
+
+def _traverse_batch(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
+    """Hand-batched BVH traversal over (N,) ray lanes: one fused-record
+    gather per step, explicit per-lane stacks, everything masked by the
+    per-lane alive flag (no vmap)."""
+    n = o.shape[0]
+    inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
+    dir_neg = inv_d < 0
+    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
+    init = (stack, jnp.ones(n, jnp.int32),
+            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
+            jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
+            jnp.zeros(n, jnp.float32))
+
+    # Per-lane stack access via one-hot masks over the (static) depth axis:
+    # dynamic indexing of the minor dim scalarizes into cross-lane shuffles
+    # on TPU, while these are plain (N, 64) elementwise ops on the VPU.
+    depth_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+
+    def stack_read(stk, sp):
+        oh = depth_iota == sp[:, None]
+        return jnp.sum(jnp.where(oh, stk, 0), axis=1)
+
+    def stack_write(stk, sp, val, mask):
+        oh = (depth_iota == sp[:, None]) & mask[:, None]
+        return jnp.where(oh, val[:, None], stk)
+
+    def alive_of(sp, prim):
+        a = sp > 0
+        if any_hit:
+            a &= prim < 0
+        return a
+
+    def cond(state):
+        _, sp, _, prim, _, _ = state
+        return jnp.any(alive_of(sp, prim))
+
+    def body(state):
+        stack, sp, t_best, prim_best, b0_best, b1_best = state
+        alive = alive_of(sp, prim_best)
+        sp1 = jnp.maximum(sp - 1, 0)
+        node = stack_read(stack, sp1)
+        rec = geo.nodes_packed[node]  # (N, 16): the ONE gather per step
+        meta_a = jax.lax.bitcast_convert_type(rec[:, 12], jnp.int32)
+        axis = jax.lax.bitcast_convert_type(rec[:, 13], jnp.int32)
+        is_leaf = rec[:, 15] > 0
+
+        h, t, b0, b1 = _ray_triangle_batch(o, d, t_best, rec[:, 0:3],
+                                           rec[:, 3:6], rec[:, 6:9])
+        better = alive & is_leaf & h & (t < t_best)
+        t_best = jnp.where(better, t, t_best)
+        prim_best = jnp.where(better, meta_a, prim_best)
+        b0_best = jnp.where(better, b0, b0_best)
+        b1_best = jnp.where(better, b1, b1_best)
+
+        hit_box = _slab_test_batch(rec[:, 0:3], rec[:, 3:6], o, inv_d, t_best)
+        push = alive & hit_box & ~is_leaf
+        neg_axis = jnp.where(axis == 0, dir_neg[:, 0],
+                             jnp.where(axis == 1, dir_neg[:, 1],
+                                       dir_neg[:, 2]))
+        near_first = ~neg_axis
+        c0 = node + 1
+        c1 = meta_a
+        near = jnp.where(near_first, c0, c1)
+        far = jnp.where(near_first, c1, c0)
+        stack = stack_write(stack, sp1, far, push)
+        stack = stack_write(stack, sp1 + 1, near, push)
+        sp = jnp.where(alive, jnp.where(push, sp1 + 2, sp1), sp)
+        return stack, sp, t_best, prim_best, b0_best, b1_best
+
+    _, _, t, prim, b0, b1 = jax.lax.while_loop(cond, body, init)
+    return t, prim, b0, b1
+
+
 def _traverse_one(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
-    """Scalar-ray BVH traversal; vmapped by the public entry points."""
+    """Scalar-ray BVH traversal (kept for reference/tests; production paths
+    use _traverse_batch)."""
     inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
     dir_neg = inv_d < 0
 
@@ -390,76 +581,96 @@ def _traverse_one(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
         return alive
 
     def body(state):
+        # Branch-free node step: exactly ONE gather (the fused 64B record),
+        # then both the interior box test and the leaf triangle test run
+        # masked — a lax.cond here would select_n the whole geometry table
+        # under vmap (see _intersect_prim's note).
         stack, sp, t_best, prim_best, b0_best, b1_best = state
-        sp = sp - 1
-        node = stack[sp]
-        hit_box = _slab_test(geo.bvh_lo[node], geo.bvh_hi[node], o, inv_d, t_best)
-        n_prims = geo.bvh_nprims[node]
-        is_leaf = n_prims > 0
+        sp1 = sp - 1
+        node = stack[sp1]
+        rec = geo.nodes_packed[node]
+        meta_a = jax.lax.bitcast_convert_type(rec[12], jnp.int32)
+        axis = jax.lax.bitcast_convert_type(rec[13], jnp.int32)
+        is_leaf = rec[15] > 0
 
-        def visit_leaf(carry):
-            stack, sp, t_best, prim_best, b0_best, b1_best = carry
-            off = geo.bvh_prim_off[node]
+        # --- leaf: fused triangle test (1 prim per leaf by construction) ---
+        h, t, b0, b1 = ray_triangle(o, d, t_best, rec[0:3], rec[3:6],
+                                    rec[6:9])
+        better = is_leaf & h & (t < t_best)
+        t_best = jnp.where(better, t, t_best)
+        prim_best = jnp.where(better, meta_a, prim_best)
+        b0_best = jnp.where(better, b0, b0_best)
+        b1_best = jnp.where(better, b1, b1_best)
 
-            def leaf_body(k, c):
-                t_b, p_b, b0_b, b1_b = c
-                pi = off + k
-                h, t, b0, b1 = _intersect_prim(geo, pi, o, d, t_b)
-                better = h & (t < t_b)
-                return (
-                    jnp.where(better, t, t_b),
-                    jnp.where(better, pi, p_b),
-                    jnp.where(better, b0, b0_b),
-                    jnp.where(better, b1, b1_b),
-                )
-
-            t_best, prim_best, b0_best, b1_best = jax.lax.fori_loop(
-                0, n_prims, leaf_body, (t_best, prim_best, b0_best, b1_best)
-            )
-            return stack, sp, t_best, prim_best, b0_best, b1_best
-
-        def visit_interior(carry):
-            stack, sp, t_best, prim_best, b0_best, b1_best = carry
-            axis = geo.bvh_axis[node]
-            near_first = ~dir_neg[axis]
-            c0 = node + 1
-            c1 = geo.bvh_right[node]
-            near = jnp.where(near_first, c0, c1)
-            far = jnp.where(near_first, c1, c0)
-            stack = stack.at[sp].set(far)
-            stack = stack.at[sp + 1].set(near)
-            return stack, sp + 2, t_best, prim_best, b0_best, b1_best
-
-        def skip(carry):
-            return carry
-
-        carry = (stack, sp, t_best, prim_best, b0_best, b1_best)
-        carry = jax.lax.cond(
-            hit_box,
-            lambda c: jax.lax.cond(is_leaf, visit_leaf, visit_interior, c),
-            skip,
-            carry,
-        )
-        return carry
+        # --- interior: masked child pushes, near child on top ---
+        hit_box = _slab_test(rec[0:3], rec[3:6], o, inv_d, t_best)
+        push = hit_box & ~is_leaf
+        near_first = ~dir_neg[axis]
+        c0 = node + 1
+        c1 = meta_a
+        near = jnp.where(near_first, c0, c1)
+        far = jnp.where(near_first, c1, c0)
+        stack = stack.at[sp1].set(jnp.where(push, far, stack[sp1]))
+        stack = stack.at[sp1 + 1].set(jnp.where(push, near, stack[sp1 + 1]))
+        sp = jnp.where(push, sp1 + 2, sp1)
+        return stack, sp, t_best, prim_best, b0_best, b1_best
 
     stack, sp, t, prim, b0, b1 = jax.lax.while_loop(cond, body, init)
     return t, prim, b0, b1
+
+
+def _quadric_pass(geo: DeviceGeometry, o, d, t, prim, b0, b1):
+    """Test every quadric primitive against the whole wavefront.
+
+    Quadric parameters are STATIC rows (slices, not gathers), each test is
+    a fully-vectorized elementwise pass — the transcendental-heavy quadric
+    math runs n_quads times total instead of inside every traversal step."""
+    n_tris = geo.n_tris
+
+    def test_row(q, carry):
+        t, prim, b0, b1 = carry
+        kind = geo.prim_type[n_tris + q]
+        qi = geo.quad_id[n_tris + q]
+        w2o = geo.quad_w2o[qi]
+        params = geo.quad_params[qi]
+        h, tq, u, v = jax.vmap(
+            lambda oo, dd, tb: ray_quadric(oo, dd, tb, kind, w2o, params)
+        )(o, d, t)
+        better = h & (tq < t)
+        return (jnp.where(better, tq, t),
+                jnp.where(better, n_tris + q, prim),
+                jnp.where(better, u, b0),
+                jnp.where(better, v, b1))
+
+    if geo.n_quads <= 16:
+        carry = (t, prim, b0, b1)
+        for q in range(geo.n_quads):
+            carry = test_row(q, carry)
+        return carry
+    return jax.lax.fori_loop(0, geo.n_quads, test_row, (t, prim, b0, b1))
 
 
 def intersect_closest(geo: DeviceGeometry, o, d, t_max) -> Hit:
     """Closest-hit intersection for a wavefront of rays.
     o, d: (N, 3); t_max: scalar or (N,).  Returns Hit of (N,) arrays."""
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
-    t, prim, b0, b1 = jax.vmap(
-        lambda oo, dd, tm: _traverse_one(geo, oo, dd, tm, any_hit=False)
-    )(o, d, t_max)
+    t, prim, b0, b1 = _traverse_batch(geo, o, d, t_max, any_hit=False)
+    if geo.n_quads:
+        t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1)
     return Hit(t=t, prim=jnp.where(jnp.isfinite(t), prim, -1), b0=b0, b1=b1)
 
 
 def intersect_any(geo: DeviceGeometry, o, d, t_max) -> jnp.ndarray:
     """Shadow-ray predicate: does anything lie along the ray before t_max?"""
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
-    _, prim, _, _ = jax.vmap(
-        lambda oo, dd, tm: _traverse_one(geo, oo, dd, tm, any_hit=True)
-    )(o, d, t_max)
-    return prim >= 0
+    occ = jnp.zeros(o.shape[:1], bool)
+    if geo.n_quads:
+        inf = jnp.full(o.shape[:1], np.inf, jnp.float32)
+        tq, pq, _, _ = _quadric_pass(
+            geo, o, d, inf, jnp.full(o.shape[:1], -1, jnp.int32),
+            jnp.zeros(o.shape[:1]), jnp.zeros(o.shape[:1]))
+        occ = (pq >= 0) & (tq < t_max)
+        # already-occluded lanes skip the tree walk (t_max = 0)
+        t_max = jnp.where(occ, 0.0, t_max)
+    _, prim, _, _ = _traverse_batch(geo, o, d, t_max, any_hit=True)
+    return occ | (prim >= 0)

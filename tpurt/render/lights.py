@@ -17,6 +17,7 @@ import dataclasses
 import logging
 from typing import List, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,8 +67,17 @@ class LightTable(NamedTuple):
     power_pmf: jnp.ndarray  # (L,) light-choice pmf (power heuristic strategy)
     power_cdf: jnp.ndarray  # (L,)
     world_radius: jnp.ndarray  # scalar
+    # environment map for ONE infinite light (lights/infinite.cpp):
+    # equirect radiance + the 2D luminance*sin(theta) sampling distribution
+    env_map: jnp.ndarray  # (He, We, 3) f32 (1x1 black when absent)
+    env_cond_cdf: jnp.ndarray  # (He, We+1) conditional CDFs over u
+    env_cond_int: jnp.ndarray  # (He,) row integrals
+    env_marg_cdf: jnp.ndarray  # (He+1,) marginal CDF over v
+    env_w2l: jnp.ndarray  # (4,4) world-to-light rotation
+    env_l2w: jnp.ndarray  # (4,4)
     n_lights: int
     has_infinite: bool
+    env_light_row: int = -1  # row index of the envmap infinite light
 
     @property
     def num(self):
@@ -79,6 +89,8 @@ from tpurt.pytrees import register_static_pytree  # noqa: E402
 register_static_pytree(LightTable, [
     "kind", "L", "p0", "p1", "params", "tri_v0", "tri_v1", "tri_v2",
     "prim", "prim_to_light", "power_pmf", "power_cdf", "world_radius",
+    "env_map", "env_cond_cdf", "env_cond_int", "env_marg_cdf",
+    "env_w2l", "env_l2w",
 ])
 
 
@@ -108,6 +120,10 @@ def build_light_table(
         prim_ids.append(prim)
 
     prim_to_light = np.full(geo.n_prims, -1, np.int32)
+    env_img = None
+    env_w2l = np.eye(4, dtype=np.float32)
+    env_l2w = np.eye(4, dtype=np.float32)
+    env_row = -1
 
     has_infinite = False
     for lr in scene_lights:
@@ -141,18 +157,21 @@ def build_light_table(
         elif lr.kind in ("infinite", "exinfinite"):
             L = ps.find_one_spectrum("L", 1.0) * scale
             mapname = ps.find_one_filename("mapname", "")
-            if mapname:
+            if mapname and env_img is None:
                 try:
                     from tpurt.io.image import read_image
 
-                    img = read_image(mapname)
-                    L = L * img.reshape(-1, 3).mean(axis=0)
-                    log.warning(
-                        "infinite light: environment map %s reduced to its "
-                        "mean radiance (importance-sampled envmaps: later "
-                        "round)", mapname)
+                    env_img = (read_image(mapname).astype(np.float64)
+                               * L.reshape(1, 1, 3)).astype(np.float32)
+                    env_w2l = l2w.m_inv.astype(np.float32)
+                    env_l2w = l2w.m.astype(np.float32)
+                    env_row = len(kinds)
+                    L = env_img.reshape(-1, 3).mean(axis=0)  # for power pmf
                 except (OSError, ValueError) as e:
                     log.error("infinite light map %s unreadable: %s", mapname, e)
+            elif mapname:
+                log.warning("only one environment-mapped infinite light is "
+                            "importance-sampled; %s uses its mean", mapname)
             add(LIGHT_INFINITE, L)
             has_infinite = True
         elif lr.kind in ("projection", "goniometric"):
@@ -210,6 +229,10 @@ def build_light_table(
     total = power.sum()
     pmf = (power / total) if total > 0 else np.full(n, 1.0 / n)
 
+    if env_img is None:
+        env_img = np.zeros((1, 1, 3), np.float32)
+    cond_cdf, cond_int, marg_cdf = _build_env_distribution(env_img)
+
     return LightTable(
         kind=jnp.asarray(kind_a),
         L=jnp.asarray(L_a),
@@ -224,9 +247,39 @@ def build_light_table(
         power_pmf=jnp.asarray(pmf.astype(np.float32)),
         power_cdf=jnp.asarray(np.cumsum(pmf).astype(np.float32)),
         world_radius=jnp.float32(world_radius),
+        env_map=jnp.asarray(env_img),
+        env_cond_cdf=jnp.asarray(cond_cdf),
+        env_cond_int=jnp.asarray(cond_int),
+        env_marg_cdf=jnp.asarray(marg_cdf),
+        env_w2l=jnp.asarray(env_w2l),
+        env_l2w=jnp.asarray(env_l2w),
         n_lights=n,
         has_infinite=has_infinite,
+        env_light_row=env_row,
     )
+
+
+def _build_env_distribution(img: np.ndarray):
+    """Distribution2D over luminance * sin(theta)
+    (infinite.cpp ctor + core/sampling.h Distribution2D)."""
+    he, we = img.shape[:2]
+    lum = (0.212671 * img[..., 0] + 0.715160 * img[..., 1]
+           + 0.072169 * img[..., 2]).astype(np.float64)
+    sin_t = np.sin(np.pi * (np.arange(he) + 0.5) / he)
+    f = lum * sin_t[:, None]
+    cond_int = f.sum(axis=1) / we
+    cond_cdf = np.zeros((he, we + 1))
+    cond_cdf[:, 1:] = np.cumsum(f, axis=1) / we
+    safe = np.where(cond_int > 0, cond_int, 1.0)[:, None]
+    cond_cdf = np.where(cond_int[:, None] > 0, cond_cdf / safe,
+                        np.linspace(0, 1, we + 1)[None, :])
+    marg_int = cond_int.sum() / he
+    marg_cdf = np.zeros(he + 1)
+    marg_cdf[1:] = np.cumsum(cond_int) / he
+    marg_cdf = (marg_cdf / marg_int if marg_int > 0
+                else np.linspace(0, 1, he + 1))
+    return (cond_cdf.astype(np.float32), cond_int.astype(np.float32),
+            marg_cdf.astype(np.float32))
 
 
 class LightSample(NamedTuple):
@@ -335,10 +388,16 @@ def sample_li(lt: LightTable, idx: jnp.ndarray, ref_p: jnp.ndarray,
     emits_sph = (par[:, 3] > 0) | (dot(n_sphere, -wi_sphere) > 0)
     li_sphere = jnp.where(emits_sph[:, None], L, 0.0)
 
-    # --- infinite (constant radiance; uniform sphere) ---
-    wi_inf = uniform_sample_sphere(u, v)
+    # --- infinite: envmap 2D-CDF importance sampling when a map exists,
+    # else uniform sphere over constant radiance (infinite.cpp Sample_Li) ---
+    if lt.env_light_row >= 0:
+        wi_inf, li_env, pdf_inf = env_sample(lt, u, v)
+        li_inf = li_env
+    else:
+        wi_inf = uniform_sample_sphere(u, v)
+        pdf_inf = jnp.full(u.shape, 1.0 / (4 * np.pi), jnp.float32)
+        li_inf = L
     p_inf = ref_p + wi_inf * (2.0 * wr)
-    pdf_inf = jnp.full(u.shape, 1.0 / (4 * np.pi), jnp.float32)
 
     def sel(k):
         return (kind == k)[:, None]
@@ -351,7 +410,7 @@ def sample_li(lt: LightTable, idx: jnp.ndarray, ref_p: jnp.ndarray,
          jnp.where(sel(LIGHT_SPOT), li_spot,
          jnp.where(sel(LIGHT_DISTANT), L,
          jnp.where(sel(LIGHT_AREA_TRI), li_tri,
-         jnp.where(sel(LIGHT_AREA_SPHERE), li_sphere, L)))))
+         jnp.where(sel(LIGHT_AREA_SPHERE), li_sphere, li_inf)))))
     pdf = jnp.where(kind == LIGHT_AREA_TRI, pdf_tri,
           jnp.where(kind == LIGHT_AREA_SPHERE, pdf_sphere,
           jnp.where(kind == LIGHT_INFINITE, pdf_inf, 1.0)))
@@ -398,8 +457,111 @@ def pdf_li_from_hit(lt: LightTable, light_idx: jnp.ndarray,
     pdf_area = d2 / jnp.maximum(cos_l * 4 * np.pi * r * r, 1e-12)
     pdf_sph = jnp.where(outside, pdf_cone, pdf_area)
 
-    pdf_inf = jnp.full(d2.shape, 1.0 / (4 * np.pi), jnp.float32)
+    if lt.env_light_row >= 0:
+        pdf_inf = env_pdf(lt, wi)
+    else:
+        pdf_inf = jnp.full(d2.shape, 1.0 / (4 * np.pi), jnp.float32)
 
     return jnp.where(kind == LIGHT_AREA_TRI, pdf_tri,
            jnp.where(kind == LIGHT_AREA_SPHERE, pdf_sph,
            jnp.where(kind == LIGHT_INFINITE, pdf_inf, 0.0)))
+
+
+# ---------------------------------------------------------------------------
+# environment map (infinite.cpp): direction <-> (u,v), sampling, pdf, Le
+# ---------------------------------------------------------------------------
+
+def _env_dir_to_uv(lt: LightTable, d):
+    m = lt.env_w2l
+    x = m[0, 0] * d[:, 0] + m[0, 1] * d[:, 1] + m[0, 2] * d[:, 2]
+    y = m[1, 0] * d[:, 0] + m[1, 1] * d[:, 1] + m[1, 2] * d[:, 2]
+    z = m[2, 0] * d[:, 0] + m[2, 1] * d[:, 1] + m[2, 2] * d[:, 2]
+    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+    return phi * (0.5 / np.pi), theta * (1.0 / np.pi), theta
+
+
+def _cdf_invert(cdf, u):
+    """Continuous inversion of a (n+1,) CDF: returns (index, fraction,
+    pdf) like Distribution1D::SampleContinuous."""
+    n = cdf.shape[0] - 1
+    i = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, n - 1)
+    lo = cdf[i]
+    hi = cdf[i + 1]
+    du = jnp.where(hi > lo, (u - lo) / jnp.maximum(hi - lo, 1e-20), 0.0)
+    pdf = (hi - lo) * n
+    return i, du, pdf
+
+
+def env_sample(lt: LightTable, u1, u2):
+    """Sample the environment map: returns (wi, Li, solid-angle pdf)."""
+    he, we = lt.env_map.shape[:2]
+    vi, dv, pdf_v = _cdf_invert(lt.env_marg_cdf, u2)
+    rows = lt.env_cond_cdf[vi]  # (N, we+1)
+    nn = rows.shape[0]
+    # per-lane row CDF inversion
+    ui = jnp.clip(
+        jax.vmap(lambda r, uu: jnp.searchsorted(r, uu, side="right"))(rows, u1)
+        - 1, 0, we - 1)
+    lane = jnp.arange(nn)
+    lo = rows[lane, ui]
+    hi = rows[lane, ui + 1]
+    du = jnp.where(hi > lo, (u1 - lo) / jnp.maximum(hi - lo, 1e-20), 0.0)
+    pdf_u = (hi - lo) * we
+    uu = (ui.astype(jnp.float32) + du) / we
+    vv = (vi.astype(jnp.float32) + dv) / he
+    theta = vv * np.pi
+    phi = uu * 2 * np.pi
+    sin_t = jnp.sin(theta)
+    wl = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                    jnp.cos(theta)], axis=-1)
+    m = lt.env_l2w
+    wi = jnp.stack([
+        m[0, 0] * wl[:, 0] + m[0, 1] * wl[:, 1] + m[0, 2] * wl[:, 2],
+        m[1, 0] * wl[:, 0] + m[1, 1] * wl[:, 1] + m[1, 2] * wl[:, 2],
+        m[2, 0] * wl[:, 0] + m[2, 1] * wl[:, 1] + m[2, 2] * wl[:, 2],
+    ], axis=-1)
+    li = lt.env_map[jnp.clip(vi, 0, he - 1), jnp.clip(ui, 0, we - 1)]
+    pdf = jnp.where(sin_t > 1e-7,
+                    pdf_u * pdf_v / (2.0 * np.pi * np.pi * sin_t), 0.0)
+    return wi, li, pdf
+
+
+def env_pdf(lt: LightTable, wi):
+    """Solid-angle pdf of env_sample producing wi (infinite.cpp Pdf_Li)."""
+    he, we = lt.env_map.shape[:2]
+    uu, vv, theta = _env_dir_to_uv(lt, wi)
+    ui = jnp.clip((uu * we).astype(jnp.int32), 0, we - 1)
+    vi = jnp.clip((vv * he).astype(jnp.int32), 0, he - 1)
+    pdf_v = (lt.env_marg_cdf[vi + 1] - lt.env_marg_cdf[vi]) * he
+    lane_rows = lt.env_cond_cdf[vi]
+    n = lane_rows.shape[0]
+    lane = jnp.arange(n)
+    pdf_u = (lane_rows[lane, ui + 1] - lane_rows[lane, ui]) * we
+    sin_t = jnp.sin(theta)
+    return jnp.where(sin_t > 1e-7,
+                     pdf_u * pdf_v / (2.0 * np.pi * np.pi * sin_t), 0.0)
+
+
+def env_le(lt: LightTable, d):
+    """Escaped-ray radiance from the environment map (infinite.cpp Le),
+    bilinear-filtered."""
+    he, we = lt.env_map.shape[:2]
+    uu, vv, _ = _env_dir_to_uv(lt, d)
+    x = uu * we - 0.5
+    y = vv * he - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def fetch(xi, yi):
+        return lt.env_map[jnp.clip(yi, 0, he - 1), jnp.mod(xi, we)]
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)

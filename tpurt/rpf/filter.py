@@ -116,12 +116,16 @@ def _mutual_information(cols, mask, n, bins, b_max):
 
     hist = jnp.sum(onehot, axis=0)  # (19, B) marginals
 
+    # ALL 19x19 joint histograms as ONE matmul over the (19*B) axis — an
+    # MXU-shaped contraction; per-pair gathers would materialize a
+    # (pixels, 96, B, N) tensor (measured 12 GB at a 4096-pixel chunk).
+    flat = onehot.reshape(onehot.shape[0], -1)  # (N, 19*B)
+    joint_all = jnp.dot(flat.T, flat,
+                        preferred_element_type=jnp.float32)
+    joint_all = joint_all.reshape(19, b_max, 19, b_max)
     a_idx = jnp.asarray(_PAIRS[:, 0])
     b_idx = jnp.asarray(_PAIRS[:, 1])
-    oa = jnp.transpose(onehot[:, a_idx, :], (1, 2, 0))  # (96, B, N)
-    ob = jnp.transpose(onehot[:, b_idx, :], (1, 0, 2))  # (96, N, B)
-    joint = jnp.einsum("pbn,pnc->pbc", oa, ob,
-                       preferred_element_type=jnp.float32)  # (96,B,B)
+    joint = joint_all[a_idx, :, b_idx, :]  # (96, B, B)
 
     total = jnp.maximum(n.astype(jnp.float32), 1.0)
     p_xy = joint / total
@@ -220,7 +224,7 @@ def _filter_pixel(own, window, window_valid, window_center, box_size, b_max):
 
 
 def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
-                     pixel_chunk: int = 4096) -> jnp.ndarray:
+                     pixel_chunk: int = 256) -> jnp.ndarray:
     """One ApplyRPFFilter pass over the full sample buffer.
 
     buffer: (H, W, S, 19).  Returns the buffer with filtered colors.

@@ -106,6 +106,19 @@ def compute_radical_inverse_permutations() -> np.ndarray:
         perms = np.load(cache)
         if len(perms) == int(PRIMES.sum()):
             return perms
+    try:
+        from tpurt.native import gen_halton_perms_native
+
+        perms = gen_halton_perms_native(PRIMES)
+        if perms is not None:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                np.save(cache, perms)
+            except OSError:
+                pass
+            return perms
+    except ImportError:
+        pass
     rng = PCG32()
     total = int(PRIMES.sum())
     perms = np.zeros(total, dtype=np.uint16)
