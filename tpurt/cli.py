@@ -78,6 +78,10 @@ def main(argv=None) -> int:
 
         write_image(out, img)
         log.info("wrote %s (%dx%d)", out, img.shape[1], img.shape[0])
+        if not args.quiet:
+            from tpurt.utils.stats import print_stats
+
+            print_stats()
     return 0
 
 

@@ -48,6 +48,7 @@ class RenderJob(NamedTuple):
     cfg: IntegratorConfig
     integrator_name: str
     integrator_params: object
+    texture_eval: object = None  # per-wavefront material texture overrides
 
 
 def make_integrator_config(sd: SceneDescription,
@@ -101,12 +102,27 @@ def build_job(sd: SceneDescription, quick: bool = False,
         area_records.append((key, prim.area_light))
         return len(area_records) - 1
 
+    from tpurt.utils.stats import STATS
+
+    media_names = list(sd.media)
+
+    def medium_index(name: str) -> int:
+        return media_names.index(name) if name in media_names else -1
+
     t0 = time.time()
     geo_h = flatten_geometry(
         sd.primitives, mat_index, arealight_index,
         max_prims_per_leaf=(sd.accelerator_params.find_one_int(
             "maxnodeprims", 4) if sd.accelerator_params else 4),
+        medium_index=medium_index,
     )
+    STATS.phase_times["Scene flatten + BVH build"] += time.time() - t0
+    STATS.counter("Scene/Primitives", geo_h.n_prims)
+    STATS.counter("Scene/BVH nodes", geo_h.bvh.n_nodes)
+    STATS.counter("Scene/Triangles", geo_h.n_tris)
+    STATS.counter("Scene/Quadrics", geo_h.n_quads)
+    STATS.memory_counter("Memory/BVH tree", geo_h.bvh.n_nodes * 64)
+    STATS.memory_counter("Memory/Primitive tables", geo_h.n_prims * 64)
     log.info("scene flatten + BVH build: %.2fs (%d prims, %d nodes)",
              time.time() - t0, geo_h.n_prims, geo_h.bvh.n_nodes)
 
@@ -115,12 +131,27 @@ def build_job(sd: SceneDescription, quick: bool = False,
         sd.lights, geo_h,
         [(r.L, r.scale, r.two_sided) for _k, r in area_records],
     )
+    if media_names:
+        sig_t = np.stack([sd.media[n].sigma_a + sd.media[n].sigma_s
+                          for n in media_names]).astype(np.float32)
+        sig_s = np.stack([sd.media[n].sigma_s
+                          for n in media_names]).astype(np.float32)
+        g_arr = np.asarray([sd.media[n].g for n in media_names], np.float32)
+    else:
+        sig_t = np.zeros((1, 3), np.float32)
+        sig_s = np.zeros((1, 3), np.float32)
+        g_arr = np.zeros(1, np.float32)
     scene = SceneData(
         geo=DeviceGeometry.from_host(geo_h),
         lights=lights,
         mt_table=jnp.asarray(mt.table),
         mt_k3=jnp.asarray(mt.k3),
         mt_kinds=jnp.asarray(mt.kinds),
+        med_sigma_t=jnp.asarray(sig_t),
+        med_sigma_s=jnp.asarray(sig_s),
+        med_g=jnp.asarray(g_arr),
+        camera_medium=medium_index(sd.camera_medium),
+        has_media=bool(media_names),
     )
 
     filt = make_filter(sd.filter_name, sd.filter_params)
@@ -132,9 +163,13 @@ def build_job(sd: SceneDescription, quick: bool = False,
     camera = make_camera(sd.camera_name, sd.camera_params, sd.camera_to_world,
                          res_x, res_y)
     cfg = make_integrator_config(sd)
+    from tpurt.render.texeval import make_texture_eval
+
+    tex_eval = make_texture_eval(mt, scene.mt_table)
     return RenderJob(scene=scene, camera=camera, sampler=sampler, film=film,
                      cfg=cfg, integrator_name=cfg.name,
-                     integrator_params=sd.integrator_params)
+                     integrator_params=sd.integrator_params,
+                     texture_eval=tex_eval)
 
 
 def _chunk_lanes(film: Film, spp: int, chunk: int):
@@ -183,24 +218,28 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
     @partial(jax.jit, static_argnums=(3,), donate_argnums=(7,))
     def step(scene, camera, smplr, cfg, px, py, sidx, state, mask):
         out = radiance_fn(scene, smplr, camera, px, py, sidx, cfg,
-                          crop_xy=(x0, y0))
+                          crop_xy=(x0, y0), texture_eval=job.texture_eval)
         return film.add_samples(state, out["p_film"], out["L"],
                                 out["ray_weight"], mask=mask)
+
+    from tpurt.utils.stats import STATS, ProgressReporter
 
     state = film.initial_state()
     total = film.width * film.height * spp
     done = 0
     t0 = time.time()
+    reporter = ProgressReporter(total, "Rendering", quiet=not progress)
     for px, py, sidx, mask in _chunk_lanes(film, spp, chunk):
         state = step(job.scene, job.camera, job.sampler, job.cfg,
                      jnp.asarray(px), jnp.asarray(py), jnp.asarray(sidx),
                      state, jnp.asarray(mask))
-        done += int(mask.sum())
-        if progress:
-            el = time.time() - t0
-            log.info("rendered %d/%d samples (%.1f%%, %.1fs)",
-                     done, total, 100.0 * done / total, el)
+        n_done = int(mask.sum())
+        done += n_done
+        reporter.update(n_done)
     jax.block_until_ready(state.rgb)
+    reporter.done_report()
+    STATS.counter("Integrator/Camera rays traced", done)
+    STATS.phase_times["Render (trace + film)"] += time.time() - t0
     log.info("render complete: %.2fs (%.2f Msamples/s)",
              time.time() - t0, done / max(time.time() - t0, 1e-9) / 1e6)
     img = film.to_image(state)

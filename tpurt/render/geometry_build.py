@@ -79,6 +79,9 @@ class GeometryArrays:
     # prim row layout
     n_tris: int = 0
     n_quads: int = 0
+    # media interface per prim (-1 = vacuum)
+    medium_inside: np.ndarray = None  # (P,) i32
+    medium_outside: np.ndarray = None  # (P,) i32
 
     @property
     def n_prims(self) -> int:
@@ -123,9 +126,13 @@ def flatten_geometry(
     arealight_index,  # callable: (PrimitiveRecord, local_index) -> int
     max_prims_per_leaf: int = 4,
     split_method: str = "sah",
+    medium_index=None,  # callable: medium name -> int (-1 vacuum)
 ) -> GeometryArrays:
+    if medium_index is None:
+        medium_index = lambda name: -1
     tri_v0, tri_v1, tri_v2, tri_vi = [], [], [], []
     prim_type, mat_id, al_id, flags, quad_id = [], [], [], [], []
+    med_in, med_out = [], []
     vert_n, vert_uv, vert_s = [], [], []
     quads_w2o, quads_o2w, quads_params = [], [], []
     blo, bhi = [], []
@@ -137,6 +144,8 @@ def flatten_geometry(
             (FLAG_REVERSE_ORIENTATION if prim.reverse_orientation else 0)
             | (FLAG_XFORM_SWAPS_HANDEDNESS if prim.transform_swaps_handedness else 0)
         )
+        mi_in = medium_index(prim.medium_inside)
+        mi_out = medium_index(prim.medium_outside)
         shape = prim.shape
         if isinstance(shape, TriangleMeshRecord):
             V = shape.vertices
@@ -160,6 +169,8 @@ def flatten_geometry(
             al_id.append(np.full(n_tri, a, np.int32))
             flags.append(np.full(n_tri, f, np.int32))
             quad_id.append(np.full(n_tri, -1, np.int32))
+            med_in.append(np.full(n_tri, mi_in, np.int32))
+            med_out.append(np.full(n_tri, mi_out, np.int32))
             blo.append(np.minimum(np.minimum(v0, v1), v2))
             bhi.append(np.maximum(np.maximum(v0, v1), v2))
             vert_n.append(shape.normals if shape.normals is not None
@@ -187,6 +198,8 @@ def flatten_geometry(
             al_id.append(np.array([arealight_index(prim, None)], np.int32))
             flags.append(np.array([base_flags], np.int32))
             quad_id.append(np.array([qi], np.int32))
+            med_in.append(np.array([mi_in], np.int32))
+            med_out.append(np.array([mi_out], np.int32))
             tri_v0.append(np.zeros((1, 3), np.float32))
             tri_v1.append(np.zeros((1, 3), np.float32))
             tri_v2.append(np.zeros((1, 3), np.float32))
@@ -206,6 +219,8 @@ def flatten_geometry(
         al_id.append(np.array([-1], np.int32))
         flags.append(np.array([0], np.int32))
         quad_id.append(np.array([-1], np.int32))
+        med_in.append(np.array([-1], np.int32))
+        med_out.append(np.array([-1], np.int32))
         for t in (tri_v0, tri_v1, tri_v2):
             t.append(np.zeros((1, 3), np.float32))
         tri_vi.append(np.zeros((1, 3), np.int64))
@@ -222,6 +237,8 @@ def flatten_geometry(
     al_id = cat(al_id, np.int32, (0,))
     flags = cat(flags, np.int32, (0,))
     quad_idx = cat(quad_id, np.int32, (0,))
+    med_in = cat(med_in, np.int32, (0,))
+    med_out = cat(med_out, np.int32, (0,))
     tri_v0 = cat(tri_v0, np.float32, (0, 3))
     tri_v1 = cat(tri_v1, np.float32, (0, 3))
     tri_v2 = cat(tri_v2, np.float32, (0, 3))
@@ -253,6 +270,8 @@ def flatten_geometry(
         al_id = np.concatenate([al_id, [-1]]).astype(np.int32)
         flags = np.concatenate([flags, [0]]).astype(np.int32)
         quad_idx = np.concatenate([quad_idx, [-1]]).astype(np.int32)
+        med_in = np.concatenate([med_in, [-1]]).astype(np.int32)
+        med_out = np.concatenate([med_out, [-1]]).astype(np.int32)
         tri_v0 = np.concatenate([tri_v0, np.zeros((1, 3), np.float32)])
         tri_v1 = np.concatenate([tri_v1, np.zeros((1, 3), np.float32)])
         tri_v2 = np.concatenate([tri_v2, np.zeros((1, 3), np.float32)])
@@ -317,6 +336,8 @@ def flatten_geometry(
         vert_n=pad_rows(v_n, v_bucket),
         vert_uv=pad_rows(v_uv, v_bucket),
         vert_s=pad_rows(v_s, v_bucket),
+        medium_inside=pad_rows(med_in[perm], p_bucket, -1),
+        medium_outside=pad_rows(med_out[perm], p_bucket, -1),
         quad_id=pad_rows(quad_idx[perm], p_bucket, -1),
         quad_w2o=pad_rows(q_w2o, q_bucket),
         quad_o2w=pad_rows(q_o2w, q_bucket),

@@ -78,6 +78,20 @@ class SceneData(NamedTuple):
     mt_table: jnp.ndarray
     mt_k3: jnp.ndarray
     mt_kinds: jnp.ndarray
+    # participating media (homogeneous; media/homogeneous.cpp)
+    med_sigma_t: jnp.ndarray = None  # (M,3)
+    med_sigma_s: jnp.ndarray = None  # (M,3)
+    med_g: jnp.ndarray = None  # (M,)
+    camera_medium: int = -1
+    has_media: bool = False
+
+
+from tpurt.pytrees import register_static_pytree  # noqa: E402
+
+register_static_pytree(SceneData, [
+    "geo", "lights", "mt_table", "mt_k3", "mt_kinds",
+    "med_sigma_t", "med_sigma_s", "med_g",
+])
 
 
 def _emitted(scene: SceneData, si: SurfaceInteraction):
@@ -363,9 +377,267 @@ def ao_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     return {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}
 
 
+
+
+# ---------------------------------------------------------------------------
+# volumetric path tracing (integrators/volpath.cpp + media/homogeneous.cpp)
+# ---------------------------------------------------------------------------
+
+DIMS_PER_BOUNCE_VOL = 9  # + medium channel/distance dims
+
+
+def _hg_phase(cos_theta, g):
+    """Henyey-Greenstein phase function (medium.h PhaseHG)."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return (1.0 - g * g) / (4.0 * np.pi * denom
+                            * jnp.sqrt(jnp.maximum(denom, 1e-9)))
+
+
+def _hg_sample(d, g, u1, u2):
+    """Sample a scattered direction about propagation direction d
+    (HenyeyGreenstein::Sample_p)."""
+    g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+    cos_hg = (1.0 + g * g - sqr * sqr) / (2.0 * g_safe)
+    cos_theta = jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u1,
+                          jnp.clip(cos_hg, -1.0, 1.0))
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * np.pi * u2
+    t, b = build_onb(d)
+    local = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                       cos_theta], axis=-1)
+    return to_world(t, b, d, local), _hg_phase(cos_theta, g)
+
+
+def _medium_tr(scene: SceneData, med, dist):
+    """Beer-Lambert transmittance through the given medium ids over dist
+    (homogeneous.cpp Tr).  NOTE: single-segment — intervening interface
+    crossings along shadow rays are not tracked yet (the reference's
+    VisibilityTester::Tr walks them; documented v1 simplification)."""
+    sig_t = scene.med_sigma_t[jnp.maximum(med, 0)]
+    tr = jnp.exp(-sig_t * jnp.minimum(dist, 3.4e37)[:, None])
+    return jnp.where((med >= 0)[:, None], tr, 1.0)
+
+
+def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
+                     cfg: IntegratorConfig, crop_xy=(0, 0),
+                     texture_eval=None) -> Dict[str, Any]:
+    """Volumetric path tracer: per bounce, sample the medium along the ray
+    (homogeneous closed-form distance sampling); scatter in-medium with the
+    HG phase function or shade the surface; pass through null-material
+    interface boundaries updating the current medium.
+
+    Deviations from volpath.cpp (documented): shadow-ray transmittance uses
+    the vertex's current medium only (no interface walking), and null-
+    boundary crossings consume a bounce (the reference's bounces-- retry
+    does not fit a fixed scan).
+    """
+    if not scene.has_media:
+        return path_radiance(scene, sampler, camera, px, py, sidx, cfg,
+                             crop_xy, texture_eval)
+
+    n = px.shape[0]
+    p_film, p_film_crop, p_lens, o, d, ray_w = _camera_setup(
+        sampler, camera, px, py, sidx, crop_xy)
+
+    inf_L, _ = _infinite_L(scene.lights)
+    has_inf = scene.lights.has_infinite
+    uniform_strategy = cfg.light_strategy not in ("power", "spatial")
+
+    v0 = px.astype(jnp.float32) * 0.0
+    v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
+
+    def nee_from(scene, si, lobes, u_choice, u_light, alive, med, is_medium,
+                 g_med):
+        """NEE supporting both surface and in-medium vertices."""
+        lt = scene.lights
+        lidx, pmf = choose_light(lt, u_choice,
+                                 "power" if cfg.light_strategy in
+                                 ("power", "spatial") else "uniform")
+        ls = sample_li(lt, lidx, si.p, u_light)
+        # surface f / pdf
+        t, b = build_onb(si.ns)
+        wo_l = to_local(t, b, si.ns, si.wo)
+        wi_l = to_local(t, b, si.ns, ls.wi)
+        f_surf = bsdf_f(lobes, wo_l, wi_l) * jnp.abs(dot(ls.wi, si.ns))[:, None]
+        pdf_surf = bsdf_pdf(lobes, wo_l, wi_l)
+        # medium phase f / pdf (f == pdf for a normalized phase function)
+        cos_t = dot(-si.wo, ls.wi)  # si.wo = -ray.d -> propagation = -wo
+        ph = _hg_phase(cos_t, g_med)
+        f_med = jnp.repeat(ph[:, None], 3, axis=-1)
+        f = jnp.where(is_medium[:, None], f_med, f_surf)
+        scatter_pdf = jnp.where(is_medium, ph, pdf_surf)
+
+        usable = (alive & (ls.pdf > 0) & jnp.any(ls.li > 0, axis=-1)
+                  & jnp.any(f > 0, axis=-1))
+        o_sh = jnp.where(is_medium[:, None], si.p,
+                         offset_ray_origin(si.p, si.ng, ls.wi))
+        dist = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
+        t_max = jnp.where(usable, dist * (1.0 - SHADOW_EPS) - 2e-3
+                          * jnp.maximum(1.0,
+                                        jnp.max(jnp.abs(ls.p_light), axis=-1)),
+                          0.0)
+        occluded = intersect_any(scene.geo, o_sh, ls.wi,
+                                 jnp.maximum(t_max, 0.0))
+        tr = _medium_tr(scene, med, dist)
+        w = jnp.where(ls.is_delta, 1.0,
+                      power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
+        contrib = f * ls.li * tr * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
+        return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
+
+    def bounce_body(carry, bounce):
+        (o, d, beta, L, alive, specular, prev_pdf, prev_p, med) = carry
+
+        t_max = jnp.where(alive, INF, 0.0)
+        hit = intersect_closest(scene.geo, o, d, t_max)
+        si = compute_interaction(scene.geo, hit, o, d)
+        t_surf = jnp.where(si.valid, hit.t, INF)
+
+        d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE_VOL
+        # ---- medium sampling (homogeneous.cpp Sample) ----
+        u_ch = sampler.dim_dyn(px, py, sidx, d0)
+        u_dist = sampler.dim_dyn(px, py, sidx, d0 + 1)
+        in_med = med >= 0
+        sig_t = scene.med_sigma_t[jnp.maximum(med, 0)]
+        sig_s = scene.med_sigma_s[jnp.maximum(med, 0)]
+        g_med = scene.med_g[jnp.maximum(med, 0)]
+        ch = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
+        sig_ch = jnp.take_along_axis(sig_t, ch[:, None], axis=-1)[:, 0]
+        dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(
+            sig_ch, 1e-20)
+        sampled_med = alive & in_med & (dist < t_surf) & (sig_ch > 0)
+        t_min = jnp.minimum(jnp.minimum(dist, t_surf), 3.4e37)
+        tr = jnp.exp(-sig_t * t_min[:, None])
+        dens = jnp.where(sampled_med[:, None], sig_t * tr, tr)
+        pdf_m = jnp.maximum(jnp.mean(dens, axis=-1), 1e-20)
+        thru = jnp.where(sampled_med[:, None], tr * sig_s, tr) / pdf_m[:, None]
+        beta = jnp.where((alive & in_med)[:, None], beta * thru, beta)
+
+        # ---- emitted at surfaces (only when the surface was reached) ----
+        reach_surf = alive & si.valid & ~sampled_med
+        Le, lrow = _emitted(scene, si)
+        lrow_c = jnp.maximum(lrow, 0)
+        light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p,
+                                    si.ng)
+        pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n)
+        w_mis = power_heuristic(1.0, prev_pdf, 1.0, light_pdf * pmf)
+        w_emit = jnp.where((bounce == 0) | specular, 1.0, w_mis)
+        L = L + jnp.where(reach_surf[:, None], beta * Le * w_emit[:, None], 0.0)
+        if has_inf:
+            if uniform_strategy:
+                pmf_inf = 1.0 / scene.lights.n_lights
+            else:
+                inf_mask = scene.lights.kind == LIGHT_INFINITE
+                pmf_inf = jnp.sum(jnp.where(inf_mask, scene.lights.power_pmf,
+                                            0.0))
+            w_mis_inf = power_heuristic(
+                1.0, prev_pdf, 1.0, _escape_pdf(scene.lights, d) * pmf_inf)
+            w_inf = jnp.where((bounce == 0) | specular, 1.0, w_mis_inf)
+            Le_inf = _escape_radiance(scene.lights, inf_L, d)
+            L = L + jnp.where((alive & ~si.valid & ~sampled_med)[:, None],
+                              beta * Le_inf * w_inf[:, None], 0.0)
+
+        alive = alive & (si.valid | sampled_med) & (bounce < cfg.max_depth)
+
+        # medium-interaction point
+        p_med = o + t_min[:, None] * d
+        si_eff = si._replace(
+            p=jnp.where(sampled_med[:, None], p_med, si.p),
+            wo=jnp.where(sampled_med[:, None], -d, si.wo),
+        )
+
+        overrides = texture_eval(si) if texture_eval is not None else None
+        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
+                            si.material_id, overrides)
+        any_lobe = jnp.any(lobes.active, axis=-1)
+        # null-material boundary: pass through + switch media
+        null_boundary = (alive & si.valid & ~sampled_med & ~any_lobe
+                         & ((scene.geo.medium_inside[jnp.maximum(si.prim, 0)]
+                             >= 0)
+                            | (scene.geo.medium_outside[
+                                jnp.maximum(si.prim, 0)] >= 0)))
+        entering = dot(d, si.ng) < 0
+        new_med = jnp.where(
+            entering, scene.geo.medium_inside[jnp.maximum(si.prim, 0)],
+            scene.geo.medium_outside[jnp.maximum(si.prim, 0)])
+        med = jnp.where(null_boundary, new_med, med)
+
+        alive_shade = alive & (sampled_med | (si.valid & any_lobe))
+
+        # ---- NEE ----
+        u_choice = sampler.dim_dyn(px, py, sidx, d0 + 2)
+        u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 3),
+                             sampler.dim_dyn(px, py, sidx, d0 + 4)], axis=-1)
+        Ld = nee_from(scene, si_eff, lobes, u_choice, u_light, alive_shade,
+                      med, sampled_med, g_med)
+        L = L + beta * Ld
+
+        # ---- continuation: phase sample (medium) or BSDF sample ----
+        u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 5)
+        u1 = sampler.dim_dyn(px, py, sidx, d0 + 6)
+        u2 = sampler.dim_dyn(px, py, sidx, d0 + 7)
+        t, b = build_onb(si.ns)
+        wo_l = to_local(t, b, si.ns, si.wo)
+        wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe,
+                                                      u1, u2)
+        wi_surf = to_world(t, b, si.ns, wi_l)
+        wi_med, _ph = _hg_sample(d, g_med, u1, u2)
+        wi = jnp.where(sampled_med[:, None], wi_med, wi_surf)
+
+        ok_surf = (pdf > 0) & jnp.any(f > 0, axis=-1)
+        thru_surf = f * (jnp.abs(dot(wi_surf, si.ns))
+                         / jnp.maximum(pdf, 1e-20))[:, None]
+        # phase: f/pdf == 1
+        thru_c = jnp.where(sampled_med[:, None], 1.0, thru_surf)
+        ok = alive_shade & (sampled_med | ok_surf) | (null_boundary)
+        beta = jnp.where((alive_shade & ~sampled_med & ok_surf)[:, None],
+                         beta * thru_surf, beta)
+        specular = jnp.where(sampled_med, False,
+                             jnp.where(null_boundary, specular, is_spec))
+        prev_pdf = jnp.where(sampled_med, _ph,
+                             jnp.where(null_boundary, prev_pdf,
+                                       jnp.maximum(pdf, 1e-20)))
+        prev_p_old = prev_p
+        prev_p = si_eff.p
+        # null boundary keeps direction; medium scatter from p_med
+        d_new = jnp.where(null_boundary[:, None], d, wi)
+        o_new = jnp.where(sampled_med[:, None], p_med,
+                          offset_ray_origin(si.p, si.ng, d_new))
+        alive = (alive_shade & (sampled_med | ok_surf)) | null_boundary
+        o = o_new
+        d = d_new
+        # pass-through boundaries are not path vertices (volpath.cpp's
+        # bounces-- retry): keep the previous REAL vertex's MIS state
+        prev_p = jnp.where(null_boundary[:, None], prev_p_old, prev_p)
+
+        # transmission through a surface switches media too
+        surf_trans = alive & ~sampled_med & ~null_boundary & is_trans
+        med = jnp.where(surf_trans, new_med, med)
+
+        # ---- Russian roulette ----
+        u_rr = sampler.dim_dyn(px, py, sidx, d0 + 8)
+        rr_beta = jnp.max(beta, axis=-1)
+        q = jnp.maximum(0.05, 1.0 - rr_beta)
+        do_rr = (rr_beta < cfg.rr_threshold) & (bounce > 3) & alive
+        killed = do_rr & (u_rr < q)
+        alive = alive & ~killed
+        beta = jnp.where((do_rr & ~killed)[:, None],
+                         beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+
+        return (o, d, beta, L, alive, specular, prev_pdf, prev_p, med), None
+
+    med0 = jnp.full((n,), scene.camera_medium, jnp.int32) + v0.astype(jnp.int32)
+    # specular starts True: emitter hits reached only through pass-through
+    # boundaries keep full weight (the bounce==0 test covers the direct case)
+    init = (o, d, v03 + 1.0, v03, px == px, px == px, v0 + 1.0, o, med0)
+    carry, _ = jax.lax.scan(bounce_body, init,
+                            jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
+    return {"p_film": p_film_crop, "L": carry[3], "ray_weight": ray_w}
+
+
 RADIANCE_FNS = {
     "path": path_radiance,
-    "volpath": path_radiance,  # media support later; surface paths identical
+    "volpath": volpath_radiance,
     "rpf": path_radiance,  # rpf = path + sample capture + filter pass
     "directlighting": direct_radiance,
     "whitted": whitted_radiance,

@@ -78,6 +78,9 @@ class DeviceGeometry(NamedTuple):
     quad_w2o: jnp.ndarray
     quad_o2w: jnp.ndarray
     quad_params: jnp.ndarray
+    # media interface per prim (-1 = vacuum)
+    medium_inside: jnp.ndarray = None
+    medium_outside: jnp.ndarray = None
 
     n_tris: int = 0
     n_quads: int = 0
@@ -122,6 +125,10 @@ class DeviceGeometry(NamedTuple):
             vert_s=f(g.vert_s), quad_id=f(g.quad_id),
             quad_w2o=f(g.quad_w2o), quad_o2w=f(g.quad_o2w),
             quad_params=f(g.quad_params),
+            medium_inside=f(g.medium_inside if g.medium_inside is not None
+                            else np.full(p, -1, np.int32)),
+            medium_outside=f(g.medium_outside if g.medium_outside is not None
+                             else np.full(p, -1, np.int32)),
         )
 
 

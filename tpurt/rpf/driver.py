@@ -48,7 +48,7 @@ def fill_sample_buffer(job, chunk: Optional[int] = None):
     @jax.jit
     def trace(scene, camera, smplr, px, py, sidx):
         out = path_radiance(scene, smplr, camera, px, py, sidx, cfg,
-                            crop_xy=(x0, y0))
+                            crop_xy=(x0, y0), texture_eval=job.texture_eval)
         f = out["features"]
         # SampleData layout (sd.h:40-59)
         return jnp.concatenate([

@@ -235,12 +235,32 @@ class PbrtAPI:
         self._verify_options("Camera")
         self.render.camera_name = name
         self.render.camera_params = params
+        self.render.camera_medium = self.graphics.current_outside_medium
         self.camera_to_world = self.cur_transform.inverse()
         self.named_coordinate_systems["camera"] = self.camera_to_world.copy()
 
     def make_named_medium(self, name: str, params: ParamSet) -> None:
         self._verify_initialized("MakeNamedMedium")
         self.named_media[name] = params
+        kind = params.find_one_string("type", "homogeneous")
+        import numpy as _np
+
+        from tpurt.scene.records import MediumRecord
+
+        sig_a = params.find_one_spectrum("sigma_a", _np.array([0.0011, 0.0024, 0.014]))
+        sig_s = params.find_one_spectrum("sigma_s", _np.array([2.55, 3.21, 3.77]))
+        scale = params.find_one_float("scale", 1.0)
+        g = params.find_one_float("g", 0.0)
+        if kind in ("heterogeneous", "grid"):
+            dens = params.find_float_array("density")
+            mean_d = float(_np.mean(dens)) if dens is not None else 1.0
+            log.warning('grid medium "%s" homogenized to its mean density '
+                        '%.4g (ratio-tracked grids: later round)', name, mean_d)
+            scale = scale * mean_d
+        elif kind != "homogeneous":
+            log.warning('medium type "%s" unknown; treating as homogeneous', kind)
+        self.render.media[name] = MediumRecord(
+            name=name, sigma_a=sig_a * scale, sigma_s=sig_s * scale, g=g)
 
     def medium_interface(self, inside: str, outside: str) -> None:
         self._verify_initialized("MediumInterface")
@@ -388,6 +408,8 @@ class PbrtAPI:
                 area_light=area,
                 reverse_orientation=self.graphics.reverse_orientation,
                 transform_swaps_handedness=obj2world.swaps_handedness(),
+                medium_inside=self.graphics.current_inside_medium,
+                medium_outside=self.graphics.current_outside_medium,
             )
             for s in shapes
         ]

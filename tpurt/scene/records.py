@@ -89,12 +89,27 @@ class LightRecord:
 
 
 @dataclasses.dataclass
+class MediumRecord:
+    """Participating medium (media/homogeneous.cpp defaults; grid media
+    currently homogenized to their mean density with a warning)."""
+
+    name: str
+    sigma_a: np.ndarray  # (3,) absorption (already scaled)
+    sigma_s: np.ndarray  # (3,) scattering
+    g: float = 0.0  # Henyey-Greenstein asymmetry
+    index: int = -1
+
+
+@dataclasses.dataclass
 class PrimitiveRecord:
     shape: Any  # TriangleMeshRecord | QuadricRecord
     material: Optional[MaterialRecord]
     area_light: Optional[AreaLightRecord] = None
     reverse_orientation: bool = False
     transform_swaps_handedness: bool = False
+    medium_inside: str = ""
+    medium_outside: str = ""
+
 
 
 @dataclasses.dataclass
@@ -114,6 +129,8 @@ class SceneDescription:
     accelerator_params: ParamSet = None
     primitives: List[PrimitiveRecord] = dataclasses.field(default_factory=list)
     lights: List[LightRecord] = dataclasses.field(default_factory=list)
+    media: Dict[str, "MediumRecord"] = dataclasses.field(default_factory=dict)
+    camera_medium: str = ""  # medium the camera sits in
 
     @property
     def resolution(self) -> Tuple[int, int]:
