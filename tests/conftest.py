@@ -1,26 +1,53 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so the
-suite exercises the multi-chip sharding paths without TPU hardware.  Must
-set the env vars before jax is first imported anywhere."""
+suite exercises the multi-chip sharding paths without TPU hardware.
+
+Backend-selection quirk (verified in this image): a site hook
+(~/.axon_site, active when PALLAS_AXON_POOL_IPS is set) pre-imports jax at
+interpreter startup and force-overrides jax_platforms to "axon,cpu", so
+neither in-process env assignments nor JAX_PLATFORMS in the parent shell
+reliably select the CPU backend.  The robust recipe is to UNSET
+PALLAS_AXON_POOL_IPS and set JAX_PLATFORMS=cpu + XLA_FLAGS before the
+interpreter starts — which requires re-running pytest in a child process
+when the environment isn't already clean.
+"""
 
 import os
+import sys
 
-# NOTE: the environment ships JAX_PLATFORMS=axon globally (the TPU tunnel
-# plugin); force-override it — a setdefault would silently leave tests
-# running on the TPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_FLAG = "--xla_force_host_platform_device_count=8"
+
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        or os.environ.get("JAX_PLATFORMS") != "cpu"
+        or _FLAG not in os.environ.get("XLA_FLAGS", "")):
+    if os.environ.get("TPURT_TEST_REEXEC") == "1":
+        raise RuntimeError("conftest re-exec loop; check environment")
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + _FLAG).strip()
+    env["TPURT_TEST_REEXEC"] = "1"
+    # a plain exec would write into pytest's already-installed fd capture;
+    # run the child and surface its output through pytest.exit instead
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", *sys.argv[1:]],
+        env=env, capture_output=True, text=True)
+    import pytest
+
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-40:])
+    pytest.exit(
+        "re-ran pytest on the local-CPU 8-device backend "
+        "(see tests/conftest.py)\n" + tail,
+        returncode=proc.returncode,
+    )
+
 import jax  # noqa: E402
 
-# Persistent compilation cache: this box has a single CPU core and XLA CPU
-# compiles of the traversal kernels take tens of seconds.  (The env-var
-# spelling is not honored by this jax build; config.update is.)
+# Persistent compilation cache (local-CPU executables); this box has one
+# CPU core and cold compiles of the render step take minutes.
 jax.config.update(
-    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/tpurt/jaxcache")
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/tpurt/jaxcache-cpu-local"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

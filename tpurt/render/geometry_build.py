@@ -200,9 +200,9 @@ def flatten_geometry(
             quad_id.append(np.array([qi], np.int32))
             med_in.append(np.array([mi_in], np.int32))
             med_out.append(np.array([mi_out], np.int32))
-            tri_v0.append(np.zeros((1, 3), np.float32))
-            tri_v1.append(np.zeros((1, 3), np.float32))
-            tri_v2.append(np.zeros((1, 3), np.float32))
+            tri_v0.append(np.full((1, 3), np.nan, np.float32))
+            tri_v1.append(np.full((1, 3), np.nan, np.float32))
+            tri_v2.append(np.full((1, 3), np.nan, np.float32))
             tri_vi.append(np.zeros((1, 3), np.int64))
             qlo, qhi = quadric_bounds(shape)
             blo.append(qlo[None])
@@ -222,7 +222,7 @@ def flatten_geometry(
         med_in.append(np.array([-1], np.int32))
         med_out.append(np.array([-1], np.int32))
         for t in (tri_v0, tri_v1, tri_v2):
-            t.append(np.zeros((1, 3), np.float32))
+            t.append(np.full((1, 3), np.nan, np.float32))
         tri_vi.append(np.zeros((1, 3), np.int64))
         vert_n.append(np.zeros((1, 3), np.float32))
         vert_uv.append(np.zeros((1, 2), np.float32))
@@ -272,9 +272,9 @@ def flatten_geometry(
         quad_idx = np.concatenate([quad_idx, [-1]]).astype(np.int32)
         med_in = np.concatenate([med_in, [-1]]).astype(np.int32)
         med_out = np.concatenate([med_out, [-1]]).astype(np.int32)
-        tri_v0 = np.concatenate([tri_v0, np.zeros((1, 3), np.float32)])
-        tri_v1 = np.concatenate([tri_v1, np.zeros((1, 3), np.float32)])
-        tri_v2 = np.concatenate([tri_v2, np.zeros((1, 3), np.float32)])
+        tri_v0 = np.concatenate([tri_v0, np.full((1, 3), np.nan, np.float32)])
+        tri_v1 = np.concatenate([tri_v1, np.full((1, 3), np.nan, np.float32)])
+        tri_v2 = np.concatenate([tri_v2, np.full((1, 3), np.nan, np.float32)])
         tri_vi = np.concatenate([tri_vi, np.zeros((1, 3), np.int32)])
         blo = np.concatenate([blo, np.zeros((1, 3))])
         bhi = np.concatenate([bhi, np.zeros((1, 3))])
@@ -329,9 +329,9 @@ def flatten_geometry(
         material_id=pad_rows(mat_id[perm], p_bucket, -1),
         arealight_id=pad_rows(al_id[perm], p_bucket, -1),
         flags=pad_rows(flags[perm], p_bucket),
-        tri_v0=pad_rows(tri_v0[perm], p_bucket),
-        tri_v1=pad_rows(tri_v1[perm], p_bucket),
-        tri_v2=pad_rows(tri_v2[perm], p_bucket),
+        tri_v0=pad_rows(tri_v0[perm], p_bucket, np.nan),
+        tri_v1=pad_rows(tri_v1[perm], p_bucket, np.nan),
+        tri_v2=pad_rows(tri_v2[perm], p_bucket, np.nan),
         tri_vi=pad_rows(tri_vi[perm], p_bucket),
         vert_n=pad_rows(v_n, v_bucket),
         vert_uv=pad_rows(v_uv, v_bucket),

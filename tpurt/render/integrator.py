@@ -137,10 +137,18 @@ def _escape_pdf(lights: LightTable, d):
     return jnp.full((d.shape[0],), 1.0 / (4 * np.pi), jnp.float32)
 
 
-def _choice_pmf_at(scene: SceneData, lrow_c, strategy: str, n: int):
+def _choice_pmf_at(scene: SceneData, lrow_c, strategy: str, n: int,
+                   ref_p=None):
+    lt = scene.lights
+    if strategy == "spatial" and lt.spat_res > 1 and ref_p is not None:
+        res = lt.spat_res
+        v = jnp.clip(((ref_p - lt.spat_lo) * lt.spat_inv_extent * res)
+                     .astype(jnp.int32), 0, res - 1)
+        vox = (v[:, 2] * res + v[:, 1]) * res + v[:, 0]
+        return lt.spat_pmf[vox, lrow_c]
     if strategy in ("power", "spatial"):
-        return scene.lights.power_pmf[lrow_c]
-    return jnp.full((n,), 1.0 / scene.lights.n_lights, jnp.float32)
+        return lt.power_pmf[lrow_c]
+    return jnp.full((n,), 1.0 / lt.n_lights, jnp.float32)
 
 
 def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
@@ -148,9 +156,7 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
     """Next-event estimation: one light sample with MIS weighting
     (UniformSampleOneLight + the light half of EstimateDirect)."""
     lt = scene.lights
-    lidx, pmf = choose_light(lt, u_choice,
-                             "power" if strategy in ("power", "spatial")
-                             else "uniform")
+    lidx, pmf = choose_light(lt, u_choice, strategy, p=si.p)
     ls = sample_li(lt, lidx, si.p, u_light)
 
     t, b = build_onb(si.ns)
@@ -230,7 +236,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         Le, lrow = _emitted(scene, si)
         lrow_c = jnp.maximum(lrow, 0)
         light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p, si.ng)
-        pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n)
+        pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n, prev_p)
         w_mis = power_heuristic(1.0, prev_pdf, 1.0, light_pdf * pmf)
         w_emit = jnp.where((bounce == 0) | specular, 1.0, w_mis)
         L = L + jnp.where((alive & si.valid)[:, None],
@@ -451,9 +457,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                  g_med):
         """NEE supporting both surface and in-medium vertices."""
         lt = scene.lights
-        lidx, pmf = choose_light(lt, u_choice,
-                                 "power" if cfg.light_strategy in
-                                 ("power", "spatial") else "uniform")
+        lidx, pmf = choose_light(lt, u_choice, cfg.light_strategy, p=si.p)
         ls = sample_li(lt, lidx, si.p, u_light)
         # surface f / pdf
         t, b = build_onb(si.ns)
@@ -519,7 +523,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         lrow_c = jnp.maximum(lrow, 0)
         light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p,
                                     si.ng)
-        pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n)
+        pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n, prev_p)
         w_mis = power_heuristic(1.0, prev_pdf, 1.0, light_pdf * pmf)
         w_emit = jnp.where((bounce == 0) | specular, 1.0, w_mis)
         L = L + jnp.where(reach_surf[:, None], beta * Le * w_emit[:, None], 0.0)

@@ -75,9 +75,15 @@ class LightTable(NamedTuple):
     env_marg_cdf: jnp.ndarray  # (He+1,) marginal CDF over v
     env_w2l: jnp.ndarray  # (4,4) world-to-light rotation
     env_l2w: jnp.ndarray  # (4,4)
+    # spatial light distribution (lightdistrib.h:100 SpatialLightDistribution)
+    spat_cdf: jnp.ndarray  # (V, L+1) per-voxel light CDFs (V=1 disabled)
+    spat_pmf: jnp.ndarray  # (V, L)
+    spat_lo: jnp.ndarray  # (3,) world bounds for voxel lookup
+    spat_inv_extent: jnp.ndarray  # (3,)
     n_lights: int
     has_infinite: bool
     env_light_row: int = -1  # row index of the envmap infinite light
+    spat_res: int = 1  # voxels per axis (1 = fall back to power pmf)
 
     @property
     def num(self):
@@ -90,7 +96,8 @@ register_static_pytree(LightTable, [
     "kind", "L", "p0", "p1", "params", "tri_v0", "tri_v1", "tri_v2",
     "prim", "prim_to_light", "power_pmf", "power_cdf", "world_radius",
     "env_map", "env_cond_cdf", "env_cond_int", "env_marg_cdf",
-    "env_w2l", "env_l2w",
+    "env_w2l", "env_l2w", "spat_cdf", "spat_pmf", "spat_lo",
+    "spat_inv_extent",
 ])
 
 
@@ -233,6 +240,10 @@ def build_light_table(
         env_img = np.zeros((1, 1, 3), np.float32)
     cond_cdf, cond_int, marg_cdf = _build_env_distribution(env_img)
 
+    spat = _build_spatial_distribution(
+        kind_a, np.stack(p0s), power, np.asarray(world_lo),
+        np.asarray(world_hi))
+
     return LightTable(
         kind=jnp.asarray(kind_a),
         L=jnp.asarray(L_a),
@@ -253,10 +264,48 @@ def build_light_table(
         env_marg_cdf=jnp.asarray(marg_cdf),
         env_w2l=jnp.asarray(env_w2l),
         env_l2w=jnp.asarray(env_l2w),
+        spat_cdf=jnp.asarray(spat[0]),
+        spat_pmf=jnp.asarray(spat[1]),
+        spat_lo=jnp.asarray(spat[2]),
+        spat_inv_extent=jnp.asarray(spat[3]),
+        spat_res=spat[4],
         n_lights=n,
         has_infinite=has_infinite,
         env_light_row=env_row,
     )
+
+
+def _build_spatial_distribution(kinds, positions, power, world_lo, world_hi,
+                                res: int = 8, max_table: int = 1 << 22):
+    """Per-voxel light-choice distributions over a res^3 grid
+    (SpatialLightDistribution, lightdistrib.cpp).  The per-voxel weight is
+    an analytic power/distance^2 estimate from the voxel center rather
+    than the reference's sampled Monte-Carlo estimate — same structure,
+    cheaper eager build (documented deviation)."""
+    n = len(kinds)
+    if n <= 1 or n * res ** 3 > max_table:
+        return (np.zeros((1, n + 1), np.float32), np.zeros((1, n), np.float32),
+                np.zeros(3, np.float32), np.ones(3, np.float32), 1)
+    lo = np.asarray(world_lo, np.float64)
+    hi = np.asarray(world_hi, np.float64)
+    extent = np.maximum(hi - lo, 1e-6)
+    ax = (np.arange(res) + 0.5) / res
+    cz, cy, cx = np.meshgrid(ax, ax, ax, indexing="ij")
+    centers = np.stack([cx, cy, cz], -1).reshape(-1, 3) * extent + lo  # (V,3)
+    voxel_r2 = float(np.sum((extent / res / 2) ** 2))
+    positional = np.isin(kinds, (LIGHT_POINT, LIGHT_SPOT, LIGHT_AREA_TRI,
+                                 LIGHT_AREA_SPHERE))
+    d2 = np.sum((centers[:, None, :] - positions[None, :, :]) ** 2, -1)
+    w = np.where(positional[None, :],
+                 power[None, :] / np.maximum(d2, voxel_r2),
+                 power[None, :] / max(np.sum(extent ** 2), 1e-6))
+    w = np.maximum(w, 0.0)
+    tot = w.sum(axis=1, keepdims=True)
+    pmf = np.where(tot > 0, w / np.where(tot == 0, 1, tot), 1.0 / n)
+    cdf = np.zeros((len(centers), n + 1))
+    cdf[:, 1:] = np.cumsum(pmf, axis=1)
+    return (cdf.astype(np.float32), pmf.astype(np.float32),
+            lo.astype(np.float32), (1.0 / extent).astype(np.float32), res)
 
 
 def _build_env_distribution(img: np.ndarray):
@@ -292,14 +341,27 @@ class LightSample(NamedTuple):
     is_delta: jnp.ndarray  # (N,) bool
 
 
-def choose_light(lt: LightTable, u: jnp.ndarray, strategy: str = "uniform"):
-    """Light selection (lightdistrib.h strategies; 'spatial' currently maps
-    to 'power' — the voxel-grid cache is a later-round item)."""
+def choose_light(lt: LightTable, u: jnp.ndarray, strategy: str = "uniform",
+                 p=None):
+    """Light selection (lightdistrib.h strategies: uniform / power /
+    spatial).  'spatial' uses the per-voxel distributions when the grid was
+    built (multi-light scenes), else degrades to 'power'."""
     if strategy == "uniform" or lt.n_lights == 1:
         idx = jnp.minimum((u * lt.n_lights).astype(jnp.int32), lt.n_lights - 1)
         pmf = jnp.full(u.shape, 1.0 / lt.n_lights, jnp.float32)
         return idx, pmf
-    # power / spatial: CDF inversion
+    if strategy == "spatial" and lt.spat_res > 1 and p is not None:
+        res = lt.spat_res
+        v = jnp.clip(((p - lt.spat_lo) * lt.spat_inv_extent * res)
+                     .astype(jnp.int32), 0, res - 1)
+        vox = (v[:, 2] * res + v[:, 1]) * res + v[:, 0]
+        rows_cdf = lt.spat_cdf[vox]  # (N, L+1)
+        lane = jnp.arange(u.shape[0])
+        idx = jnp.clip(
+            jax.vmap(lambda r, uu: jnp.searchsorted(r, uu, side="right"))(
+                rows_cdf, u) - 1, 0, lt.n_lights - 1).astype(jnp.int32)
+        return idx, lt.spat_pmf[vox, idx]
+    # power: CDF inversion
     idx = jnp.searchsorted(lt.power_cdf, u, side="right").astype(jnp.int32)
     idx = jnp.minimum(idx, lt.n_lights - 1)
     return idx, lt.power_pmf[idx]

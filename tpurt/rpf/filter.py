@@ -237,29 +237,28 @@ def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
     padded = jnp.pad(buffer, ((bd, bd), (bd, bd), (0, 0), (0, 0)))
     valid = jnp.pad(jnp.ones((h, w), bool), ((bd, bd), (bd, bd)))
 
-    # extract (box, box) windows: windows[y, x] covers pixel (y, x)'s box
-    def window_at(py, px):
+    # the padded buffer is a jit ARGUMENT — closing over the concrete array
+    # bakes it into the HLO as a constant (285 MB at 700x700x8spp, which
+    # blew the remote-compile request limit)
+    def one(padded, valid, py, px):
         win = jax.lax.dynamic_slice(
             padded, (py, px, 0, 0), (box_size, box_size, s, SD_LEN))
         val = jax.lax.dynamic_slice(valid, (py, px), (box_size, box_size))
         center = jnp.zeros((box_size, box_size), bool).at[bd, bd].set(True)
-        return (win.reshape(k, SD_LEN),
-                jnp.repeat(val.reshape(-1), s),
-                jnp.repeat(center.reshape(-1), s))
+        own = jax.lax.dynamic_slice(padded, (py + bd, px + bd, 0, 0),
+                                    (1, 1, s, SD_LEN)).reshape(s, SD_LEN)
+        return _filter_pixel(own, win.reshape(k, SD_LEN),
+                             jnp.repeat(val.reshape(-1), s),
+                             jnp.repeat(center.reshape(-1), s),
+                             box_size, b_max)
 
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     ys = ys.reshape(-1)
     xs = xs.reshape(-1)
 
-    def one(py, px):
-        win, val, cen = window_at(py, px)
-        own = jax.lax.dynamic_slice(padded, (py + bd, px + bd, 0, 0),
-                                    (1, 1, s, SD_LEN)).reshape(s, SD_LEN)
-        return _filter_pixel(own, win, val, cen, box_size, b_max)
-
     n_pix = h * w
     out_colors = []
-    fn = jax.jit(jax.vmap(one))
+    fn = jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0)))
     for start in range(0, n_pix, pixel_chunk):
         end = min(start + pixel_chunk, n_pix)
         cy, cx = ys[start:end], xs[start:end]
@@ -268,7 +267,7 @@ def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
             pad = pixel_chunk - (end - start)
             cy = jnp.concatenate([cy, jnp.zeros(pad, cy.dtype)])
             cx = jnp.concatenate([cx, jnp.zeros(pad, cx.dtype)])
-        cols = fn(cy, cx)
+        cols = fn(padded, valid, cy, cx)
         if pad:
             cols = cols[: end - start]
         out_colors.append(cols)
