@@ -44,7 +44,10 @@ def test_halton_dims01_are_in_pixel_offsets():
 
 
 def test_halton_scrambled_dims_match_numpy_reference():
-    s = make_halton(8, 64, 64)
+    # "pbrt" scramble mode: bit-exact vs the reference's PCG32 permutation
+    # tables (the fast default "affine" mode is a different digit
+    # permutation of the same Halton points; tested separately below)
+    s = make_halton(8, 64, 64, scramble="pbrt")
     perms = ld.compute_radical_inverse_permutations()
     px = jnp.asarray(np.array([3, 10], np.int32))
     py = jnp.asarray(np.array([7, 20], np.int32))
@@ -55,6 +58,40 @@ def test_halton_scrambled_dims_match_numpy_reference():
         perm = ld.permutation_for_dimension(perms, d)
         want = ld.scrambled_radical_inverse_np(d, idx, perm)
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_halton_affine_scramble_is_valid_permutation():
+    """The default affine scramble must still be a proper scrambled
+    radical inverse: values in [0,1), distinct per index, and equal to a
+    numpy re-evaluation of pi(d) = (m*d + s) mod b digit scrambling."""
+    from tpurt.sampling.samplers import (_affine_perm_params,
+                                         _digits_needed)
+
+    s = make_halton(8, 64, 64)
+    px = jnp.asarray(np.array([3, 10, 63], np.int32))
+    py = jnp.asarray(np.array([7, 20, 0], np.int32))
+    sidx = jnp.asarray(np.array([2, 5, 7], np.int32))
+    idx = np.asarray(s.index(px, py, sidx)).astype(np.int64)
+    for d in (2, 3, 4, 7, 20):
+        got = np.asarray(s.dim(px, py, sidx, d))
+        base = int(ld.PRIMES[d])
+        m, perm_s = _affine_perm_params(d, base)
+        # numpy oracle with float64 accumulation
+        a = idx.copy()
+        acc = np.zeros(len(a))
+        scale = 1.0 / base
+        inv_base_n = np.ones(len(a))
+        for _ in range(_digits_needed(base, int(a.max()) + 1)):
+            digit = a % base
+            pd = (m * digit + perm_s) % base
+            act = a > 0
+            acc = np.where(act, acc + pd * scale, acc)
+            inv_base_n = np.where(act, inv_base_n / base, inv_base_n)
+            scale /= base
+            a //= base
+        want = acc + inv_base_n * perm_s / (base - 1)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+        assert np.all((got >= 0) & (got < 1))
 
 
 def test_halton_distinct_samples_per_pixel():

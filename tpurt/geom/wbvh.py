@@ -1,0 +1,141 @@
+"""Collapse the binary SAH BVH into an 8-wide BVH with fused triangle
+leaf bundles, packed as one (M, 128) f32 record table for the device.
+
+Why wide: on this TPU, a random row gather costs the same wall-clock for a
+4-byte row as for a 512-byte row (measured: jnp.take is ~13 ns/lane/step
+at 2^17 lanes for widths 16..128 f32).  Traversal cost is therefore
+step-count-bound, so the tree is collapsed to branching factor 8 with up
+to 12 triangles fused per leaf record: each step consumes ONE 512-byte
+gather and tests either 8 child boxes or 12 triangles.
+
+Reference analog: accelerators/bvh.cpp:223 flattens to 32-byte binary
+LinearBVHNodes for cache-line efficiency on CPUs; the TPU-native analog
+optimizes for gather-round count instead.
+
+Record layout (128 f32 per row, both kinds in ONE table):
+  interior (slot 126 == 0):
+    [0:8]   child bounds lo.x (8 children; absent children = NaN boxes,
+            which fail every slab comparison and can never be hit)
+    [8:16]  lo.y   [16:24] lo.z
+    [24:32] hi.x   [32:40] hi.y   [40:48] hi.z
+    [48:56] child row index, bitcast int32
+  leaf (slot 126 == 1):
+    [0:12]   v0.x of 12 triangles (pads = NaN, never hit)
+    [12:24]  v0.y  [24:36] v0.z
+    [36:48]  v1.x  [48:60] v1.y  [60:72] v1.z
+    [72:84]  v2.x  [84:96] v2.y  [96:108] v2.z
+    [108:120] primitive row, bitcast int32 (pads = -1)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from tpurt.geom.bvh import LinearBVH
+
+WIDTH = 8       # children per interior node
+LEAF_K = 12     # triangles per leaf bundle
+REC = 128       # f32 slots per record
+
+SLOT_KIND = 126
+
+
+def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
+                     tri_v2: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Collapse ``bvh`` (binary, 1-prim leaves over triangles already in
+    leaf order) into the packed wide table.
+
+    Returns (table (M, 128) f32 padded to a power-of-two row count,
+    max wide-tree depth) — the depth sizes the device traversal stack.
+    """
+    m = bvh.n_nodes
+    n_prims = bvh.n_prims
+    right = bvh.right_child
+    is_leaf = n_prims > 0
+
+    # Subtree prim count and first prim row.  Children follow their parent
+    # in depth-first order, so a reverse sweep sees children first.  The
+    # depth-first flatten also makes every subtree's prims a contiguous
+    # range of rows.
+    cnt = np.zeros(m, np.int64)
+    first = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if is_leaf[i]:
+            cnt[i] = n_prims[i]
+            first[i] = bvh.prim_offset[i]
+        else:
+            cnt[i] = cnt[i + 1] + cnt[right[i]]
+            first[i] = first[i + 1]
+
+    rows: list = []  # ('leaf', lo, n) | ('interior', [bin children], [rows])
+
+    def alloc() -> int:
+        rows.append(None)
+        return len(rows) - 1
+
+    max_depth = 0
+    stack = [(0, alloc(), 0)]
+    while stack:
+        b, row, d = stack.pop()
+        max_depth = max(max_depth, d)
+        if cnt[b] <= LEAF_K or is_leaf[b]:
+            rows[row] = ("leaf", int(first[b]), int(cnt[b]))
+            continue
+        children = [b + 1, int(right[b])]
+        while len(children) < WIDTH:
+            cand = [c for c in children if not is_leaf[c] and cnt[c] > LEAF_K]
+            if not cand:
+                break
+            c = max(cand, key=lambda x: cnt[x])
+            children.remove(c)
+            children.extend([c + 1, int(right[c])])
+        child_rows = [alloc() for _ in children]
+        rows[row] = ("interior", children, child_rows)
+        for c, cr in zip(children, child_rows):
+            stack.append((c, cr, d + 1))
+
+    mw = len(rows)
+    cap = 64
+    while cap < mw:
+        cap *= 2
+    tab = np.zeros((cap, REC), np.float32)
+    # Unreferenced pad rows and missing children use NaN boxes: every
+    # slab-test comparison on NaN is false, so they can never be hit
+    # (+/-inf boxes would false-hit rays whose direction is negative on
+    # all axes: min/max slab arithmetic yields t_near=-inf, t_far=+inf).
+    tab[:, 0:48] = np.nan
+
+    for row, r in enumerate(rows):
+        if r[0] == "leaf":
+            _, lo, n = r
+            n = min(n, LEAF_K)
+            rec = np.zeros(REC, np.float32)
+            verts = np.full((9, LEAF_K), np.nan, np.float32)
+            prim = np.full(LEAF_K, -1, np.int32)
+            sl = slice(lo, lo + n)
+            verts[0, :n], verts[1, :n], verts[2, :n] = tri_v0[sl].T
+            verts[3, :n], verts[4, :n], verts[5, :n] = tri_v1[sl].T
+            verts[6, :n], verts[7, :n], verts[8, :n] = tri_v2[sl].T
+            prim[:n] = np.arange(lo, lo + n, dtype=np.int32)
+            rec[0:108] = verts.reshape(-1)
+            rec[108:120] = prim.view(np.float32)
+            rec[SLOT_KIND] = 1.0
+            tab[row] = rec
+        else:
+            _, children, child_rows = r
+            rec = np.zeros(REC, np.float32)
+            lo = np.full((3, WIDTH), np.nan, np.float32)
+            hi = np.full((3, WIDTH), np.nan, np.float32)
+            cref = np.zeros(WIDTH, np.int32)
+            for k, (c, cr) in enumerate(zip(children, child_rows)):
+                lo[:, k] = bvh.bounds_lo[c]
+                hi[:, k] = bvh.bounds_hi[c]
+                cref[k] = cr
+            rec[0:24] = lo.reshape(-1)
+            rec[24:48] = hi.reshape(-1)
+            rec[48:56] = cref.view(np.float32)
+            rec[SLOT_KIND] = 0.0
+            tab[row] = rec
+    return tab, max_depth + 1

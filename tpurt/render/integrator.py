@@ -183,15 +183,18 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
 
 
 def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
-    fx, fy = sampler.film_offset(px, py, sidx)
+    # one lane context per wavefront: hoists the sampler's per-lane index
+    # computation (for halton, the offsets[] gather) out of every dim call
+    sctx = sampler.lane_ctx(px, py, sidx)
+    fx, fy = sampler.film_offset(px, py, sidx, sctx)
     p_film = jnp.stack([px.astype(jnp.float32) + fx,
                         py.astype(jnp.float32) + fy], axis=-1)
-    _time = sampler.dim(px, py, sidx, 2)  # consumed; animation later round
-    p_lens = jnp.stack([sampler.dim(px, py, sidx, 3),
-                        sampler.dim(px, py, sidx, 4)], axis=-1)
+    _time = sampler.dim(px, py, sidx, 2, sctx)  # consumed; animation later
+    p_lens = jnp.stack([sampler.dim(px, py, sidx, 3, sctx),
+                        sampler.dim(px, py, sidx, 4, sctx)], axis=-1)
     o, d, ray_w = camera.generate_rays(p_film, p_lens)
     p_film_crop = p_film - jnp.asarray(crop_xy, jnp.float32)
-    return p_film, p_film_crop, p_lens, o, d, ray_w
+    return p_film, p_film_crop, p_lens, o, d, ray_w, sctx
 
 
 def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
@@ -205,7 +208,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     px, py: (N,) global pixel coords; sidx: (N,) sample numbers.
     """
     n = px.shape[0]
-    p_film, p_film_crop, p_lens, o, d, ray_w = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
 
     inf_L, _ = _infinite_L(scene.lights)
@@ -265,18 +268,18 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         # ---- NEE ----
         d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE
-        u_choice = sampler.dim_dyn(px, py, sidx, d0)
-        u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1),
-                             sampler.dim_dyn(px, py, sidx, d0 + 2)], axis=-1)
+        u_choice = sampler.dim_dyn(px, py, sidx, d0, sctx)
+        u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1, sctx),
+                             sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)], axis=-1)
         has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
         Ld = _nee(scene, si, lobes, u_choice, u_light, cfg.light_strategy,
                   alive & has_smooth)
         L = L + beta * Ld
 
         # ---- BSDF sampling ----
-        u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 3)
-        u1 = sampler.dim_dyn(px, py, sidx, d0 + 4)
-        u2 = sampler.dim_dyn(px, py, sidx, d0 + 5)
+        u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 3, sctx)
+        u1 = sampler.dim_dyn(px, py, sidx, d0 + 4, sctx)
+        u2 = sampler.dim_dyn(px, py, sidx, d0 + 5, sctx)
         t, b = build_onb(si.ns)
         wo_l = to_local(t, b, si.ns, si.wo)
         wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
@@ -301,7 +304,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         d = wi
 
         # ---- Russian roulette (path.cpp: bounces > 3) ----
-        u_rr = sampler.dim_dyn(px, py, sidx, d0 + 6)
+        u_rr = sampler.dim_dyn(px, py, sidx, d0 + 6, sctx)
         rr_beta = jnp.max(beta, axis=-1) * eta_scale
         q = jnp.maximum(0.05, 1.0 - rr_beta)
         do_rr = (rr_beta < cfg.rr_threshold) & (bounce > 3) & alive
@@ -351,7 +354,7 @@ def ao_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 cfg: IntegratorConfig, crop_xy=(0, 0), texture_eval=None):
     """AOIntegrator analog (integrators/ao.cpp): cosine-weighted visibility."""
     n = px.shape[0]
-    p_film, p_film_crop, p_lens, o, d, ray_w = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
     hit = intersect_closest(scene.geo, o, d, INF)
     si = compute_interaction(scene.geo, hit, o, d)
@@ -360,8 +363,8 @@ def ao_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     t, b = build_onb(ns)
 
     def ao_body(acc, k):
-        u1 = sampler.dim_dyn(px, py, sidx, 5 + 2 * k)
-        u2 = sampler.dim_dyn(px, py, sidx, 6 + 2 * k)
+        u1 = sampler.dim_dyn(px, py, sidx, 5 + 2 * k, sctx)
+        u2 = sampler.dim_dyn(px, py, sidx, 6 + 2 * k, sctx)
         if cfg.ao_cos_sample:
             w_l = cosine_sample_hemisphere(u1, u2)
             weight = jnp.ones((n,), jnp.float32)
@@ -443,7 +446,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                              crop_xy, texture_eval)
 
     n = px.shape[0]
-    p_film, p_film_crop, p_lens, o, d, ray_w = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
 
     inf_L, _ = _infinite_L(scene.lights)
@@ -499,8 +502,8 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE_VOL
         # ---- medium sampling (homogeneous.cpp Sample) ----
-        u_ch = sampler.dim_dyn(px, py, sidx, d0)
-        u_dist = sampler.dim_dyn(px, py, sidx, d0 + 1)
+        u_ch = sampler.dim_dyn(px, py, sidx, d0, sctx)
+        u_dist = sampler.dim_dyn(px, py, sidx, d0 + 1, sctx)
         in_med = med >= 0
         sig_t = scene.med_sigma_t[jnp.maximum(med, 0)]
         sig_s = scene.med_sigma_s[jnp.maximum(med, 0)]
@@ -569,17 +572,17 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         alive_shade = alive & (sampled_med | (si.valid & any_lobe))
 
         # ---- NEE ----
-        u_choice = sampler.dim_dyn(px, py, sidx, d0 + 2)
-        u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 3),
-                             sampler.dim_dyn(px, py, sidx, d0 + 4)], axis=-1)
+        u_choice = sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)
+        u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 3, sctx),
+                             sampler.dim_dyn(px, py, sidx, d0 + 4, sctx)], axis=-1)
         Ld = nee_from(scene, si_eff, lobes, u_choice, u_light, alive_shade,
                       med, sampled_med, g_med)
         L = L + beta * Ld
 
         # ---- continuation: phase sample (medium) or BSDF sample ----
-        u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 5)
-        u1 = sampler.dim_dyn(px, py, sidx, d0 + 6)
-        u2 = sampler.dim_dyn(px, py, sidx, d0 + 7)
+        u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 5, sctx)
+        u1 = sampler.dim_dyn(px, py, sidx, d0 + 6, sctx)
+        u2 = sampler.dim_dyn(px, py, sidx, d0 + 7, sctx)
         t, b = build_onb(si.ns)
         wo_l = to_local(t, b, si.ns, si.wo)
         wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe,
@@ -619,7 +622,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         med = jnp.where(surf_trans, new_med, med)
 
         # ---- Russian roulette ----
-        u_rr = sampler.dim_dyn(px, py, sidx, d0 + 8)
+        u_rr = sampler.dim_dyn(px, py, sidx, d0 + 8, sctx)
         rr_beta = jnp.max(beta, axis=-1)
         q = jnp.maximum(0.05, 1.0 - rr_beta)
         do_rr = (rr_beta < cfg.rr_threshold) & (bounce > 3) & alive

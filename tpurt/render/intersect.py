@@ -1,16 +1,23 @@
 """Device intersection: watertight triangles, analytic quadrics, and
-stack-based BVH traversal — pure-JAX reference path.
+wide-BVH traversal over SoA ray wavefronts.
 
 Reference analog: shapes/triangle.cpp:188-350 (watertight permute+shear
 intersect), shapes/sphere.cpp / cylinder.cpp / disk.cpp (quadric solves),
 accelerators/bvh.cpp:662-738 (iterative traversal with a 64-deep node
 stack, precomputed invDir, near-child-first ordering).
 
-Design: one scalar-ray traversal written with lax.while_loop and a
-register-resident stack, vmapped over the wavefront.  XLA compiles this to
-a lockstep masked loop over ray lanes; the Pallas kernel in tpurt.kernels
-is the tuned TPU variant of the same algorithm.  All geometry tables are
-gathered by index from HBM.
+TPU design (all hand-batched jnp, no vmap-through-while):
+- 8-wide BVH with 12-triangle fused leaf bundles, ONE 512-byte record
+  gather (jnp.take) per lockstep step — random-gather wall-clock is
+  independent of row width here, so traversal is step-count bound and
+  wide nodes/bundles cut steps ~5x vs the binary tree (tpurt.geom.wbvh).
+- descent goes straight to the nearest hit child; other hit children are
+  pushed far-to-near via one-hot writes into per-lane (N, S) stacks.
+- two-phase straggler compaction: a few full-width lockstep steps kill
+  most lanes (big shallow leaves), then survivors are compacted 16:1
+  with jnp.nonzero(size=...) and finished at narrow width.
+- quadrics are tested OUTSIDE the tree in a gather-free vectorized pass
+  (their transform/params rows are static slices).
 """
 
 from __future__ import annotations
@@ -31,7 +38,6 @@ from tpurt.render.geometry_build import (
     PT_TRIANGLE,
 )
 
-STACK_DEPTH = 64
 INF = jnp.float32(np.inf)
 
 # machine gamma for conservative box tests (pbrt gamma(3))
@@ -42,25 +48,23 @@ _BOX_T_SCALE = jnp.float32(1.0 + 2.0 * _GAMMA3)
 class DeviceGeometry(NamedTuple):
     """Pytree of device arrays mirroring GeometryArrays.
 
-    The traversal hot path reads exactly ONE packed table row per step —
-    random gathers are latency-bound on TPU (measured ~58us per gather
-    round regardless of field count), so the leaf triangle is FUSED into
-    its node record and interior/leaf share one 64-byte row:
+    The traversal hot path reads exactly ONE packed table row per step.
+    Measured on this TPU: a random row gather costs the same wall-clock
+    for 64 B as for 512 B rows (jnp.take, ~13 ns/lane/step at 2^17
+    lanes), so traversal is STEP-COUNT bound and the tree is an 8-wide
+    BVH with up to 12 triangles fused per leaf, one 512-byte record per
+    step (tpurt.geom.wbvh has the record layout).
 
-    nodes_packed (M, 16) f32:
-        interior: [0:3]=bounds lo, [3:6]=bounds hi,
-                  [12]=bitcast i32 right_child, [13]=bitcast i32 axis,
-                  [15]=0
-        leaf:     [0:9]=triangle v0,v1,v2,
-                  [12]=bitcast i32 prim row, [15]=1
-        (the BVH holds triangles only, one per leaf; quadrics are tested
-        in a gather-free vectorized pass over static rows)
-    prims_packed (P, 16) f32 (brute-force oracle path + leaf fallback):
+    wnodes (M, 128) f32: the wide-BVH record table (interior 8-child
+        nodes and 12-triangle leaf bundles share the table; slot 126 is
+        the kind flag).  Quadrics are tested in a gather-free vectorized
+        pass over static rows, outside the tree.
+    prims_packed (P, 16) f32 (brute-force oracle path):
         [0:9] tri v0,v1,v2; [9] bitcast i32 prim_type;
         [10] bitcast i32 quad_id
     """
 
-    nodes_packed: jnp.ndarray
+    wnodes: jnp.ndarray
     prims_packed: jnp.ndarray
     # unpacked shading-time tables
     prim_type: jnp.ndarray
@@ -84,28 +88,20 @@ class DeviceGeometry(NamedTuple):
 
     n_tris: int = 0
     n_quads: int = 0
+    wstack_depth: int = 64
 
     @staticmethod
     def from_host(g: GeometryArrays) -> "DeviceGeometry":
+        from tpurt.geom.wbvh import WIDTH, build_wide_table
+
         f = jnp.asarray
-        assert (g.bvh.n_prims <= 1).all(), "traversal expects 1-prim leaves"
-        m = g.bvh.n_nodes
-        nodes = np.zeros((m, 16), np.float32)
-        leaf = g.bvh.n_prims > 0
-        interior = ~leaf
-        nodes[interior, 0:3] = g.bvh.bounds_lo[interior]
-        nodes[interior, 3:6] = g.bvh.bounds_hi[interior]
-        # leaf rows carry the triangle itself (prim rows are already in
-        # BVH-leaf order, so the leaf's prim row == its prim_offset)
-        pi = np.minimum(g.bvh.prim_offset[leaf], len(g.prim_type) - 1)
-        nodes[leaf, 0:3] = g.tri_v0[pi]
-        nodes[leaf, 3:6] = g.tri_v1[pi]
-        nodes[leaf, 6:9] = g.tri_v2[pi]
-        meta_a = np.where(leaf, g.bvh.prim_offset,
-                          g.bvh.right_child).astype(np.int32)
-        nodes[:, 12] = meta_a.view(np.float32)
-        nodes[:, 13] = g.bvh.axis.astype(np.int32).view(np.float32)
-        nodes[:, 15] = leaf.astype(np.float32)
+        assert (g.bvh.n_prims <= 1).all(), "collapse expects 1-prim leaves"
+        wnodes, wdepth = build_wide_table(g.bvh, g.tri_v0, g.tri_v1, g.tri_v2)
+        # worst-case stack residency: (W-1) pushes per interior level
+        need = max(8, (wdepth - 1) * (WIDTH - 1) + 2)
+        sdepth = 8
+        while sdepth < min(need, 192):
+            sdepth *= 2
 
         p = len(g.prim_type)
         prims = np.zeros((p, 16), np.float32)
@@ -116,8 +112,8 @@ class DeviceGeometry(NamedTuple):
         prims[:, 10] = np.maximum(g.quad_id, 0).astype(np.int32).view(np.float32)
 
         return DeviceGeometry(
-            n_tris=g.n_tris, n_quads=g.n_quads,
-            nodes_packed=f(nodes), prims_packed=f(prims),
+            n_tris=g.n_tris, n_quads=g.n_quads, wstack_depth=sdepth,
+            wnodes=f(wnodes), prims_packed=f(prims),
             prim_type=f(g.prim_type), material_id=f(g.material_id),
             arealight_id=f(g.arealight_id), flags=f(g.flags),
             tri_v0=f(g.tri_v0), tri_v1=f(g.tri_v1), tri_v2=f(g.tri_v2),
@@ -136,7 +132,8 @@ from tpurt.pytrees import register_static_pytree  # noqa: E402
 
 register_static_pytree(
     DeviceGeometry,
-    [f for f in DeviceGeometry._fields if f not in ("n_tris", "n_quads")],
+    [f for f in DeviceGeometry._fields
+     if f not in ("n_tris", "n_quads", "wstack_depth")],
 )
 
 
@@ -422,43 +419,51 @@ def _intersect_prim(geo: DeviceGeometry, pi, o, d, t_max):
 
 
 # ---------------------------------------------------------------------------
-# BVH traversal
+# Wide-BVH traversal (8 children / 12-triangle leaf bundles, one 512 B
+# record gather per step; tpurt.geom.wbvh documents the record layout)
 # ---------------------------------------------------------------------------
 
-def _slab_test(lo, hi, o, inv_d, t_max):
-    """Conservative ray/AABB test (bvh.cpp Bounds3::IntersectP with the
-    gamma-scaled tMax)."""
-    t0 = (lo - o) * inv_d
-    t1 = (hi - o) * inv_d
-    t_near = jnp.max(jnp.minimum(t0, t1))
-    t_far = jnp.min(jnp.maximum(t0, t1)) * _BOX_T_SCALE
-    return (t_near <= t_far) & (t_far > 0) & (t_near < t_max)
+from tpurt.geom.wbvh import LEAF_K, SLOT_KIND, WIDTH  # noqa: E402
+
+# Batcher odd-even merge sorting network for 8 elements (19 comparators).
+_SORT8 = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+)
 
 
-def _ray_triangle_batch(o, d, t_max, v0, v1, v2):
-    """Batched watertight triangle test: all args (N, ...) — the hand-
-    batched twin of ray_triangle (vmapping the scalar form through the
-    traversal while_loop faults the TPU runtime at >16k lanes)."""
-    # dimension permutation as elementwise selects on COLUMN vectors —
-    # take_along_axis over the minor axis scalarizes into cross-lane
-    # shuffles on TPU (measured ~15x slowdown of the whole traversal)
-    ax = jnp.abs(d[:, 0])
-    ay = jnp.abs(d[:, 1])
-    az = jnp.abs(d[:, 2])
-    use2 = (az >= ax) & (az >= ay)  # kz = 2 -> (kx,ky,kz) = (0,1,2)
-    use1 = ~use2 & (ay >= ax)       # kz = 1 -> (2,0,1)
-    # else kz = 0 -> (1,2,0)
+def _tri_bundle_test(o, d, t_max, rec):
+    """Watertight test of the LEAF_K triangles fused in a leaf record.
+    o, d: (N, 3); t_max: (N,); rec: (N, 128).  Returns (hit, t, b0, b1)
+    each (N, LEAF_K); NaN vertex pads never hit.
 
-    def permute(v):
-        x = jnp.where(use2, v[:, 0], jnp.where(use1, v[:, 2], v[:, 1]))
-        y = jnp.where(use2, v[:, 1], jnp.where(use1, v[:, 0], v[:, 2]))
-        z = jnp.where(use2, v[:, 2], jnp.where(use1, v[:, 1], v[:, 0]))
-        return x, y, z
+    The dimension permutation is done with elementwise selects on column
+    slices — take_along_axis over the minor axis scalarizes into
+    cross-lane shuffles on TPU (measured ~15x traversal slowdown)."""
+    K = LEAF_K
+    v = [rec[:, i * K:(i + 1) * K] for i in range(9)]  # v0x..v2z, (N, K)
+    ax, ay, az = jnp.abs(d[:, 0]), jnp.abs(d[:, 1]), jnp.abs(d[:, 2])
+    use2 = ((az >= ax) & (az >= ay))[:, None]  # kz=2 -> (x,y,z)
+    use1 = (~use2) & ((ay >= ax))[:, None]     # kz=1 -> (z,x,y)
+    # else kz=0 -> (y,z,x)
 
-    dpx, dpy, dpz = permute(d)
-    p0x, p0y, p0z = permute(v0 - o)
-    p1x, p1y, p1z = permute(v1 - o)
-    p2x, p2y, p2z = permute(v2 - o)
+    def permute(x, y, z):
+        px = jnp.where(use2, x, jnp.where(use1, z, y))
+        py = jnp.where(use2, y, jnp.where(use1, x, z))
+        pz = jnp.where(use2, z, jnp.where(use1, y, x))
+        return px, py, pz
+
+    dpx, dpy, dpz = permute(d[:, 0:1], d[:, 1:2], d[:, 2:3])  # (N, 1)
+    p0x, p0y, p0z = permute(v[0] - o[:, 0:1], v[1] - o[:, 1:2],
+                            v[2] - o[:, 2:3])
+    p1x, p1y, p1z = permute(v[3] - o[:, 0:1], v[4] - o[:, 1:2],
+                            v[5] - o[:, 2:3])
+    p2x, p2y, p2z = permute(v[6] - o[:, 0:1], v[7] - o[:, 1:2],
+                            v[8] - o[:, 2:3])
     sx = -dpx / dpz
     sy = -dpy / dpz
     sz = 1.0 / dpz
@@ -474,155 +479,168 @@ def _ray_triangle_batch(o, d, t_max, v0, v1, v2):
     same_sign = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
         (e0 <= 0) & (e1 <= 0) & (e2 <= 0))
     det = e0 + e1 + e2
-    t_scaled = e0 * sz * p0z + e1 * sz * p1z + e2 * sz * p2z
-    neg_det = det < 0
-    t_ok = jnp.where(neg_det,
-                     (t_scaled <= 0) & (t_scaled > t_max * det),
-                     (t_scaled >= 0) & (t_scaled < t_max * det))
+    t_scaled = (e0 * p0z + e1 * p1z + e2 * p2z) * sz
+    tm = t_max[:, None]
+    t_ok = jnp.where(det < 0,
+                     (t_scaled <= 0) & (t_scaled > tm * det),
+                     (t_scaled >= 0) & (t_scaled < tm * det))
     hit = same_sign & (det != 0) & t_ok
     inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
-    return hit, jnp.where(hit, t_scaled * inv_det, INF), e0 * inv_det, e1 * inv_det
+    return (hit, jnp.where(hit, t_scaled * inv_det, INF),
+            e0 * inv_det, e1 * inv_det)
 
 
-def _slab_test_batch(lo, hi, o, inv_d, t_max):
-    t0 = (lo - o) * inv_d
-    t1 = (hi - o) * inv_d
-    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * _BOX_T_SCALE
-    return (t_near <= t_far) & (t_far > 0) & (t_near < t_max)
+def _box8_test(rec, o, inv_d, t_max):
+    """Slab tests of the 8 child boxes in an interior record.
+    Returns (hit, t_near) each (N, 8); NaN boxes (invalid children)
+    never hit."""
+    W = WIDTH
+    b = [rec[:, i * W:(i + 1) * W] for i in range(6)]  # lox loy loz hix hiy hiz
+    t_near = jnp.full(rec.shape[:1] + (W,), -INF)
+    t_far = jnp.full(rec.shape[:1] + (W,), INF)
+    for a in range(3):
+        t0 = (b[a] - o[:, a:a + 1]) * inv_d[:, a:a + 1]
+        t1 = (b[3 + a] - o[:, a:a + 1]) * inv_d[:, a:a + 1]
+        t_near = jnp.maximum(t_near, jnp.minimum(t0, t1))
+        t_far = jnp.minimum(t_far, jnp.maximum(t0, t1))
+    t_far = t_far * _BOX_T_SCALE
+    hit = (t_near <= t_far) & (t_far > 0) & (t_near < t_max[:, None])
+    return hit, t_near
 
 
-def _traverse_batch(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
-    """Hand-batched BVH traversal over (N,) ray lanes: one fused-record
-    gather per step, explicit per-lane stacks, everything masked by the
-    per-lane alive flag (no vmap)."""
+# Two-phase traversal tuning: run PHASE1_STEPS lockstep steps at full
+# width (most lanes die early against the large shallow leaf bundles),
+# then repeatedly compact the surviving stragglers into a
+# 1/COMPACT_FACTOR-width wavefront and finish them there.  The per-step
+# gather cost scales with lane count, so narrow tail phases are cheap;
+# measured lockstep utilization without compaction is ~13%.  Tuned on
+# killeroo primaries at 2^17 lanes (8.3 Mrays/s at 3/16; 4/16 kept for
+# headroom — if survivors exceed the compact width the outer loop must
+# run again, which measured 4-5x slower when 2/16 underestimated).
+PHASE1_STEPS = 4
+COMPACT_FACTOR = 16
+
+
+def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool):
+    """Build the traversal (cond, body) closures over a fixed ray set.
+    State: (cur, sp, stack, t_best, prim_best, b0_best, b1_best) — all
+    sized to o's lane count, so the same closures serve the full-width
+    and compacted phases.
+
+    Per step: ONE jnp.take row gather of the current node record, then
+    masked leaf (12 fused triangles) and interior (8 child boxes, sorted
+    near-first by a fixed comparator network) paths.  Descent goes
+    straight to the nearest hit child (no stack round-trip); the other
+    hit children are pushed far-to-near.  Per-lane stacks are accessed
+    via one-hot masks over the static depth axis (dynamic minor-axis
+    indexing scalarizes on TPU)."""
+    S = geo.wstack_depth
+    nodes = geo.wnodes
+    iota_s = jnp.arange(S, dtype=jnp.int32)[None, :]
+    iota_k = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :]
+
+    def cond(state):
+        return jnp.any(state[0] >= 0)
+
+    def body(state):
+        cur, sp, stack, t_best, prim_best, b0_best, b1_best = state
+        live = cur >= 0
+        rec = jnp.take(nodes, jnp.maximum(cur, 0), axis=0)  # (N, 128)
+        is_leaf = rec[:, SLOT_KIND] > 0
+
+        # --- leaf: test the fused triangle bundle, keep the closest ---
+        h, t, b0, b1 = _tri_bundle_test(o, d, t_best, rec)
+        tk = jnp.where(h, t, INF)
+        t_min = jnp.min(tk, axis=1)
+        kbest = jnp.argmin(tk, axis=1)
+        ohk = iota_k == kbest[:, None]
+        prim_rows = jax.lax.bitcast_convert_type(rec[:, 108:120], jnp.int32)
+        better = live & is_leaf & (t_min < t_best)
+        t_best = jnp.where(better, t_min, t_best)
+        prim_best = jnp.where(
+            better, jnp.sum(jnp.where(ohk, prim_rows, 0), axis=1), prim_best)
+        b0_best = jnp.where(
+            better, jnp.sum(jnp.where(ohk, b0, 0.0), axis=1), b0_best)
+        b1_best = jnp.where(
+            better, jnp.sum(jnp.where(ohk, b1, 0.0), axis=1), b1_best)
+
+        # --- interior: box tests + near-first ordering ---
+        hit8, t_near = _box8_test(rec, o, inv_d, t_best)
+        meta = jax.lax.bitcast_convert_type(rec[:, 48:56], jnp.int32)
+        keys = [jnp.where(hit8[:, k], t_near[:, k], INF) for k in range(WIDTH)]
+        vals = [meta[:, k] for k in range(WIDTH)]
+        for i, j in _SORT8:
+            swap = keys[i] > keys[j]
+            keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                                jnp.where(swap, keys[i], keys[j]))
+            vals[i], vals[j] = (jnp.where(swap, vals[j], vals[i]),
+                                jnp.where(swap, vals[i], vals[j]))
+        n_hit = jnp.sum(hit8, axis=1).astype(jnp.int32)
+        descend = live & ~is_leaf & (n_hit > 0)
+
+        # push hit children 1..n_hit-1 far-to-near above the old top
+        for k in range(1, WIDTH):
+            wmask = descend & (k < n_hit)
+            pos = sp + n_hit - 1 - k
+            oh = (iota_s == pos[:, None]) & wmask[:, None]
+            stack = jnp.where(oh, vals[k][:, None], stack)
+        sp = jnp.where(descend, sp + jnp.maximum(n_hit - 1, 0), sp)
+
+        # next node: nearest hit child, else pop, else done
+        pop = live & ~descend & (sp > 0)
+        sp_top = jnp.maximum(sp - 1, 0)
+        top = jnp.sum(jnp.where(iota_s == sp_top[:, None], stack, 0), axis=1)
+        nxt = jnp.where(descend, vals[0], jnp.where(pop, top, -1))
+        if any_hit:
+            nxt = jnp.where(prim_best >= 0, -1, nxt)
+        sp = jnp.where(pop, sp - 1, sp)
+        cur = jnp.where(live, nxt, cur)
+        return cur, sp, stack, t_best, prim_best, b0_best, b1_best
+
+    return cond, body
+
+
+def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
+    """Wide-BVH traversal over (N,) ray lanes: PHASE1_STEPS lockstep
+    steps at full width, then straggler compaction (gather the surviving
+    lanes into a narrow wavefront, finish, scatter back)."""
     n = o.shape[0]
+    S = geo.wstack_depth
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
-    dir_neg = inv_d < 0
-    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
-    init = (stack, jnp.ones(n, jnp.int32),
-            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
-            jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
-            jnp.zeros(n, jnp.float32))
 
-    # Per-lane stack access via one-hot masks over the (static) depth axis:
-    # dynamic indexing of the minor dim scalarizes into cross-lane shuffles
-    # on TPU, while these are plain (N, 64) elementwise ops on the VPU.
-    depth_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+    cur = jnp.where(t_max > 0, 0, -1).astype(jnp.int32)
+    state = (cur, jnp.zeros(n, jnp.int32), jnp.zeros((n, S), jnp.int32),
+             t_max, jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
+             jnp.zeros(n, jnp.float32))
 
-    def stack_read(stk, sp):
-        oh = depth_iota == sp[:, None]
-        return jnp.sum(jnp.where(oh, stk, 0), axis=1)
+    cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit)
 
-    def stack_write(stk, sp, val, mask):
-        oh = (depth_iota == sp[:, None]) & mask[:, None]
-        return jnp.where(oh, val[:, None], stk)
+    c = n // COMPACT_FACTOR
+    if c < 1024:
+        # narrow wavefronts gain nothing from compaction: run to completion
+        _, _, _, t, prim, b0, b1 = jax.lax.while_loop(cond, body, state)
+        return t, prim, b0, b1
 
-    def alive_of(sp, prim):
-        a = sp > 0
-        if any_hit:
-            a &= prim < 0
-        return a
+    # phase 1: fixed lockstep steps at full width
+    state = jax.lax.fori_loop(0, PHASE1_STEPS, lambda i, st: body(st), state,
+                              unroll=2)
 
-    def cond(state):
-        _, sp, _, prim, _, _ = state
-        return jnp.any(alive_of(sp, prim))
+    # phase 2: compact stragglers into c lanes until none remain.  If more
+    # than c lanes survive phase 1 (rare), the outer loop runs again.
+    def outer_body(state):
+        cur = state[0]
+        (idxc,) = jnp.nonzero(cur >= 0, size=c, fill_value=0)
+        # fill slots replay lane 0 redundantly; their scatter writes back
+        # lane 0's own (identical) result, so duplicates are benign
+        sub_rays = tuple(jnp.take(a, idxc, axis=0) for a in (o, d, inv_d))
+        sub = tuple(jnp.take(a, idxc, axis=0) for a in state)
+        sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, any_hit)
+        sub = jax.lax.while_loop(sub_cond, sub_body, sub)
+        return tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
 
-    def body(state):
-        stack, sp, t_best, prim_best, b0_best, b1_best = state
-        alive = alive_of(sp, prim_best)
-        sp1 = jnp.maximum(sp - 1, 0)
-        node = stack_read(stack, sp1)
-        rec = geo.nodes_packed[node]  # (N, 16): the ONE gather per step
-        meta_a = jax.lax.bitcast_convert_type(rec[:, 12], jnp.int32)
-        axis = jax.lax.bitcast_convert_type(rec[:, 13], jnp.int32)
-        is_leaf = rec[:, 15] > 0
-
-        h, t, b0, b1 = _ray_triangle_batch(o, d, t_best, rec[:, 0:3],
-                                           rec[:, 3:6], rec[:, 6:9])
-        better = alive & is_leaf & h & (t < t_best)
-        t_best = jnp.where(better, t, t_best)
-        prim_best = jnp.where(better, meta_a, prim_best)
-        b0_best = jnp.where(better, b0, b0_best)
-        b1_best = jnp.where(better, b1, b1_best)
-
-        hit_box = _slab_test_batch(rec[:, 0:3], rec[:, 3:6], o, inv_d, t_best)
-        push = alive & hit_box & ~is_leaf
-        neg_axis = jnp.where(axis == 0, dir_neg[:, 0],
-                             jnp.where(axis == 1, dir_neg[:, 1],
-                                       dir_neg[:, 2]))
-        near_first = ~neg_axis
-        c0 = node + 1
-        c1 = meta_a
-        near = jnp.where(near_first, c0, c1)
-        far = jnp.where(near_first, c1, c0)
-        stack = stack_write(stack, sp1, far, push)
-        stack = stack_write(stack, sp1 + 1, near, push)
-        sp = jnp.where(alive, jnp.where(push, sp1 + 2, sp1), sp)
-        return stack, sp, t_best, prim_best, b0_best, b1_best
-
-    _, _, t, prim, b0, b1 = jax.lax.while_loop(cond, body, init)
-    return t, prim, b0, b1
-
-
-def _traverse_one(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
-    """Scalar-ray BVH traversal (kept for reference/tests; production paths
-    use _traverse_batch)."""
-    inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
-    dir_neg = inv_d < 0
-
-    # carries derived from ray data so their varying-axes types match the
-    # loop body under shard_map (plain constants would be unvarying)
-    vz_f = jnp.asarray(t_max, jnp.float32) * 0.0
-    vz_i = vz_f.astype(jnp.int32)
-    stack = jnp.zeros(STACK_DEPTH, dtype=jnp.int32) + vz_i
-    # state: stack, sp, best (t, prim, b0, b1)
-    init = (stack, jnp.int32(1) + vz_i, jnp.asarray(t_max, jnp.float32),
-            jnp.int32(-1) + vz_i, vz_f, vz_f)
-
-    def cond(state):
-        _, sp, _, prim, _, _ = state
-        alive = sp > 0
-        if any_hit:
-            alive &= prim < 0
-        return alive
-
-    def body(state):
-        # Branch-free node step: exactly ONE gather (the fused 64B record),
-        # then both the interior box test and the leaf triangle test run
-        # masked — a lax.cond here would select_n the whole geometry table
-        # under vmap (see _intersect_prim's note).
-        stack, sp, t_best, prim_best, b0_best, b1_best = state
-        sp1 = sp - 1
-        node = stack[sp1]
-        rec = geo.nodes_packed[node]
-        meta_a = jax.lax.bitcast_convert_type(rec[12], jnp.int32)
-        axis = jax.lax.bitcast_convert_type(rec[13], jnp.int32)
-        is_leaf = rec[15] > 0
-
-        # --- leaf: fused triangle test (1 prim per leaf by construction) ---
-        h, t, b0, b1 = ray_triangle(o, d, t_best, rec[0:3], rec[3:6],
-                                    rec[6:9])
-        better = is_leaf & h & (t < t_best)
-        t_best = jnp.where(better, t, t_best)
-        prim_best = jnp.where(better, meta_a, prim_best)
-        b0_best = jnp.where(better, b0, b0_best)
-        b1_best = jnp.where(better, b1, b1_best)
-
-        # --- interior: masked child pushes, near child on top ---
-        hit_box = _slab_test(rec[0:3], rec[3:6], o, inv_d, t_best)
-        push = hit_box & ~is_leaf
-        near_first = ~dir_neg[axis]
-        c0 = node + 1
-        c1 = meta_a
-        near = jnp.where(near_first, c0, c1)
-        far = jnp.where(near_first, c1, c0)
-        stack = stack.at[sp1].set(jnp.where(push, far, stack[sp1]))
-        stack = stack.at[sp1 + 1].set(jnp.where(push, near, stack[sp1 + 1]))
-        sp = jnp.where(push, sp1 + 2, sp1)
-        return stack, sp, t_best, prim_best, b0_best, b1_best
-
-    stack, sp, t, prim, b0, b1 = jax.lax.while_loop(cond, body, init)
+    state = jax.lax.while_loop(cond, outer_body, state)
+    _, _, _, t, prim, b0, b1 = state
     return t, prim, b0, b1
 
 
@@ -661,7 +679,7 @@ def intersect_closest(geo: DeviceGeometry, o, d, t_max) -> Hit:
     """Closest-hit intersection for a wavefront of rays.
     o, d: (N, 3); t_max: scalar or (N,).  Returns Hit of (N,) arrays."""
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
-    t, prim, b0, b1 = _traverse_batch(geo, o, d, t_max, any_hit=False)
+    t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit=False)
     if geo.n_quads:
         t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1)
     return Hit(t=t, prim=jnp.where(jnp.isfinite(t), prim, -1), b0=b0, b1=b1)
@@ -679,5 +697,5 @@ def intersect_any(geo: DeviceGeometry, o, d, t_max) -> jnp.ndarray:
         occ = (pq >= 0) & (tq < t_max)
         # already-occluded lanes skip the tree walk (t_max = 0)
         t_max = jnp.where(occ, 0.0, t_max)
-    _, prim, _, _ = _traverse_batch(geo, o, d, t_max, any_hit=True)
+    _, prim, _, _ = _traverse_wide(geo, o, d, t_max, any_hit=True)
     return occ | (prim >= 0)

@@ -8,9 +8,17 @@ consumes a FIXED dimension schedule per bounce (pFilm 0-1, time 2, pLens
 consumption order, sampler.h:58), so ``dimension`` is a static Python int
 and every sampler evaluates as batched elementwise math with no state.
 
-- halton: bit-exact sample values vs HaltonSampler (scrambled radical
-  inverse with the reference's PCG32 permutations; 128x128 pixel tiling
-  index algebra, halton.cpp:74-135) up to f32 accumulation (~1e-7).
+- halton: scrambled radical inverse with the reference's 128x128 pixel
+  tiling index algebra (halton.cpp:74-135).  Two scramble modes:
+  "pbrt" reproduces HaltonSampler bit-exactly (the reference's PCG32
+  digit-permutation tables) but costs one table gather per digit per
+  dimension — the per-lane gather is the single most expensive TPU op
+  (measured: 42 dims cost 739 ms/2^17 lanes with the table, 20 ms
+  without).  The default "affine" mode uses the multiplicative digit
+  permutation pi(d) = (m*d + s) mod b (m, s hashed per dimension, m
+  coprime to the prime base) — a proper digit permutation of the same
+  Halton points, statistically equivalent (pbrt's tables are themselves
+  arbitrary random draws), and pure arithmetic on the VPU.
 - random: counter-based threefry keyed by (pixel, sample, dim) — the
   TPU-native replacement for the per-tile PCG32 stream (statistically
   equivalent, not bit-equal).
@@ -55,6 +63,41 @@ def _radical_inverse_base2(a: jnp.ndarray) -> jnp.ndarray:
                        ONE_MINUS_EPS)
 
 
+def _fmix32(h):
+    """murmur3 finalizer; works on jnp uint32 arrays/scalars AND python
+    ints (wrapped to 32 bits) so static and traced call sites agree."""
+    if isinstance(h, (int, np.integer)):
+        h &= 0xFFFFFFFF
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+        h ^= h >> 16
+        return h
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * np.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
+def _affine_perm_params(d, base):
+    """Per-dimension multiplicative-scramble parameters: multiplier m in
+    [1, base) (coprime to the prime base, hence a digit bijection) and
+    shift s in [0, base).  Same arithmetic for python ints (static dims)
+    and traced scalars (in-scan dims)."""
+    if isinstance(d, (int, np.integer)):
+        m = 1 + _fmix32(d * 0x9E3779B1) % (base - 1)
+        s = _fmix32(d * 0x85EBCA77 + 0x6A09E667) % base
+        return m, s
+    du = d.astype(jnp.uint32)
+    baseu = base.astype(jnp.uint32)
+    m = 1 + _fmix32(du * np.uint32(0x9E3779B1)) % (baseu - 1)
+    s = _fmix32(du * np.uint32(0x85EBCA77) + np.uint32(0x6A09E667)) % baseu
+    return m.astype(jnp.int32), s.astype(jnp.int32)
+
+
 def _digits_needed(base: int, max_index: int = 1 << 31) -> int:
     n = 0
     v = 1
@@ -64,8 +107,8 @@ def _digits_needed(base: int, max_index: int = 1 << 31) -> int:
     return n
 
 
-def _scrambled_radical_inverse(a: jnp.ndarray, base: int,
-                               perm: jnp.ndarray) -> jnp.ndarray:
+def _scrambled_radical_inverse(a: jnp.ndarray, base: int, perm: jnp.ndarray,
+                               max_index: int = 1 << 31) -> jnp.ndarray:
     """Scrambled radical inverse with static base; float32 accumulation of
     the digit series (the reference accumulates in uint64 doubles —
     lowdiscrepancy.cpp ScrambledRadicalInverseSpecialized; differences are
@@ -74,7 +117,7 @@ def _scrambled_radical_inverse(a: jnp.ndarray, base: int,
     acc = jnp.zeros_like(a, dtype=jnp.float32)
     scale = jnp.full(a.shape, inv_base, dtype=jnp.float32)
     inv_base_n = jnp.ones_like(a, dtype=jnp.float32)
-    for _ in range(_digits_needed(base)):
+    for _ in range(_digits_needed(base, max_index)):
         digit = a % base
         active = a > 0
         acc = jnp.where(active, acc + perm[digit].astype(jnp.float32) * scale, acc)
@@ -82,6 +125,41 @@ def _scrambled_radical_inverse(a: jnp.ndarray, base: int,
         scale = scale * inv_base
         a = a // base
     tail = inv_base_n * perm[0].astype(jnp.float32) / np.float32(base - 1)
+    return jnp.minimum(acc + tail, ONE_MINUS_EPS)
+
+
+def _affine_radical_inverse(a: jnp.ndarray, base, m, s,
+                            n_digits: int) -> jnp.ndarray:
+    """Radical inverse with the affine digit permutation
+    pi(d) = (m*d + s) mod base applied at every digit position (the same
+    one-perm-for-all-digits structure as pbrt's
+    ScrambledRadicalInverseSpecialized, so the zero-digit tail has the
+    identical closed form with perm[0] == s).  base/m/s may be python ints
+    (static dim) or traced scalars (in-scan dim); no table gathers."""
+    basef = (np.float32(base) if isinstance(base, (int, np.integer))
+             else base.astype(jnp.float32))
+    inv_base = 1.0 / basef
+    zero = a.astype(jnp.float32) * 0.0
+    acc = zero
+    scale = zero + inv_base
+    inv_base_n = zero + 1.0
+
+    def body(_, carry):
+        a, acc, scale, inv_base_n = carry
+        digit = a % base
+        pdigit = (m * digit + s) % base
+        active = a > 0
+        acc = jnp.where(active, acc + pdigit.astype(jnp.float32) * scale, acc)
+        inv_base_n = jnp.where(active, inv_base_n * inv_base, inv_base_n)
+        return a // base, acc, scale * inv_base, inv_base_n
+
+    carry = (a, acc, scale, inv_base_n)
+    for k in range(n_digits):
+        carry = body(k, carry)
+    _, acc, _, inv_base_n = carry
+    sf = (np.float32(s) if isinstance(s, (int, np.integer))
+          else s.astype(jnp.float32))
+    tail = inv_base_n * sf / (basef - 1.0)
     return jnp.minimum(acc + tail, ONE_MINUS_EPS)
 
 
@@ -118,11 +196,12 @@ def _scrambled_radical_inverse_dyn(a: jnp.ndarray, base: jnp.ndarray,
     return jnp.minimum(acc + tail, ONE_MINUS_EPS)
 
 
-def _radical_inverse(a: jnp.ndarray, base: int) -> jnp.ndarray:
+def _radical_inverse(a: jnp.ndarray, base: int,
+                     max_index: int = 1 << 31) -> jnp.ndarray:
     inv_base = np.float32(1.0 / base)
     acc = jnp.zeros_like(a, dtype=jnp.float32)
     scale = jnp.full(a.shape, inv_base, dtype=jnp.float32)
-    for _ in range(_digits_needed(base)):
+    for _ in range(_digits_needed(base, max_index)):
         digit = a % base
         acc = acc + digit.astype(jnp.float32) * scale
         scale = scale * inv_base
@@ -136,7 +215,7 @@ def _radical_inverse(a: jnp.ndarray, base: int) -> jnp.ndarray:
 
 class HaltonSampler(NamedTuple):
     spp: int
-    perms: jnp.ndarray  # flat permutation table (int32)
+    perms: jnp.ndarray  # flat permutation table (int32; "pbrt" mode)
     offsets: jnp.ndarray  # (H, W) int32 first-sample index per pixel
     stride: int
     exp_x: int
@@ -144,45 +223,74 @@ class HaltonSampler(NamedTuple):
     primes: jnp.ndarray = None  # (1000,) int32
     prime_sums: jnp.ndarray = None  # (1000,) int32
     sample_at_center: bool = False
+    # Largest sample index any lane can request (static): bounds the digit
+    # loops — e.g. 700x700x8spp gives max_index ~2.8e5, 5 digits in base 13
+    # instead of the 14 that cover 2^31.
+    max_index: int = 1 << 31
+    # "affine": arithmetic digit permutation, no gathers (default; fast).
+    # "pbrt": the reference's PCG32 permutation tables, bit-exact vs
+    # HaltonSampler::SampleDimension but gather-bound on TPU.
+    scramble: str = "affine"
 
     name: str = "halton"
 
     def index(self, px, py, sample_idx):
         return self.offsets[py, px] + sample_idx * self.stride
 
-    def dim(self, px, py, sample_idx, d: int) -> jnp.ndarray:
-        """Sample dimension d for the given pixels/sample numbers.
-        Mirrors HaltonSampler::SampleDimension (halton.cpp:118-127)."""
-        idx = self.index(px, py, sample_idx)
+    def lane_ctx(self, px, py, sample_idx):
+        """Precompute the per-lane Halton index once per wavefront (the
+        offsets[] gather) so per-dimension calls skip it."""
+        return self.index(px, py, sample_idx)
+
+    def _dim_from_idx(self, idx, d: int) -> jnp.ndarray:
         if self.sample_at_center and d in (0, 1):
             return jnp.full(idx.shape, 0.5, jnp.float32)
         if d == 0:
             return _radical_inverse_base2(idx >> self.exp_x)
         if d == 1:
-            return _radical_inverse(idx // self.scale_y, 3)
+            return _radical_inverse(idx // self.scale_y, 3,
+                                    max(2, self.max_index // self.scale_y))
         base = int(ld.PRIMES[d])
-        off = int(ld.PRIME_SUMS[d])
-        return _scrambled_radical_inverse(idx, base, self.perms[off:off + base])
+        if self.scramble == "pbrt":
+            off = int(ld.PRIME_SUMS[d])
+            return _scrambled_radical_inverse(
+                idx, base, self.perms[off:off + base], self.max_index)
+        m, s = _affine_perm_params(d, base)
+        return _affine_radical_inverse(idx, base, m, s,
+                                       _digits_needed(base, self.max_index))
 
-    def dim_dyn(self, px, py, sidx, d) -> jnp.ndarray:
-        """Sample a TRACED dimension d (scalar int32, must be >= 2) — the
-        in-scan variant used by the bounce loop.  14 digit iterations cover
-        any base >= 5 up to 2^31 indices."""
-        idx = self.index(px, py, sidx)
-        return _scrambled_radical_inverse_dyn(
-            idx, self.primes[d], self.perms, self.prime_sums[d], 14)
+    def dim(self, px, py, sample_idx, d: int, ctx=None) -> jnp.ndarray:
+        """Sample dimension d for the given pixels/sample numbers.
+        Mirrors HaltonSampler::SampleDimension (halton.cpp:118-127)."""
+        idx = ctx if ctx is not None else self.index(px, py, sample_idx)
+        return self._dim_from_idx(idx, d)
+
+    def dim_dyn(self, px, py, sidx, d, ctx=None) -> jnp.ndarray:
+        """Sample a TRACED dimension d (scalar int32, must be >= 5: the
+        bounce-loop dims) — the in-scan variant.  The digit count covers
+        base PRIMES[5] = 13 (larger bases need fewer digits; their loop
+        tail is masked by a > 0)."""
+        idx = ctx if ctx is not None else self.index(px, py, sidx)
+        n_digits = _digits_needed(13, self.max_index)
+        base = self.primes[d]
+        if self.scramble == "pbrt":
+            return _scrambled_radical_inverse_dyn(
+                idx, base, self.perms, self.prime_sums[d], n_digits)
+        m, s = _affine_perm_params(d, base)
+        return _affine_radical_inverse(idx, base, m, s, n_digits)
 
     # dims 0/1 ARE the in-pixel offsets: stripping the low exp_x base-2 /
     # base-3 digits (which encode the pixel) leaves the radical inverse of
     # the remaining digits = the fractional position within the pixel
     # (halton.cpp:118-124 + GlobalSampler pFilm = pixel + Get2D()).
-    def film_offset(self, px, py, sample_idx):
-        return (self.dim(px, py, sample_idx, 0),
-                self.dim(px, py, sample_idx, 1))
+    def film_offset(self, px, py, sample_idx, ctx=None):
+        return (self.dim(px, py, sample_idx, 0, ctx),
+                self.dim(px, py, sample_idx, 1, ctx))
 
 
 def make_halton(spp: int, res_x: int, res_y: int,
-                sample_at_center: bool = False) -> HaltonSampler:
+                sample_at_center: bool = False,
+                scramble: str = "affine") -> HaltonSampler:
     geom = ld.halton_geometry(res_x, res_y)
     perms = ld.compute_radical_inverse_permutations()
     py, px = np.meshgrid(np.arange(res_y), np.arange(res_x), indexing="ij")
@@ -197,6 +305,8 @@ def make_halton(spp: int, res_x: int, res_y: int,
         primes=jnp.asarray(ld.PRIMES.astype(np.int32)),
         prime_sums=jnp.asarray(ld.PRIME_SUMS.astype(np.int32)),
         sample_at_center=sample_at_center,
+        max_index=int(offsets.max()) + (spp + 1) * int(geom["sample_stride"]),
+        scramble=scramble,
     )
 
 
@@ -211,13 +321,17 @@ class RandomSampler(NamedTuple):
 
     name: str = "random"
 
-    def dim(self, px, py, sample_idx, d) -> jnp.ndarray:
+    def lane_ctx(self, px, py, sample_idx):
+        # per-lane counter folding pixel + sample number
+        return ((py.astype(jnp.uint32) * np.uint32(self.res_x)
+                 + px.astype(jnp.uint32)) * np.uint32(16384)
+                + sample_idx.astype(jnp.uint32))
+
+    def dim(self, px, py, sample_idx, d, ctx=None) -> jnp.ndarray:
         # d may be a static int or a traced scalar (fold_in accepts both)
         key = jax.random.fold_in(jax.random.key(self.seed), d)
-        # fold pixel+sample into per-lane counters: one uniform per lane
-        counter = ((py.astype(jnp.uint32) * np.uint32(self.res_x)
-                    + px.astype(jnp.uint32)) * np.uint32(16384)
-                   + sample_idx.astype(jnp.uint32))
+        counter = (ctx if ctx is not None
+                   else self.lane_ctx(px, py, sample_idx))
         keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, counter)
         bits = jax.vmap(lambda k: jax.random.bits(k, (), jnp.uint32))(keys)
         return jnp.minimum(bits.astype(jnp.float32) * jnp.float32(2 ** -32),
@@ -225,9 +339,9 @@ class RandomSampler(NamedTuple):
 
     dim_dyn = dim
 
-    def film_offset(self, px, py, sample_idx):
-        return (self.dim(px, py, sample_idx, 0),
-                self.dim(px, py, sample_idx, 1))
+    def film_offset(self, px, py, sample_idx, ctx=None):
+        return (self.dim(px, py, sample_idx, 0, ctx),
+                self.dim(px, py, sample_idx, 1, ctx))
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +388,10 @@ class StratifiedSampler(NamedTuple):
         return ((sample_idx.astype(jnp.uint32) + r)
                 % np.uint32(max(self.spp, 1))).astype(jnp.int32)
 
-    def dim(self, px, py, sample_idx, d) -> jnp.ndarray:
+    def lane_ctx(self, px, py, sample_idx):
+        return None
+
+    def dim(self, px, py, sample_idx, d, ctx=None) -> jnp.ndarray:
         if isinstance(d, int) and d in (0, 1):
             fx, fy = self.film_offset(px, py, sample_idx)
             return fx if d == 0 else fy
@@ -285,7 +402,7 @@ class StratifiedSampler(NamedTuple):
 
     dim_dyn = dim
 
-    def film_offset(self, px, py, sample_idx):
+    def film_offset(self, px, py, sample_idx, ctx=None):
         sx = (sample_idx % self.nx).astype(jnp.float32)
         sy = (sample_idx // self.nx).astype(jnp.float32)
         jx = self._u(px, py, sample_idx, 0, 2) if self.jitter else 0.5
@@ -354,7 +471,10 @@ class ZeroTwoSequenceSampler(NamedTuple):
         sx, sy = self._scrambles(px, py, d)
         return _sobol_2d(sample_idx.astype(jnp.uint32), sx, sy)
 
-    def dim(self, px, py, sample_idx, d) -> jnp.ndarray:
+    def lane_ctx(self, px, py, sample_idx):
+        return None
+
+    def dim(self, px, py, sample_idx, d, ctx=None) -> jnp.ndarray:
         # pair consecutive dims into one 2D (0,2) lookup
         ux, uy = self.dim2(px, py, sample_idx, d // 2)
         if isinstance(d, int):
@@ -363,7 +483,7 @@ class ZeroTwoSequenceSampler(NamedTuple):
 
     dim_dyn = dim
 
-    def film_offset(self, px, py, sample_idx):
+    def film_offset(self, px, py, sample_idx, ctx=None):
         return self.dim2(px, py, sample_idx, 0)
 
 
