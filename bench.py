@@ -83,10 +83,10 @@ def main() -> int:
             sd_rpf.sampler_params.add("integer", "pixelsamples", [args.spp])
         t0 = time.time()
         _img2, _job2, extras = render_rpf(
-            sd_rpf, crop_override=crop, write_feature_exrs=False,
-            return_buffers=True)
+            sd_rpf, crop_override=crop, write_feature_exrs=False)
         t_total_rpf = time.time() - t0
         result["rpf_filter_ms"] = round(extras["filter_time"] * 1000.0, 1)
+        result["rpf_sampling_s"] = round(extras["sampling_time"], 2)
         result["rpf_total_s"] = round(t_total_rpf, 2)
 
     result["render_s"] = round(t_render, 2)

@@ -70,7 +70,8 @@ def main(argv=None) -> int:
         if sd.integrator_name == "rpf":
             from tpurt.rpf.driver import render_rpf
 
-            img, job = render_rpf(sd, quick=args.quick, crop_override=crop)
+            img, job, _extras = render_rpf(sd, quick=args.quick,
+                                           crop_override=crop)
         else:
             img, job = render(sd, quick=args.quick, crop_override=crop)
         out = args.outfile or job.film.filename

@@ -25,6 +25,8 @@ from tpurt.geom.transform import Transform
 from tpurt.render.geometry_build import GeometryArrays, PT_SPHERE, PT_TRIANGLE
 from tpurt.render.sampling_warps import (
     build_onb,
+    concentric_sample_disk,
+    cosine_sample_hemisphere,
     dot,
     normalize,
     to_world,
@@ -67,6 +69,7 @@ class LightTable(NamedTuple):
     power_pmf: jnp.ndarray  # (L,) light-choice pmf (power heuristic strategy)
     power_cdf: jnp.ndarray  # (L,)
     world_radius: jnp.ndarray  # scalar
+    world_center: jnp.ndarray  # (3,) scene bound center (Sample_Le disks)
     # environment map for ONE infinite light (lights/infinite.cpp):
     # equirect radiance + the 2D luminance*sin(theta) sampling distribution
     env_map: jnp.ndarray  # (He, We, 3) f32 (1x1 black when absent)
@@ -95,6 +98,7 @@ from tpurt.pytrees import register_static_pytree  # noqa: E402
 register_static_pytree(LightTable, [
     "kind", "L", "p0", "p1", "params", "tri_v0", "tri_v1", "tri_v2",
     "prim", "prim_to_light", "power_pmf", "power_cdf", "world_radius",
+    "world_center",
     "env_map", "env_cond_cdf", "env_cond_int", "env_marg_cdf",
     "env_w2l", "env_l2w", "spat_cdf", "spat_pmf", "spat_lo",
     "spat_inv_extent",
@@ -258,6 +262,7 @@ def build_light_table(
         power_pmf=jnp.asarray(pmf.astype(np.float32)),
         power_cdf=jnp.asarray(np.cumsum(pmf).astype(np.float32)),
         world_radius=jnp.float32(world_radius),
+        world_center=jnp.asarray(np.asarray(center, np.float32)),
         env_map=jnp.asarray(env_img),
         env_cond_cdf=jnp.asarray(cond_cdf),
         env_cond_int=jnp.asarray(cond_int),
@@ -627,3 +632,172 @@ def env_le(lt: LightTable, d):
     c11 = fetch(x0 + 1, y0 + 1)
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+# ---------------------------------------------------------------------------
+# emission sampling (Sample_Le / Pdf_Le) — bidirectional transport support
+# Reference analog: light.h:75 Sample_Le/Pdf_Le and the per-type
+# implementations (point.cpp:58, spot.cpp:87, distant.cpp:55,
+# diffuse.cpp:92, infinite.cpp:129).
+# ---------------------------------------------------------------------------
+
+class LeSample(NamedTuple):
+    p: jnp.ndarray        # (N,3) point on the light (ray origin)
+    n: jnp.ndarray        # (N,3) light normal at p (emission side)
+    d: jnp.ndarray        # (N,3) emitted ray direction
+    le: jnp.ndarray       # (N,3) emitted radiance / intensity
+    pdf_pos: jnp.ndarray  # (N,) area pdf of p
+    pdf_dir: jnp.ndarray  # (N,) solid-angle pdf of d (given p)
+    is_delta_pos: jnp.ndarray  # (N,) point-like light (pdf_pos is a delta)
+    is_infinite: jnp.ndarray   # (N,)
+
+
+def sample_le(lt: LightTable, idx: jnp.ndarray, u1, u2, u3, u4) -> LeSample:
+    """Batched Sample_Le for the chosen light rows; (u1,u2) sample the
+    position, (u3,u4) the direction (pbrt's two 2D samples)."""
+    kind = lt.kind[idx]
+    L = lt.L[idx]
+    p0 = lt.p0[idx]
+    p1 = lt.p1[idx]
+    par = lt.params[idx]
+    wr = lt.world_radius
+    wc = lt.world_center
+    n_lanes = idx.shape[0]
+    two_sided = par[:, 3] > 0
+
+    # --- point: uniform sphere direction (point.cpp:58) ---
+    d_sph = uniform_sample_sphere(u3, u4)
+    pdfdir_point = jnp.full((n_lanes,), 1.0 / (4 * np.pi), jnp.float32)
+
+    # --- spot: uniform cone about the axis (spot.cpp:87) ---
+    cos_total = par[:, 0]
+    d_cone_l = uniform_sample_cone(u3, u4, cos_total)
+    tx, ty = build_onb(p1)
+    d_spot = to_world(tx, ty, p1, d_cone_l)
+    # falloff at the sampled direction
+    cos_t = dot(d_spot, p1)
+    cos_fall = par[:, 1]
+    delta_f = jnp.clip((cos_t - cos_total)
+                       / jnp.maximum(cos_fall - cos_total, 1e-6), 0.0, 1.0)
+    falloff = jnp.where(cos_t < cos_total, 0.0,
+                        jnp.where(cos_t > cos_fall, 1.0, (delta_f ** 2) ** 2))
+    pdfdir_spot = uniform_cone_pdf(cos_total)
+
+    # --- distant: disk of world radius perpendicular to the direction
+    # (distant.cpp:55); p0 points TOWARD the light, emission goes -p0 ---
+    d_dist = -p0
+    txd, tyd = build_onb(d_dist)
+    cdx, cdy = concentric_sample_disk(u1, u2)
+    p_disk = (wc + wr * (cdx[:, None] * txd + cdy[:, None] * tyd)
+              - wr * d_dist)
+    pdfpos_disk = jnp.full((n_lanes,), 1.0 / (np.pi * wr * wr), jnp.float32)
+
+    # --- area triangle: uniform by area + cosine hemisphere (diffuse.cpp:92)
+    b0, b1 = uniform_sample_triangle(u1, u2)
+    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    p_tri = b0[:, None] * tv0 + b1[:, None] * tv1 + (1 - b0 - b1)[:, None] * tv2
+    n_cross = jnp.cross(tv1 - tv0, tv2 - tv0)
+    area_tri = 0.5 * jnp.linalg.norm(n_cross, axis=-1)
+    n_tri = normalize(n_cross)
+    # cosine hemisphere; two-sided: u3 picks the side then is remapped
+    # (diffuse.cpp:100-110)
+    u3_t = jnp.where(two_sided, jnp.minimum(u3 * 2.0, 0.9999994)
+                     % 1.0, u3)
+    flip = two_sided & (u3 >= 0.5)
+    w_local = cosine_sample_hemisphere(u3_t, u4)
+    pdfdir_cos = jnp.maximum(w_local[:, 2], 0.0) / np.pi
+    pdfdir_cos = jnp.where(two_sided, 0.5 * pdfdir_cos, pdfdir_cos)
+    ttx, tty = build_onb(n_tri)
+    d_tri = to_world(ttx, tty, n_tri, w_local)
+    d_tri = jnp.where(flip[:, None], -d_tri, d_tri)
+    n_emit_tri = jnp.where(flip[:, None], -n_tri, n_tri)
+    pdfpos_tri = 1.0 / jnp.maximum(area_tri, 1e-12)
+
+    # --- area sphere: uniform area + cosine hemisphere ---
+    c = p0
+    r = par[:, 2]
+    n_sph = uniform_sample_sphere(u1, u2)
+    p_sph = c + r[:, None] * n_sph
+    stx, sty = build_onb(n_sph)
+    d_sphl = to_world(stx, sty, n_sph, w_local)
+    d_sphl = jnp.where(flip[:, None], -d_sphl, d_sphl)
+    n_emit_sph = jnp.where(flip[:, None], -n_sph, n_sph)
+    pdfpos_sph = 1.0 / jnp.maximum(4 * np.pi * r * r, 1e-12)
+
+    # --- infinite: direction from the env distribution (or uniform),
+    # position on a world-radius disk behind it (infinite.cpp:129) ---
+    if lt.env_light_row >= 0:
+        wi_env, le_env, pdf_env = env_sample(lt, u3, u4)
+        d_inf = -wi_env
+        le_inf = le_env
+        pdfdir_inf = pdf_env
+    else:
+        d_inf = -uniform_sample_sphere(u3, u4)
+        le_inf = L
+        pdfdir_inf = jnp.full((n_lanes,), 1.0 / (4 * np.pi), jnp.float32)
+    txi, tyi = build_onb(d_inf)
+    p_inf = (wc + wr * (cdx[:, None] * txi + cdy[:, None] * tyi)
+             - wr * d_inf)
+
+    def sel(k):
+        return (kind == k)[:, None]
+
+    is_point = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT)
+    p = jnp.where(is_point[:, None], p0,
+        jnp.where(sel(LIGHT_DISTANT), p_disk,
+        jnp.where(sel(LIGHT_AREA_TRI), p_tri,
+        jnp.where(sel(LIGHT_AREA_SPHERE), p_sph, p_inf))))
+    d = jnp.where(sel(LIGHT_POINT), d_sph,
+        jnp.where(sel(LIGHT_SPOT), d_spot,
+        jnp.where(sel(LIGHT_DISTANT), d_dist,
+        jnp.where(sel(LIGHT_AREA_TRI), d_tri,
+        jnp.where(sel(LIGHT_AREA_SPHERE), d_sphl, d_inf)))))
+    n = jnp.where(sel(LIGHT_AREA_TRI), n_emit_tri,
+        jnp.where(sel(LIGHT_AREA_SPHERE), n_emit_sph, d))
+    le = jnp.where(sel(LIGHT_SPOT), L * falloff[:, None],
+         jnp.where(sel(LIGHT_INFINITE), le_inf, L))
+    pdf_pos = jnp.where(is_point, 1.0,
+              jnp.where(kind == LIGHT_AREA_TRI, pdfpos_tri,
+              jnp.where(kind == LIGHT_AREA_SPHERE, pdfpos_sph,
+                        pdfpos_disk)))
+    pdf_dir = jnp.where(kind == LIGHT_POINT, pdfdir_point,
+              jnp.where(kind == LIGHT_SPOT, pdfdir_spot,
+              jnp.where(kind == LIGHT_DISTANT, 1.0,
+              jnp.where(kind == LIGHT_INFINITE, pdfdir_inf, pdfdir_cos))))
+    return LeSample(p=p, n=n, d=d, le=le, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
+                    is_delta_pos=is_point | (kind == LIGHT_DISTANT),
+                    is_infinite=kind == LIGHT_INFINITE)
+
+
+def pdf_le(lt: LightTable, idx: jnp.ndarray, p: jnp.ndarray, n: jnp.ndarray,
+           d: jnp.ndarray):
+    """(pdf_pos, pdf_dir) that Sample_Le would give for an emitted ray
+    (p, d) with light normal n at p (Pdf_Le per type)."""
+    kind = lt.kind[idx]
+    par = lt.params[idx]
+    wr = lt.world_radius
+    r = par[:, 2]
+    two_sided = par[:, 3] > 0
+
+    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    area_tri = 0.5 * jnp.linalg.norm(jnp.cross(tv1 - tv0, tv2 - tv0), axis=-1)
+    cosl = dot(n, d)
+    pdfdir_cos = jnp.where(two_sided, 0.5 * jnp.abs(cosl) / np.pi,
+                           jnp.maximum(cosl, 0.0) / np.pi)
+
+    cos_total = par[:, 0]
+    pdf_pos = jnp.where(kind == LIGHT_AREA_TRI,
+                        1.0 / jnp.maximum(area_tri, 1e-12),
+              jnp.where(kind == LIGHT_AREA_SPHERE,
+                        1.0 / jnp.maximum(4 * np.pi * r * r, 1e-12),
+              jnp.where((kind == LIGHT_DISTANT) | (kind == LIGHT_INFINITE),
+                        1.0 / (np.pi * wr * wr), 1.0)))
+    if lt.env_light_row >= 0:
+        pdfdir_inf = env_pdf(lt, -d)
+    else:
+        pdfdir_inf = jnp.full(cosl.shape, 1.0 / (4 * np.pi), jnp.float32)
+    pdf_dir = jnp.where(kind == LIGHT_POINT, 1.0 / (4 * np.pi),
+              jnp.where(kind == LIGHT_SPOT, uniform_cone_pdf(cos_total),
+              jnp.where(kind == LIGHT_DISTANT, 1.0,
+              jnp.where(kind == LIGHT_INFINITE, pdfdir_inf, pdfdir_cos))))
+    return pdf_pos, pdf_dir

@@ -28,9 +28,15 @@ log = logging.getLogger("tpurt.rpf")
 DEFAULT_BOX_SIZES = (7,)  # rpf.cpp:767 (multi-scale list commented out there)
 
 
-def fill_sample_buffer(job, chunk: Optional[int] = None):
+def fill_sample_buffer(job, chunk: Optional[int] = None) -> jnp.ndarray:
     """FillSampleFilm analog: path-trace every (pixel, sample) lane with
-    feature capture, assembling the (H, W, S, 19) sample buffer."""
+    feature capture, assembling the (H, W, S, 19) sample buffer.
+
+    The buffer stays DEVICE-RESIDENT: _chunk_lanes enumerates lane ids
+    sequentially in exactly the buffer's pixel-major row order, so each
+    traced chunk lands as one dynamic_update_slice into a donated device
+    buffer.  (The previous host-side assembly shipped every chunk through
+    the axon tunnel at ~15 MB/s — half the whole RPF pipeline's time.)"""
     film = job.film
     spp = job.sampler.spp
     h, w = film.height, film.width
@@ -45,32 +51,32 @@ def fill_sample_buffer(job, chunk: Optional[int] = None):
         chunk = min(get_config().wavefront_size, h * w * spp)
         chunk = max(8, (chunk // 8) * 8)
 
-    @jax.jit
-    def trace(scene, camera, smplr, px, py, sidx):
+    @partial(jax.jit, donate_argnums=(7,))
+    def trace(scene, camera, smplr, px, py, sidx, start, buf):
         out = path_radiance(scene, smplr, camera, px, py, sidx, cfg,
                             crop_xy=(x0, y0), texture_eval=job.texture_eval)
         f = out["features"]
         # SampleData layout (sd.h:40-59)
-        return jnp.concatenate([
+        rows = jnp.concatenate([
             out["p_film"],  # 0:2 (crop-space raster coords)
             out["L"],  # 2:5
             out["p_lens"],  # 5:7
             f["n0"], f["p0"], f["n1"], f["p1"],  # 7:19
         ], axis=-1)
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
-    buf = np.zeros((h * w * spp, SD_LEN), np.float32)
+    total = h * w * spp
+    n_chunks = -(-total // chunk)
+    # rows beyond `total` absorb the final chunk's padding lanes
+    buf = jnp.zeros((n_chunks * chunk, SD_LEN), jnp.float32)
     done = 0
-    for px, py, sidx, mask in _chunk_lanes(film, spp, chunk):
-        rows = np.asarray(
-            trace(job.scene, job.camera, job.sampler,
-                  jnp.asarray(px), jnp.asarray(py), jnp.asarray(sidx)))
-        # lanes are pixel-major: id = pid * spp + sidx
-        ids = (py - y0).astype(np.int64) * w * spp \
-            + (px - x0).astype(np.int64) * spp + sidx
-        buf[ids[mask]] = rows[mask]
+    for i, (px, py, sidx, mask) in enumerate(_chunk_lanes(film, spp, chunk)):
+        buf = trace(job.scene, job.camera, job.sampler,
+                    jnp.asarray(px), jnp.asarray(py), jnp.asarray(sidx),
+                    jnp.int32(i * chunk), buf)
         done += int(mask.sum())
-        log.info("sampling pass: %d/%d", done, h * w * spp)
-    return buf.reshape(h, w, spp, SD_LEN)
+        log.info("sampling pass: %d/%d", done, total)
+    return buf[:total].reshape(h, w, spp, SD_LEN)
 
 
 def visualize_sf(buffer: np.ndarray, filename: str) -> None:
@@ -123,17 +129,19 @@ def render_rpf(sd, quick: bool = False, crop_override=None,
     job = build_job(sd, quick=quick, crop_override=crop_override)
     t0 = time.time()
     buffer = fill_sample_buffer(job)
-    log.info("sampling pass: %.2fs", time.time() - t0)
+    jax.block_until_ready(buffer)
+    sampling_time = time.time() - t0
+    log.info("sampling pass: %.2fs", sampling_time)
 
     if write_feature_exrs:
         try:
-            visualize_sf(buffer, job.film.filename)
+            # the one host copy in the pipeline; feature dumps only
+            visualize_sf(np.asarray(buffer), job.film.filename)
         except OSError as e:
             log.error("feature EXR dump failed: %s", e)
 
-    raw = buffer.copy()
     t0 = time.time()
-    buf = jnp.asarray(buffer)
+    buf = buffer
     for box in box_sizes:
         buf = apply_rpf_filter(buf, box)
         jax.block_until_ready(buf)
@@ -143,6 +151,9 @@ def render_rpf(sd, quick: bool = False, crop_override=None,
 
     img = splat_buffer(job, buf)
     if return_buffers:
-        return img, job, {"raw_buffer": raw, "filtered_buffer": np.asarray(buf),
-                          "filter_time": filter_time}
-    return img, job
+        return img, job, {"raw_buffer": np.asarray(buffer),
+                          "filtered_buffer": np.asarray(buf),
+                          "filter_time": filter_time,
+                          "sampling_time": sampling_time}
+    return img, job, {"filter_time": filter_time,
+                      "sampling_time": sampling_time}

@@ -226,26 +226,18 @@ def _filter_pixel(own, window, window_valid, window_center, box_size, b_max):
     return new_c
 
 
-def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
-                     pixel_chunk: int = 512,
-                     chunks_per_call: int = 64) -> jnp.ndarray:
-    """One ApplyRPFFilter pass over the full sample buffer.
+from functools import lru_cache  # noqa: E402
 
-    buffer: (H, W, S, 19).  Returns the buffer with filtered colors.
 
-    Pixels are processed in vmapped chunks of ``pixel_chunk``;
-    ``chunks_per_call`` chunks run per device call inside one fori_loop
-    (dispatch overhead dominated the python-loop-per-chunk version), and
-    the python loop over calls keeps each call well under the device
-    watchdog (~30 s).
-    """
-    h, w, s, _ = buffer.shape
+@lru_cache(maxsize=32)
+def _filter_run_call(box_size: int, s: int, pixel_chunk: int):
+    """Build (once per static config) the jitted chunk runner.  Module-
+    level caching matters: a fresh jax.jit closure per apply call forced
+    a retrace + compile-cache deserialization for every call (measured
+    8 s vs 0.2 s for the whole 700x700 pass)."""
     bd = (box_size - 1) // 2
     k = box_size * box_size * s
     b_max = int(math.floor(math.sqrt(s + k))) + 1
-
-    padded = jnp.pad(buffer, ((bd, bd), (bd, bd), (0, 0), (0, 0)))
-    valid = jnp.pad(jnp.ones((h, w), bool), ((bd, bd), (bd, bd)))
 
     # the padded buffer is a jit ARGUMENT — closing over the concrete array
     # bakes it into the HLO as a constant (285 MB at 700x700x8spp, which
@@ -262,13 +254,6 @@ def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
                              jnp.repeat(center.reshape(-1), s),
                              box_size, b_max)
 
-    n_pix = h * w
-    per_call = pixel_chunk * chunks_per_call
-    n_pad = -(-n_pix // per_call) * per_call
-    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    ys = np.pad(ys.reshape(-1), (0, n_pad - n_pix)).astype(np.int32)
-    xs = np.pad(xs.reshape(-1), (0, n_pad - n_pix)).astype(np.int32)
-
     vone = jax.vmap(one, in_axes=(None, None, 0, 0))
 
     @jax.jit
@@ -283,6 +268,36 @@ def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
         out0 = jnp.zeros((cy.shape[0], s, 3), jnp.float32)
         return jax.lax.fori_loop(0, cy.shape[0] // pixel_chunk, body, out0)
 
+    return run_call
+
+
+def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
+                     pixel_chunk: int = 512,
+                     chunks_per_call: int = 64) -> jnp.ndarray:
+    """One ApplyRPFFilter pass over the full sample buffer.
+
+    buffer: (H, W, S, 19).  Returns the buffer with filtered colors.
+
+    Pixels are processed in vmapped chunks of ``pixel_chunk``;
+    ``chunks_per_call`` chunks run per device call inside one fori_loop
+    (dispatch overhead dominated the python-loop-per-chunk version), and
+    the python loop over calls keeps each call well under the device
+    watchdog (~30 s).
+    """
+    h, w, s, _ = buffer.shape
+    bd = (box_size - 1) // 2
+
+    padded = jnp.pad(buffer, ((bd, bd), (bd, bd), (0, 0), (0, 0)))
+    valid = jnp.pad(jnp.ones((h, w), bool), ((bd, bd), (bd, bd)))
+
+    n_pix = h * w
+    per_call = pixel_chunk * chunks_per_call
+    n_pad = -(-n_pix // per_call) * per_call
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ys = np.pad(ys.reshape(-1), (0, n_pad - n_pix)).astype(np.int32)
+    xs = np.pad(xs.reshape(-1), (0, n_pad - n_pix)).astype(np.int32)
+
+    run_call = _filter_run_call(box_size, s, pixel_chunk)
     out_colors = []
     for start in range(0, n_pad, per_call):
         out_colors.append(run_call(padded, valid,
