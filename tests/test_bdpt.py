@@ -1,0 +1,140 @@
+"""BDPT integrator gates.
+
+Reference analog: analytic_scenes.cpp runs its closed-form scenes through
+bdpt alongside path; here we additionally exercise the per-strategy
+harness (every unweighted (s,t) strategy is an independent unbiased
+estimator of the same transport — a property the reference never tests).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import partial
+
+from tpurt.render.bdpt import bdpt_radiance
+from tpurt.render.driver import _chunk_lanes, build_job, render
+from tpurt.scene import load_scene_string
+
+
+FURNACE = """
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "halton" "integer pixelsamples" [4]
+Integrator "bdpt" "integer maxdepth" [5]
+Camera "perspective" "float fov" [45]
+WorldBegin
+LightSource "point" "color I" [3.1415926 3.1415926 3.1415926]
+Material "matte" "color Kd" [.5 .5 .5] "float sigma" [0]
+ReverseOrientation
+Shape "sphere" "float radius" [1]
+WorldEnd
+"""
+
+AREA_SCENE = """
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "random" "integer pixelsamples" [{spp}]
+Integrator "{integ}" "integer maxdepth" [{md}]
+Camera "perspective" "float fov" [60]
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [8 8 8]
+  Translate 0 2.5 4
+  Shape "sphere" "float radius" [0.4]
+AttributeEnd
+Material "matte" "color Kd" [.7 .6 .5]
+Shape "trianglemesh" "point P" [-10 -1 -10  10 -1 -10  10 -1 10  -10 -1 10]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def test_bdpt_furnace_closed_form():
+    img, _ = render(load_scene_string(FURNACE), progress=False)
+    want = sum(0.5 ** k for k in range(1, 6))
+    assert np.isfinite(img).all()
+    assert abs(float(img.mean()) - want) < 0.02, (img.mean(), want)
+
+
+def test_bdpt_matches_path_area_light():
+    p, _ = render(load_scene_string(
+        AREA_SCENE.format(integ="path", md=5, spp=128)), progress=False)
+    b, _ = render(load_scene_string(
+        AREA_SCENE.format(integ="bdpt", md=5, spp=128)), progress=False)
+    assert np.isfinite(b).all()
+    rel = abs(p.mean() - b.mean()) / p.mean()
+    assert rel < 0.03, (p.mean(), b.mean(), rel)
+
+
+def _strategy_mean(job, strategy, spp):
+    film = job.film
+
+    @partial(jax.jit, static_argnums=(3,))
+    def step(px, py, sidx, strategy, state, mask):
+        out = bdpt_radiance(job.scene, job.sampler, job.camera, px, py,
+                            sidx, job.cfg, crop_xy=(0, 0),
+                            texture_eval=job.texture_eval,
+                            debug_strategy=strategy, debug_unweighted=True)
+        st = film.add_samples(state, out["p_film"], out["L"],
+                              out["ray_weight"], mask=mask)
+        if "splat_p" in out:
+            reps = out["splat_p"].shape[0] // mask.shape[0]
+            st = film.add_splats(st, out["splat_p"], out["splat_L"],
+                                 mask=jnp.tile(mask, reps))
+        return st
+
+    state = film.initial_state()
+    for px, py, sidx, mask in _chunk_lanes(film, spp, 1 << 14):
+        state = step(jnp.asarray(px), jnp.asarray(py), jnp.asarray(sidx),
+                     strategy, state, jnp.asarray(mask))
+    return float(film.to_image(state, splat_scale=1.0 / spp).mean())
+
+
+def test_bdpt_strategies_agree_unweighted():
+    """Each depth-1 strategy — BSDF hit (0,3), light sampling (1,2), and
+    light tracing (2,1) — is an unbiased estimator of the same one-bounce
+    transport; their unweighted means must agree."""
+    sd = load_scene_string(AREA_SCENE.format(integ="bdpt", md=1, spp=256))
+    job = build_job(sd)
+    means = {st: _strategy_mean(job, st, job.sampler.spp)
+             for st in [(0, 3), (1, 2), (2, 1)]}
+    vals = list(means.values())
+    ref = np.mean(vals)
+    assert ref > 0
+    for st, v in means.items():
+        assert abs(v - ref) / ref < 0.08, (means,)
+
+
+MLT_SCENE = """
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Integrator "mlt" "integer maxdepth" [2] "integer mutationsperpixel" [400]
+Camera "perspective" "float fov" [60]
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [8 8 8]
+  Translate 0 2.5 4
+  Shape "sphere" "float radius" [0.4]
+AttributeEnd
+Material "matte" "color Kd" [.7 .6 .5]
+Shape "trianglemesh" "point P" [-10 -1 -10  10 -1 -10  10 -1 10  -10 -1 10]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def test_mlt_matches_path():
+    """MLT converges to the path tracer's result.  Tolerance covers the
+    bootstrap-normalization noise (the image scales linearly with the
+    estimated b, exactly as in the reference's implementation)."""
+    from tpurt.render.mlt import render_mlt
+
+    mlt_img, _ = render_mlt(load_scene_string(MLT_SCENE),
+                            n_chains=1 << 11, n_bootstrap=1 << 16)
+    path_sd = load_scene_string(
+        MLT_SCENE.replace('"mlt"', '"path"')
+        .replace('Integrator "path" "integer maxdepth" [2]',
+                 'Integrator "path" "integer maxdepth" [2]\n'
+                 'Sampler "random" "integer pixelsamples" [128]'))
+    ref, _ = render(path_sd, progress=False)
+    assert np.isfinite(mlt_img).all()
+    rel = abs(mlt_img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.15, (mlt_img.mean(), ref.mean(), rel)

@@ -72,6 +72,10 @@ def main(argv=None) -> int:
 
             img, job, _extras = render_rpf(sd, quick=args.quick,
                                            crop_override=crop)
+        elif sd.integrator_name == "mlt":
+            from tpurt.render.mlt import render_mlt
+
+            img, job = render_mlt(sd, quick=args.quick, crop_override=crop)
         else:
             img, job = render(sd, quick=args.quick, crop_override=crop)
         out = args.outfile or job.film.filename

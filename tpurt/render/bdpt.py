@@ -1,0 +1,573 @@
+"""Bidirectional path tracer as a wavefront over vertex SoA buffers.
+
+Reference analog: integrators/bdpt.{h,cpp} — Vertex (bdpt.h:128),
+GenerateCameraSubpath / GenerateLightSubpath via RandomWalk
+(bdpt.cpp:69-160), ConnectBDPT over (s, t) strategies (:302-571) and the
+remap0 pdfFwd/pdfRev MIS weight (:230-300).
+
+TPU design: the reference's per-path Vertex array becomes depth-stacked
+SoA tensors (D, N, ...) produced by a lax.scan RandomWalk (the same
+batched bounce machinery as the path integrator).  Every (s, t)
+connection strategy is a STATIC python loop level — each runs one masked
+wavefront kernel (a shadow-ray batch + f/G/MIS arithmetic) over all
+lanes.  t=1 strategies return film splats (Film::AddSplat analog);
+the driver resolves them with splat_scale = 1/spp like the reference's
+WriteImage(1.0f / sampler.samplesPerPixel) (bdpt.cpp Render).
+
+Dimension schedule (static; enables the MLT primary-sample-space replay):
+  0-4                      camera sample (pFilm, time, pLens)
+  5 + 3b                   camera-walk bounce b: lobe, u1, u2
+  BL = 5+3*(maxdepth+1)    light: choice, upos.xy, udir.xy  (5 dims)
+  BL+5 + 3b                light-walk bounce b
+  BC = BL+5+3*maxdepth     s=1 strategies: 3 dims per camera length t
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.render.bsdf import LobeParams, bsdf_f, bsdf_pdf, bsdf_sample, zero_lobes
+from tpurt.render.camera import camera_pdf_we, camera_sample_wi, _camera_frame
+from tpurt.render.integrator import (
+    SceneData,
+    _camera_setup,
+    _emitted,
+    _escape_pdf,
+    _escape_radiance,
+    _infinite_L,
+    IntegratorConfig,
+)
+from tpurt.render.interaction import compute_interaction, offset_ray_origin
+from tpurt.render.intersect import intersect_any, intersect_closest
+from tpurt.render.lights import (
+    LIGHT_AREA_SPHERE,
+    LIGHT_AREA_TRI,
+    LIGHT_INFINITE,
+    choose_light,
+    light_normal_at,
+    pdf_le,
+    sample_le,
+    sample_li,
+)
+from tpurt.render.materials_build import fetch_lobes
+from tpurt.render.sampling_warps import build_onb, dot, normalize, to_local
+
+INF = jnp.float32(np.inf)
+SHADOW_EPS = 1e-4
+
+
+class VertexSoA(NamedTuple):
+    """Depth-stacked vertex arrays: every field (D, N, ...)."""
+
+    p: jnp.ndarray        # (D,N,3) position (escaped: ray direction)
+    ng: jnp.ndarray       # (D,N,3)
+    ns: jnp.ndarray       # (D,N,3)
+    beta: jnp.ndarray     # (D,N,3) throughput INTO the vertex
+    pdf_fwd: jnp.ndarray  # (D,N) area density, forward
+    pdf_rev: jnp.ndarray  # (D,N) area density, reverse
+    delta: jnp.ndarray    # (D,N) specular-bounce vertex
+    valid: jnp.ndarray    # (D,N)
+    escaped: jnp.ndarray  # (D,N) camera ray escaped to infinite lights
+    lrow: jnp.ndarray     # (D,N) light-table row (-1 none)
+    lobes: LobeParams     # (D,N,...)
+
+
+def _v(V: VertexSoA, i: int):
+    """Per-depth view (all fields (N, ...))."""
+    return jax.tree_util.tree_map(lambda a: a[i], V)
+
+
+def _dir_to(a_p, b_p):
+    w = b_p - a_p
+    d2 = jnp.maximum(jnp.sum(w * w, axis=-1), 1e-18)
+    return w / jnp.sqrt(d2)[:, None], d2
+
+
+def _convert_density(pdf_dir, from_p, to_p, to_ng, to_escaped=None):
+    """Solid-angle pdf at from -> area density at to
+    (Vertex::ConvertDensity, bdpt.h:177; infinite vertices keep the
+    solid-angle measure)."""
+    w, d2 = _dir_to(from_p, to_p)
+    area = pdf_dir * jnp.abs(dot(to_ng, w)) / d2
+    if to_escaped is None:
+        return area
+    return jnp.where(to_escaped, pdf_dir, area)
+
+
+def _bsdf_dir(lobes, ns, w_out, w_in, want_pdf=False):
+    """Evaluate f (and optionally pdf) at a surface vertex for world
+    directions w_out (toward the previous vertex) and w_in."""
+    t, b = build_onb(ns)
+    wo_l = to_local(t, b, ns, w_out)
+    wi_l = to_local(t, b, ns, w_in)
+    f = bsdf_f(lobes, wo_l, wi_l)
+    if not want_pdf:
+        return f
+    return f, bsdf_pdf(lobes, wo_l, wi_l)
+
+
+def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
+                 o, d, beta0, pdf_dir0, alive0, n_steps, dim_base, mode):
+    """Shared camera/light subpath walk.  Returns the (n_steps, N, ...)
+    vertex stack plus per-step pdf_rev-of-previous emissions."""
+    n = px.shape[0]
+    radiance = mode == "radiance"
+    has_inf = scene.lights.has_infinite and radiance
+
+    def step(carry, b):
+        o, d, beta, pdf_dir, alive, prev_p = carry
+        t_max = jnp.where(alive, INF, 0.0)
+        hit = intersect_closest(scene.geo, o, d, t_max)
+        si = compute_interaction(scene.geo, hit, o, d)
+
+        escaped = alive & ~si.valid if has_inf else jnp.zeros(n, bool)
+        vvalid = alive & si.valid
+        pdf_fwd = _convert_density(pdf_dir, prev_p, si.p, si.ng)
+        pdf_fwd = jnp.where(escaped, pdf_dir, pdf_fwd)
+
+        overrides = texture_eval(si) if texture_eval is not None else None
+        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
+                            si.material_id, overrides)
+        lrow = jnp.where(vvalid,
+                         scene.lights.prim_to_light[jnp.maximum(si.prim, 0)],
+                         -1)
+
+        # BSDF continuation (static dims via dim_dyn's traced-b variant)
+        d0 = dim_base + 3 * b
+        u_lobe = sampler.dim_dyn(px, py, sidx, d0, sctx)
+        u1 = sampler.dim_dyn(px, py, sidx, d0 + 1, sctx)
+        u2 = sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)
+        t_, b_ = build_onb(si.ns)
+        wo_l = to_local(t_, b_, si.ns, si.wo)
+        wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe,
+                                                      u1, u2)
+        wi = (wi_l[:, 0:1] * t_ + wi_l[:, 1:2] * b_
+              + wi_l[:, 2:3] * si.ns)
+        # reverse pdf toward the previous vertex; emitted as solid-angle
+        # (the caller converts with the previous vertex's own normal)
+        pdf_rev_dir = bsdf_pdf(lobes, wi_l, wo_l)
+        prev_rev_dir = jnp.where(is_spec, 0.0, pdf_rev_dir)
+
+        ok = vvalid & (pdf > 0) & jnp.any(f > 0, axis=-1)
+        corr = jnp.ones(n, jnp.float32)
+        if mode == "importance":
+            # shading-normal correction (bdpt.cpp CorrectShadingNormal)
+            num = jnp.abs(dot(si.wo, si.ns) * dot(wi, si.ng))
+            den = jnp.abs(dot(si.wo, si.ng) * dot(wi, si.ns))
+            corr = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+        beta_next = jnp.where(
+            ok[:, None],
+            beta * f * (jnp.abs(dot(wi, si.ns)) * corr
+                        / jnp.maximum(pdf, 1e-20))[:, None],
+            beta)
+
+        vert = dict(
+            p=jnp.where(escaped[:, None], d, si.p),
+            ng=jnp.where(vvalid[:, None], si.ng, 0.0),
+            ns=jnp.where(vvalid[:, None], si.ns, 0.0),
+            beta=jnp.where((vvalid | escaped)[:, None], beta, 0.0),
+            pdf_fwd=jnp.where(vvalid | escaped, pdf_fwd, 0.0),
+            delta=is_spec & vvalid,
+            valid=vvalid,
+            escaped=escaped,
+            lrow=lrow,
+            lobes=lobes,
+            prev_rev_dir=prev_rev_dir,
+            prev_rev_from=si.p,
+        )
+        carry = (offset_ray_origin(si.p, si.ng, wi), wi, beta_next,
+                 jnp.where(is_spec, 0.0, pdf), ok, si.p)
+        return carry, vert
+
+    init = (o, d, beta0, pdf_dir0, alive0, o)
+    _, verts = jax.lax.scan(step, init,
+                            jnp.arange(n_steps, dtype=jnp.int32))
+    return verts
+
+
+def _assemble(v0: dict, walk: dict, n_steps: int) -> VertexSoA:
+    """Stack v0 + walk vertices and wire up pdf_rev: the walk emits, at
+    step i, the solid-angle reverse pdf toward vertex i-1; convert with
+    vertex i-1's own position/normal."""
+    cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)
+    fields = {}
+    for k in ("p", "ng", "ns", "beta", "pdf_fwd", "delta", "valid",
+              "escaped", "lrow"):
+        fields[k] = cat(v0[k], walk[k])
+    fields["lobes"] = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[None], b], axis=0),
+        v0["lobes"], walk["lobes"])
+
+    # pdf_rev[i] comes from step i+1's emission (reverse pdf toward i)
+    p = fields["p"]
+    ng = fields["ng"]
+    d_total = n_steps + 1
+    rev = [jnp.zeros_like(fields["pdf_fwd"][0]) for _ in range(d_total)]
+    for i in range(d_total - 1):
+        # emitted by walk step i (vertex i+1), aimed at vertex i
+        rd = walk["prev_rev_dir"][i]
+        src = walk["prev_rev_from"][i]
+        rev[i] = _convert_density(rd, src, p[i], ng[i])
+    fields["pdf_rev"] = jnp.stack(rev, axis=0)
+    return VertexSoA(**fields)
+
+
+def _remap0(x):
+    return jnp.where(x == 0, 1.0, x)
+
+
+def _pdf_light_origin(lt, v_lrow, v_escaped, v_p, w_escape, strategy_pmf):
+    """Vertex::PdfLightOrigin: area density x light-choice pmf; infinite
+    lights use the directional density (bdpt.h:253)."""
+    lrow_c = jnp.maximum(v_lrow, 0)
+    # pdf_pos from pdf_le with a dummy direction (position part only)
+    pdf_pos, _ = pdf_le(lt, lrow_c, v_p, v_p, v_p)
+    pmf = strategy_pmf[lrow_c]
+    finite = jnp.where(v_lrow >= 0, pdf_pos * pmf, 0.0)
+    if lt.has_infinite:
+        inf_mask = lt.kind == LIGHT_INFINITE
+        pmf_inf = jnp.sum(jnp.where(inf_mask, strategy_pmf, 0.0))
+        inf_density = _escape_pdf(lt, w_escape) * pmf_inf
+        return jnp.where(v_escaped, inf_density, finite)
+    return finite
+
+
+def _pdf_light(lt, v_lrow, v_escaped, v_p, v_ng, to_p, to_ng, world_r):
+    """Vertex::PdfLight: emission direction density converted to area at
+    the receiver; infinite lights use 1/(pi r^2) (bdpt.h:232)."""
+    w, d2 = _dir_to(v_p, to_p)
+    lrow_c = jnp.maximum(v_lrow, 0)
+    _, pdf_dir = pdf_le(lt, lrow_c, v_p, v_ng, w)
+    pdf = pdf_dir / d2 * jnp.abs(dot(to_ng, w))
+    pdf = jnp.where(v_lrow >= 0, pdf, 0.0)
+    inf_pdf = 1.0 / (np.pi * world_r * world_r)
+    return jnp.where(v_escaped, inf_pdf, pdf)
+
+
+def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
+                  cfg: IntegratorConfig, crop_xy=(0, 0),
+                  texture_eval=None, debug_strategy=None,
+                  debug_unweighted=False, depth_select=None,
+                  s_select=None) -> Dict[str, Any]:
+    """One wavefront of bidirectional estimates.
+
+    debug_strategy=(s, t) restricts to one strategy and
+    debug_unweighted=True forces its MIS weight to 1 — the per-strategy
+    unbiasedness test harness (each unweighted strategy must converge to
+    the same answer on scenes it can sample).
+
+    MLT mode (mlt.cpp L(), :100-140): depth_select (static int) restricts
+    to strategies with s+t-2 == depth; s_select (N,) picks ONE strategy
+    per lane, contributions are scaled by the strategy count (uniform-s
+    importance) and EVERYTHING is returned as splats ("splat_p"/
+    "splat_L"), including the t>=2 strategies at the camera raster."""
+    n = px.shape[0]
+    lt = scene.lights
+    max_depth = cfg.max_depth
+    t_max_v = max_depth + 2  # camera vertices
+    s_max_v = max_depth + 1  # light vertices
+    strategy_pmf = lt.power_pmf  # bdpt default lightsamplestrategy "power"
+
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
+        sampler, camera, px, py, sidx, crop_xy)
+    cam_o, cam_fwd = _camera_frame(camera)
+
+    # ---- camera subpath ----
+    _, cam_pdf_dir = camera_pdf_we(camera, d)
+    zl = zero_lobes(n)
+    ones3 = jnp.ones((n, 3), jnp.float32)
+    cam_v0 = dict(
+        p=jnp.broadcast_to(cam_o[None, :], (n, 3)),
+        ng=jnp.broadcast_to(cam_fwd[None, :], (n, 3)),
+        ns=jnp.broadcast_to(cam_fwd[None, :], (n, 3)),
+        beta=ones3, pdf_fwd=jnp.ones(n), delta=jnp.zeros(n, bool),
+        valid=jnp.ones(n, bool), escaped=jnp.zeros(n, bool),
+        lrow=jnp.full(n, -1, jnp.int32), lobes=zl)
+    cam_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
+                            sctx, o, d, ones3 * ray_w[:, None],
+                            cam_pdf_dir, jnp.ones(n, bool),
+                            t_max_v - 1, 5, "radiance")
+    CAM = _assemble(cam_v0, cam_walk, t_max_v - 1)
+
+    # ---- light subpath ----
+    bl = 5 + 3 * (t_max_v - 1)
+    u_choice = sampler.dim(px, py, sidx, bl, sctx)
+    u1 = sampler.dim(px, py, sidx, bl + 1, sctx)
+    u2 = sampler.dim(px, py, sidx, bl + 2, sctx)
+    u3 = sampler.dim(px, py, sidx, bl + 3, sctx)
+    u4 = sampler.dim(px, py, sidx, bl + 4, sctx)
+    lidx, lpmf = choose_light(lt, u_choice, "power")
+    le = sample_le(lt, lidx, u1, u2, u3, u4)
+    l_valid = (le.pdf_pos > 0) & (le.pdf_dir > 0) & jnp.any(le.le > 0, -1)
+    lit_v0 = dict(
+        p=le.p, ng=le.n, ns=le.n,
+        beta=le.le / jnp.maximum(le.pdf_pos * lpmf, 1e-20)[:, None],
+        pdf_fwd=le.pdf_pos * lpmf, delta=jnp.zeros(n, bool),
+        valid=l_valid, escaped=jnp.zeros(n, bool),
+        lrow=lidx, lobes=zl)
+    beta0 = (le.le * (jnp.abs(dot(le.n, le.d))
+                      / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
+                                    1e-20))[:, None])
+    o_l = jnp.where(le.is_delta_pos[:, None] | le.is_infinite[:, None],
+                    le.p, offset_ray_origin(le.p, le.n, le.d))
+    lit_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
+                            sctx, o_l, le.d, beta0, le.pdf_dir, l_valid,
+                            s_max_v - 1, bl + 5, "importance")
+    LIT = _assemble(lit_v0, lit_walk, s_max_v - 1)
+    lit_delta_light = jnp.take(
+        (lt.kind != LIGHT_AREA_TRI) & (lt.kind != LIGHT_AREA_SPHERE)
+        & (lt.kind != LIGHT_INFINITE), jnp.maximum(lidx, 0))
+
+    inf_L, _ = _infinite_L(lt)
+    world_r = lt.world_radius
+
+    def mis_weight(s, t, pt, qs, pt_rev, ptm_rev, qs_rev, qsm_rev,
+                   qs_pdf_fwd=None, qs_delta_light=None):
+        """bdpt.cpp MISWeight with the endpoint pdfRev overrides applied
+        at static indices.  pt/qs are the (possibly sampled) endpoints."""
+        if s + t == 2:
+            return jnp.ones(n, jnp.float32)
+        sum_ri = jnp.zeros(n, jnp.float32)
+        # camera side
+        ri = jnp.ones(n, jnp.float32)
+        for i in range(t - 1, 0, -1):
+            rev = (pt_rev if i == t - 1
+                   else (ptm_rev if i == t - 2 else CAM.pdf_rev[i]))
+            delta_i = CAM.delta[i]
+            delta_im1 = CAM.delta[i - 1]
+            ri = ri * _remap0(rev) / _remap0(CAM.pdf_fwd[i])
+            sum_ri += jnp.where(~delta_i & ~delta_im1, ri, 0.0)
+        # light side
+        ri = jnp.ones(n, jnp.float32)
+        for i in range(s - 1, -1, -1):
+            if i == s - 1:
+                rev = qs_rev
+                fwd = qs_pdf_fwd if (s == 1 and qs_pdf_fwd is not None) \
+                    else LIT.pdf_fwd[i]
+                delta_i = jnp.zeros(n, bool) if s == 1 else LIT.delta[i]
+            elif i == s - 2:
+                rev, fwd, delta_i = qsm_rev, LIT.pdf_fwd[i], LIT.delta[i]
+            else:
+                rev, fwd, delta_i = LIT.pdf_rev[i], LIT.pdf_fwd[i], LIT.delta[i]
+            ri = ri * _remap0(rev) / _remap0(fwd)
+            if i > 0:
+                delta_prev = LIT.delta[i - 1]
+            else:
+                delta_prev = (qs_delta_light if (s == 1 and
+                                                 qs_delta_light is not None)
+                              else lit_delta_light)
+            sum_ri += jnp.where(~delta_i & ~delta_prev, ri, 0.0)
+        return 1.0 / (1.0 + sum_ri)
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    splat_p = []
+    splat_L = []
+    bc = bl + 5 + 3 * (s_max_v - 1)
+    mlt_mode = depth_select is not None
+    n_strat = (depth_select + 2) if mlt_mode else 1
+
+    def deposit(s, t, contrib, p_raster=None):
+        """Route a strategy's weighted contribution: pixel-sample
+        accumulation normally; per-lane masked splats in MLT mode."""
+        nonlocal L
+        if mlt_mode:
+            m = (s_select == s) if s_select is not None else True
+            c = jnp.where(m[:, None], contrib * n_strat, 0.0)
+            splat_p.append(p_raster if p_raster is not None else p_film_crop)
+            splat_L.append(c)
+        elif p_raster is not None:
+            splat_p.append(p_raster)
+            splat_L.append(contrib)
+        else:
+            L = L + contrib
+
+    def mis_weight_dbg(*a, **k):
+        if debug_unweighted:
+            return jnp.ones(n, jnp.float32)
+        return mis_weight(*a, **k)
+
+    for t in range(1, t_max_v + 1):
+        for s in range(0, s_max_v + 1):
+            depth = s + t - 2
+            if (s == 1 and t == 1) or depth < 0 or depth > max_depth:
+                continue
+            if debug_strategy is not None and (s, t) != tuple(debug_strategy):
+                continue
+            if mlt_mode and depth != depth_select:
+                continue
+
+            if s == 0:
+                # camera path alone: vertex t-1 must be emissive
+                pt = _v(CAM, t - 1)
+                ptm = _v(CAM, t - 2)
+                on_light = pt.valid & (pt.lrow >= 0)
+                # emitted radiance toward ptm
+                w_to_prev, _ = _dir_to(pt.p, ptm.p)
+                lrow_c = jnp.maximum(pt.lrow, 0)
+                Lrad = lt.L[lrow_c]
+                two_sided = lt.params[lrow_c, 3] > 0
+                emits = two_sided | (dot(pt.ng, w_to_prev) > 0)
+                Le_v = jnp.where((on_light & emits)[:, None], Lrad, 0.0)
+                if scene.lights.has_infinite:
+                    Le_esc = _escape_radiance(lt, inf_L, pt.p)  # p = dir
+                    Le_v = jnp.where(pt.escaped[:, None], Le_esc, Le_v)
+                    usable = on_light | pt.escaped
+                else:
+                    usable = on_light
+                contrib = pt.beta * Le_v
+                if t == 2:
+                    w = jnp.ones(n, jnp.float32)
+                else:
+                    pt_rev = _pdf_light_origin(lt, pt.lrow, pt.escaped,
+                                               pt.p, pt.p, strategy_pmf)
+                    ptm_rev = _pdf_light(lt, pt.lrow, pt.escaped, pt.p,
+                                         pt.ng, ptm.p, ptm.ng, world_r)
+                    w = mis_weight_dbg(0, t, pt, None, pt_rev, ptm_rev,
+                                   None, None)
+                deposit(s, t, jnp.where(usable[:, None],
+                                        contrib * w[:, None], 0.0))
+                continue
+
+            qs = _v(LIT, s - 1)
+            if t == 1:
+                # connect the light subpath to the camera; splat.  (s >= 2
+                # here: s=0,t=1 has depth -1 and s=1,t=1 is skipped, like
+                # the reference.)  Lens point fixed at the center — exact
+                # for the pinhole cameras bdpt currently targets.
+                ok = qs.valid & ~qs.delta
+                wi, pdf_cam, we, p_raster, p_lens_w, fwd = \
+                    camera_sample_wi(camera, qs.p, jnp.stack(
+                        [jnp.full(n, 0.5), jnp.full(n, 0.5)], -1))
+                qsm = _v(LIT, s - 2)
+                w_to_prev, _ = _dir_to(qs.p, qsm.p)
+                f_qs = _bsdf_dir(qs.lobes, qs.ns, w_to_prev, wi)
+                # importance-transport shading-normal correction
+                num = jnp.abs(dot(w_to_prev, qs.ns) * dot(wi, qs.ng))
+                den = jnp.abs(dot(w_to_prev, qs.ng) * dot(wi, qs.ns))
+                corr = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+                contrib = (qs.beta * f_qs * we[:, None]
+                           * (jnp.abs(dot(wi, qs.ns)) * corr
+                              / jnp.maximum(pdf_cam, 1e-20))[:, None])
+                usable = (ok & (pdf_cam > 0) & (we > 0)
+                          & jnp.any(contrib > 0, axis=-1))
+                o_sh = offset_ray_origin(qs.p, qs.ng, wi)
+                dist = jnp.linalg.norm(p_lens_w - o_sh, axis=-1)
+                occ = intersect_any(scene.geo, o_sh, wi,
+                                    jnp.where(usable,
+                                              dist * (1 - SHADOW_EPS), 0.0))
+                usable &= ~occ
+                # MIS: camera side has no interior vertices (t=1)
+                qs_rev = _convert_density(camera_pdf_we(camera, -wi)[1],
+                                          p_lens_w, qs.p, qs.ng)
+                qsm_rev = None
+                if s > 1:
+                    f2, pdf2 = _bsdf_dir(qs.lobes, qs.ns, wi, w_to_prev,
+                                         want_pdf=True)
+                    qsm_rev = _convert_density(pdf2, qs.p, qsm.p, qsm.ng)
+                w = mis_weight_dbg(s, 1, None, qs, None, None, qs_rev, qsm_rev)
+                deposit(s, t,
+                        jnp.where(usable[:, None], contrib * w[:, None], 0.0),
+                        p_raster - jnp.asarray(crop_xy, jnp.float32))
+                continue
+
+            pt = _v(CAM, t - 1)
+            ptm = _v(CAM, t - 2)
+            base_ok = pt.valid & ~pt.delta & ~pt.escaped
+
+            if s == 1:
+                # sample a light from pt (the reference re-samples rather
+                # than using the light subpath's vertex)
+                d0 = bc + 3 * (t - 2)
+                uc = sampler.dim(px, py, sidx, d0, sctx)
+                ua = sampler.dim(px, py, sidx, d0 + 1, sctx)
+                ub = sampler.dim(px, py, sidx, d0 + 2, sctx)
+                lidx2, pmf2 = choose_light(lt, uc, "power")
+                ls = sample_li(lt, lidx2, pt.p,
+                               jnp.stack([ua, ub], axis=-1))
+                w_to_prev, _ = _dir_to(pt.p, ptm.p)
+                f_pt = _bsdf_dir(pt.lobes, pt.ns, w_to_prev, ls.wi)
+                contrib = (pt.beta * f_pt * ls.li
+                           * (jnp.abs(dot(ls.wi, pt.ns))
+                              / jnp.maximum(ls.pdf * pmf2, 1e-20))[:, None])
+                usable = (base_ok & (ls.pdf > 0)
+                          & jnp.any(contrib > 0, axis=-1))
+                o_sh = offset_ray_origin(pt.p, pt.ng, ls.wi)
+                dist = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
+                occ = intersect_any(
+                    scene.geo, o_sh, ls.wi,
+                    jnp.where(usable, dist * (1 - SHADOW_EPS) - 2e-3
+                              * jnp.maximum(1.0, jnp.max(
+                                  jnp.abs(ls.p_light), -1)), 0.0))
+                usable &= ~occ
+                # sampled light vertex for MIS: the TRUE surface normal at
+                # the sampled point — an approximate normal here breaks
+                # the cross-strategy pdf consistency the MIS partition
+                # needs (measured ~2% energy loss with a fake normal)
+                n_l = light_normal_at(lt, jnp.maximum(lidx2, 0), ls.p_light)
+                pdf_pos_s, _ = pdf_le(lt, jnp.maximum(lidx2, 0),
+                                      ls.p_light, n_l, -ls.wi)
+                qs_pdf_fwd = pdf_pos_s * pmf2
+                # pt.pdfRev: density of the light generating pt
+                pt_rev = _pdf_light(lt, lidx2, jnp.zeros(n, bool),
+                                    ls.p_light, n_l, pt.p, pt.ng, world_r)
+                # ptm.pdfRev: bsdf at pt toward ptm given incoming wi
+                _, pdf_ptm = _bsdf_dir(pt.lobes, pt.ns, ls.wi, w_to_prev,
+                                       want_pdf=True)
+                ptm_rev = _convert_density(pdf_ptm, pt.p, ptm.p, ptm.ng)
+                # qs.pdfRev: pt generating the light point
+                _, pdf_qs = _bsdf_dir(pt.lobes, pt.ns, w_to_prev, ls.wi,
+                                      want_pdf=True)
+                qs_rev = _convert_density(pdf_qs, pt.p, ls.p_light, n_l)
+                qs_delta_light = ls.is_delta
+                w = mis_weight_dbg(1, t, pt, None, pt_rev, ptm_rev, qs_rev,
+                               None, qs_pdf_fwd=qs_pdf_fwd,
+                               qs_delta_light=qs_delta_light)
+                deposit(s, t, jnp.where(usable[:, None],
+                                        contrib * w[:, None], 0.0))
+                continue
+
+            # ---- general s>=2, t>=2 connection ----
+            qsm = _v(LIT, s - 2)
+            ok = base_ok & qs.valid & ~qs.delta
+            w_c, d2_c = _dir_to(pt.p, qs.p)  # camera vertex -> light vertex
+            w_to_prev_c, _ = _dir_to(pt.p, ptm.p)
+            w_to_prev_l, _ = _dir_to(qs.p, qsm.p)
+            f_pt = _bsdf_dir(pt.lobes, pt.ns, w_to_prev_c, w_c)
+            f_qs = _bsdf_dir(qs.lobes, qs.ns, w_to_prev_l, -w_c)
+            g = (jnp.abs(dot(pt.ns, w_c)) * jnp.abs(dot(qs.ns, w_c))
+                 / d2_c)
+            contrib = qs.beta * f_qs * f_pt * pt.beta * g[:, None]
+            usable = ok & jnp.any(contrib > 0, axis=-1)
+            o_sh = offset_ray_origin(pt.p, pt.ng, w_c)
+            tgt = offset_ray_origin(qs.p, qs.ng, -w_c)
+            dist = jnp.linalg.norm(tgt - o_sh, axis=-1)
+            occ = intersect_any(scene.geo, o_sh, w_c,
+                                jnp.where(usable,
+                                          dist * (1 - SHADOW_EPS), 0.0))
+            usable &= ~occ
+            # endpoint pdf overrides
+            _, pdf_a = _bsdf_dir(qs.lobes, qs.ns, w_to_prev_l, -w_c,
+                                 want_pdf=True)
+            pt_rev = _convert_density(pdf_a, qs.p, pt.p, pt.ng)
+            _, pdf_b = _bsdf_dir(pt.lobes, pt.ns, w_c, w_to_prev_c,
+                                 want_pdf=True)
+            ptm_rev = _convert_density(pdf_b, pt.p, ptm.p, ptm.ng)
+            _, pdf_c = _bsdf_dir(pt.lobes, pt.ns, w_to_prev_c, w_c,
+                                 want_pdf=True)
+            qs_rev = _convert_density(pdf_c, pt.p, qs.p, qs.ng)
+            _, pdf_d = _bsdf_dir(qs.lobes, qs.ns, -w_c, w_to_prev_l,
+                                 want_pdf=True)
+            qsm_rev = _convert_density(pdf_d, qs.p, qsm.p, qsm.ng)
+            w = mis_weight_dbg(s, t, pt, qs, pt_rev, ptm_rev, qs_rev, qsm_rev)
+            deposit(s, t, jnp.where(usable[:, None], contrib * w[:, None],
+                                    0.0))
+
+    out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}
+    if splat_p:
+        out["splat_p"] = jnp.concatenate(splat_p, axis=0)
+        out["splat_L"] = jnp.concatenate(splat_L, axis=0)
+    return out

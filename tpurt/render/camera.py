@@ -181,3 +181,88 @@ def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
         res_x=res_x,
         res_y=res_y,
     )
+
+
+# ---------------------------------------------------------------------------
+# camera importance (We / Pdf_We / Sample_Wi) — bidirectional transport
+# Reference analog: perspective.cpp:150-239 (PerspectiveCamera::We,
+# Pdf_We, Sample_Wi).  Perspective only (bdpt falls back for others).
+# ---------------------------------------------------------------------------
+
+def camera_screen_area(cam: Camera) -> jnp.ndarray:
+    """Area A of the screen window on the z=1 camera plane."""
+    corners = jnp.asarray([[0.0, 0.0, 0.0],
+                           [float(cam.res_x), float(cam.res_y), 0.0]],
+                          jnp.float32)
+    pc = _xform_point_batch(cam.raster_to_camera, corners)
+    pc = pc / pc[:, 2:3]
+    return jnp.abs((pc[1, 0] - pc[0, 0]) * (pc[1, 1] - pc[0, 1]))
+
+
+def _camera_frame(cam: Camera):
+    c2w = cam.camera_to_world
+    o_w = _xform_point_batch(c2w, jnp.zeros((1, 3), jnp.float32))[0]
+    fwd = _xform_vector_batch(c2w, jnp.asarray([[0.0, 0.0, 1.0]],
+                                               jnp.float32))[0]
+    return o_w, fwd / jnp.linalg.norm(fwd)
+
+
+def camera_we(cam: Camera, o: jnp.ndarray, d: jnp.ndarray):
+    """Importance We(ray) and its raster point.  o, d: (N,3) world.
+    Returns (we (N,), p_raster (N,2), valid (N,))."""
+    w2c = jnp.linalg.inv(cam.camera_to_world)
+    camera_to_raster = jnp.linalg.inv(cam.raster_to_camera)
+    d_c = _xform_vector_batch(w2c, d)
+    o_c = _xform_point_batch(w2c, o)
+    cos_t = d_c[:, 2] / jnp.linalg.norm(d_c, axis=-1)
+    focus = jnp.where(cam.lens_radius > 0, cam.focal_distance, 1.0)
+    t = focus / jnp.where(cos_t == 0, 1e-9, d_c[:, 2])
+    p_focus = o_c + t[:, None] * d_c
+    p_raster3 = _xform_point_batch(camera_to_raster, p_focus)
+    inside = ((p_raster3[:, 0] >= 0) & (p_raster3[:, 0] < cam.res_x)
+              & (p_raster3[:, 1] >= 0) & (p_raster3[:, 1] < cam.res_y))
+    valid = (cos_t > 0) & inside
+    lens_area = (np.pi * cam.lens_radius ** 2
+                 if cam.lens_radius > 0 else 1.0)
+    a = camera_screen_area(cam)
+    cos4 = jnp.maximum(cos_t, 1e-9) ** 4
+    we = jnp.where(valid, 1.0 / (a * lens_area * cos4), 0.0)
+    return we, p_raster3[:, :2], valid
+
+
+def camera_pdf_we(cam: Camera, d: jnp.ndarray):
+    """(pdf_pos, pdf_dir) of GenerateRay producing direction d (world)."""
+    w2c = jnp.linalg.inv(cam.camera_to_world)
+    d_c = _xform_vector_batch(w2c, d)
+    cos_t = d_c[:, 2] / jnp.maximum(jnp.linalg.norm(d_c, axis=-1), 1e-12)
+    lens_area = (np.pi * cam.lens_radius ** 2
+                 if cam.lens_radius > 0 else 1.0)
+    a = camera_screen_area(cam)
+    pdf_dir = jnp.where(cos_t > 0,
+                        1.0 / (a * jnp.maximum(cos_t, 1e-9) ** 3), 0.0)
+    pdf_pos = jnp.full(d.shape[:1], 1.0 / lens_area, jnp.float32)
+    return pdf_pos, pdf_dir
+
+
+def camera_sample_wi(cam: Camera, ref_p: jnp.ndarray, u_lens: jnp.ndarray):
+    """Sample a direction from ref_p to the camera (t=1 strategies).
+    Returns (wi (N,3), pdf (N,), we (N,), p_raster (N,2), p_lens_w (N,3),
+    cam_fwd (3,))."""
+    o_w, fwd = _camera_frame(cam)
+    if cam.lens_radius > 0:
+        p_disk = cam.lens_radius * concentric_sample_disk(u_lens)
+        p_lens_c = jnp.concatenate(
+            [p_disk, jnp.zeros((p_disk.shape[0], 1), jnp.float32)], axis=-1)
+        p_lens_w = _xform_point_batch(cam.camera_to_world, p_lens_c)
+        lens_area = np.pi * cam.lens_radius ** 2
+    else:
+        p_lens_w = jnp.broadcast_to(o_w[None, :], ref_p.shape)
+        lens_area = 1.0
+    to_cam = p_lens_w - ref_p
+    dist = jnp.maximum(jnp.linalg.norm(to_cam, axis=-1), 1e-9)
+    wi = to_cam / dist[:, None]
+    cos_lens = jnp.abs(jnp.sum(wi * fwd[None, :], axis=-1))
+    pdf = (dist * dist) / jnp.maximum(cos_lens * lens_area, 1e-12)
+    we, p_raster, valid = camera_we(cam, p_lens_w, -wi)
+    pdf = jnp.where(valid, pdf, 0.0)
+    return wi, pdf, we, p_raster, p_lens_w, fwd

@@ -23,11 +23,14 @@ from tpurt.render.camera import make_camera
 from tpurt.render.film import Film, make_film
 from tpurt.render.filters import make_filter
 from tpurt.render.geometry_build import flatten_geometry
+from tpurt.render.bdpt import bdpt_radiance
 from tpurt.render.integrator import (
     RADIANCE_FNS,
     IntegratorConfig,
     SceneData,
 )
+
+RADIANCE_FNS["bdpt"] = bdpt_radiance
 from tpurt.render.intersect import DeviceGeometry
 from tpurt.render.lights import build_light_table
 from tpurt.render.materials_build import (
@@ -77,9 +80,20 @@ def make_integrator_config(sd: SceneDescription,
             ao_samples=ps.find_one_int("nsamples", 64),
             ao_cos_sample=ps.find_one_bool("cossample", True),
         )
-    if name in ("bdpt", "mlt", "sppm"):
-        log.warning('integrator "%s" not yet implemented; falling back to '
-                    '"path" (bdpt/mlt/sppm: later rounds)', name)
+    if name == "bdpt":
+        return IntegratorConfig(
+            name="bdpt",
+            max_depth=ps.find_one_int("maxdepth", 5),
+            light_strategy=ps.find_one_string("lightsamplestrategy", "power"))
+    if name == "mlt":
+        # the chain driver lives in tpurt.render.mlt (render_mlt); this
+        # config parameterizes its bdpt evaluations
+        return IntegratorConfig(name="mlt",
+                                max_depth=ps.find_one_int("maxdepth", 5),
+                                light_strategy="power")
+    if name == "sppm":
+        log.warning('integrator "sppm" not yet implemented; falling back '
+                    'to "path"')
         return IntegratorConfig(name="path",
                                 max_depth=ps.find_one_int("maxdepth", 5))
     log.warning('integrator "%s" unknown; using "path"', name)
@@ -197,6 +211,11 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
     """Render a scene description; returns (image, film) — and writes no
     files (the CLI drives Film.write)."""
     job = build_job(sd, quick=quick, crop_override=crop_override)
+    if job.cfg.name == "mlt":
+        from tpurt.render.mlt import render_mlt
+
+        return render_mlt(sd, quick=quick, crop_override=crop_override,
+                          return_state=return_state)
     radiance_fn = RADIANCE_FNS[job.cfg.name]
     film = job.film
     spp = job.sampler.spp
@@ -219,8 +238,13 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
     def step(scene, camera, smplr, cfg, px, py, sidx, state, mask):
         out = radiance_fn(scene, smplr, camera, px, py, sidx, cfg,
                           crop_xy=(x0, y0), texture_eval=job.texture_eval)
-        return film.add_samples(state, out["p_film"], out["L"],
-                                out["ray_weight"], mask=mask)
+        state = film.add_samples(state, out["p_film"], out["L"],
+                                 out["ray_weight"], mask=mask)
+        if "splat_p" in out:  # bdpt t=1 strategies (Film::AddSplat)
+            reps = out["splat_p"].shape[0] // mask.shape[0]
+            state = film.add_splats(state, out["splat_p"], out["splat_L"],
+                                    mask=jnp.tile(mask, reps))
+        return state
 
     from tpurt.utils.stats import STATS, ProgressReporter
 
@@ -242,7 +266,10 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
     STATS.phase_times["Render (trace + film)"] += time.time() - t0
     log.info("render complete: %.2fs (%.2f Msamples/s)",
              time.time() - t0, done / max(time.time() - t0, 1e-9) / 1e6)
-    img = film.to_image(state)
+    # bdpt splats are averaged over samples at resolve time
+    # (bdpt.cpp Render: WriteImage(1 / samplesPerPixel))
+    splat_scale = 1.0 / spp if job.cfg.name in ("bdpt", "mlt") else 1.0
+    img = film.to_image(state, splat_scale=splat_scale)
     if return_state:
         return img, job, state
     return img, job

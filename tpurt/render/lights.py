@@ -801,3 +801,18 @@ def pdf_le(lt: LightTable, idx: jnp.ndarray, p: jnp.ndarray, n: jnp.ndarray,
               jnp.where(kind == LIGHT_DISTANT, 1.0,
               jnp.where(kind == LIGHT_INFINITE, pdfdir_inf, pdfdir_cos))))
     return pdf_pos, pdf_dir
+
+
+def light_normal_at(lt: LightTable, idx: jnp.ndarray, p: jnp.ndarray):
+    """Geometric normal of the light's surface at a point p on it (area
+    lights; delta/infinite rows return an arbitrary unit vector — their
+    emission pdfs never use it)."""
+    kind = lt.kind[idx]
+    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    n_tri = normalize(jnp.cross(tv1 - tv0, tv2 - tv0))
+    n_sph = normalize(p - lt.p0[idx])
+    n = jnp.where((kind == LIGHT_AREA_TRI)[:, None], n_tri,
+        jnp.where((kind == LIGHT_AREA_SPHERE)[:, None], n_sph, 0.0))
+    fallback = jnp.zeros_like(p).at[:, 2].set(1.0)
+    return jnp.where((kind == LIGHT_AREA_TRI)[:, None]
+                     | (kind == LIGHT_AREA_SPHERE)[:, None], n, fallback)
