@@ -92,9 +92,8 @@ def make_integrator_config(sd: SceneDescription,
                                 max_depth=ps.find_one_int("maxdepth", 5),
                                 light_strategy="power")
     if name == "sppm":
-        log.warning('integrator "sppm" not yet implemented; falling back '
-                    'to "path"')
-        return IntegratorConfig(name="path",
+        # the iteration driver lives in tpurt.render.sppm (render_sppm)
+        return IntegratorConfig(name="sppm",
                                 max_depth=ps.find_one_int("maxdepth", 5))
     log.warning('integrator "%s" unknown; using "path"', name)
     return IntegratorConfig(name="path")
@@ -216,6 +215,11 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
 
         return render_mlt(sd, quick=quick, crop_override=crop_override,
                           return_state=return_state)
+    if job.cfg.name == "sppm":
+        from tpurt.render.sppm import render_sppm
+
+        return render_sppm(sd, quick=quick, crop_override=crop_override,
+                           return_state=return_state)
     radiance_fn = RADIANCE_FNS[job.cfg.name]
     film = job.film
     spp = job.sampler.spp
