@@ -1,0 +1,150 @@
+"""Sobol' / MaxMinDist sampler tests.
+
+Reference analog: tests/sampling.cpp (generator-matrix and elementary-
+interval checks for Sobol', sampling.cpp:100-220).  Properties checked:
+primitive-polynomial search, (0,2)-sequence stratification of the first
+two dimensions, the interval-to-index inversion (every (pixel, frame)
+maps to the unique global index landing there), 1D stratification of
+every dimension, and the max-min-distance matrix search.
+"""
+
+import numpy as np
+import pytest
+
+from tpurt.sampling import sobol as sb
+
+
+def test_primitive_polynomials_first_few():
+    # classical list: x+1, x^2+x+1, x^3+x+1, x^3+x^2+1, ...
+    ps = sb.primitive_polynomials(4)
+    assert ps[0] == (1, 0b11)
+    assert ps[1] == (2, 0b111)
+    assert set(ps[2:4]) == {(3, 0b1011), (3, 0b1101)}
+
+
+def test_dimension1_is_pascal():
+    mats = sb.generate_sobol_matrices()
+    # degree-1 primitive polynomial forces m_k = all-ones -> the Pascal
+    # matrix (the classical 2nd Sobol dimension): v_k = v_{k-1}^(v_{k-1}>>1)
+    v = np.uint32(1 << 31)
+    for k in range(32):
+        assert mats[1, k] == v, k
+        v = v ^ (v >> np.uint32(1))
+
+
+def test_first_two_dims_are_02_sequence():
+    """Elementary interval property: the first 2^(a+b) points stratify
+    every 2^-a x 2^-b grid with exactly one point per cell."""
+    mats = sb.generate_sobol_matrices()
+    for a, b in [(2, 3), (3, 2), (4, 0), (2, 2)]:
+        n = 1 << (a + b)
+        i = np.arange(n)
+        x = sb.sobol_sample_np(i, 0, mats)
+        y = sb.sobol_sample_np(i, 1, mats)
+        cells = (np.floor(x * (1 << a)).astype(int) * (1 << b)
+                 + np.floor(y * (1 << b)).astype(int))
+        assert len(set(cells.tolist())) == n, (a, b)
+
+
+def test_every_dimension_is_stratified_1d():
+    mats = sb.generate_sobol_matrices()
+    for dim in [2, 3, 7, 31, 100, 255]:
+        n = 64
+        x = sb.sobol_sample_np(np.arange(n), dim, mats)
+        cells = np.floor(x * n).astype(int)
+        assert len(set(cells.tolist())) == n, dim
+
+
+def test_interval_to_index_inverts_pixel_mapping():
+    mats = sb.generate_sobol_matrices()
+    m = 3  # 8x8 pixel tiling
+    res = 1 << m
+    inv_cols, fmap_cols = sb.build_interval_to_index(m, mats)
+    n_frames = 4
+    idx = np.arange(n_frames << (2 * m))
+    x = sb.sobol_sample_np(idx, 0, mats)
+    y = sb.sobol_sample_np(idx, 1, mats)
+    px = np.floor(x * res).astype(np.uint32)
+    py = np.floor(y * res).astype(np.uint32)
+    frame = (idx >> (2 * m)).astype(np.uint64)
+    got = sb.interval_to_index_np(m, frame, px, py, inv_cols, fmap_cols)
+    np.testing.assert_array_equal(got, idx.astype(np.uint64))
+
+
+def test_device_sampler_matches_numpy_and_offsets_in_unit_square():
+    import jax.numpy as jnp
+    from tpurt.sampling.samplers import make_sobol
+
+    s = make_sobol(spp=4, res_x=13, res_y=9)  # -> m=4 tiling
+    mats = sb.generate_sobol_matrices()
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 13, 64).astype(np.int32)
+    py = rng.integers(0, 9, 64).astype(np.int32)
+    sidx = rng.integers(0, 4, 64).astype(np.int32)
+    idx = np.asarray(s.index(jnp.asarray(px), jnp.asarray(py),
+                             jnp.asarray(sidx))).astype(np.uint64)
+    # the mapped index must land in the right pixel of the pow2 tiling
+    res = 1 << s.m
+    x0 = sb.sobol_sample_np(idx, 0, mats)
+    y0 = sb.sobol_sample_np(idx, 1, mats)
+    np.testing.assert_array_equal(np.floor(x0 * res).astype(np.int32), px)
+    np.testing.assert_array_equal(np.floor(y0 * res).astype(np.int32), py)
+    # and the frame ordering is preserved
+    np.testing.assert_array_equal((idx >> np.uint64(2 * s.m)).astype(np.int32),
+                                  sidx)
+    # film offsets are the in-pixel fractional positions
+    fx, fy = s.film_offset(jnp.asarray(px), jnp.asarray(py),
+                           jnp.asarray(sidx))
+    np.testing.assert_allclose(np.asarray(fx), x0 * res - px, atol=1e-5)
+    assert np.all((np.asarray(fx) >= 0) & (np.asarray(fx) < 1))
+    assert np.all((np.asarray(fy) >= 0) & (np.asarray(fy) < 1))
+    # deep dimension values match the host evaluator
+    d7 = np.asarray(s.dim(jnp.asarray(px), jnp.asarray(py),
+                          jnp.asarray(sidx), 7))
+    np.testing.assert_allclose(d7, sb.sobol_sample_np(idx, 7, mats),
+                               atol=1e-6)
+
+
+def test_maxmin_matrix_beats_random_grid():
+    k = 4  # 16 samples
+    cols = sb.maxmin_dist_matrix(k)
+    n = 1 << k
+    i = np.arange(n)
+    y = np.zeros(n, np.uint32)
+    for c in range(k):
+        y ^= np.where((i >> c) & 1, cols[c], 0).astype(np.uint32)
+    pts = np.stack([i / n, y.astype(np.float64) / (1 << 32)], -1)
+    dx = np.abs(pts[:, None, 0] - pts[None, :, 0])
+    dx = np.minimum(dx, 1 - dx)
+    dy = np.abs(pts[:, None, 1] - pts[None, :, 1])
+    dy = np.minimum(dy, 1 - dy)
+    d = np.sqrt(dx * dx + dy * dy)
+    np.fill_diagonal(d, 9)
+    # Steigleder-McCool-style bound: min dist should be a healthy fraction
+    # of the best-known ~ sqrt(2/(sqrt(3) n)) hexagonal packing bound
+    hex_bound = np.sqrt(2.0 / (np.sqrt(3.0) * n))
+    assert d.min() > 0.5 * hex_bound, (d.min(), hex_bound)
+
+
+def test_render_with_sobol_and_maxmin():
+    from tpurt.scene import load_scene_string
+    from tpurt.render.driver import render
+
+    scene = """
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "{s}" "integer pixelsamples" [4]
+Integrator "path"
+Camera "perspective" "float fov" [45]
+WorldBegin
+LightSource "point" "color I" [3.1415926 3.1415926 3.1415926]
+Material "matte" "color Kd" [.5 .5 .5] "float sigma" [0]
+ReverseOrientation
+Shape "sphere" "float radius" [1]
+WorldEnd
+"""
+    want = sum(0.5 ** k for k in range(1, 6))
+    for name in ("sobol", "maxmindist"):
+        img, _ = render(load_scene_string(scene.format(s=name)),
+                        progress=False)
+        assert np.isfinite(img).all()
+        assert abs(float(np.mean(img)) - want) < 0.03, (name, np.mean(img))

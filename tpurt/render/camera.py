@@ -60,7 +60,7 @@ def concentric_sample_disk(u: jnp.ndarray) -> jnp.ndarray:
 
 
 class Camera(NamedTuple):
-    kind: str  # perspective | orthographic | environment
+    kind: str  # perspective | orthographic | environment | realistic
     camera_to_world: jnp.ndarray  # (4,4)
     raster_to_camera: jnp.ndarray  # (4,4)
     lens_radius: float
@@ -69,6 +69,15 @@ class Camera(NamedTuple):
     shutter_close: float
     res_x: int
     res_y: int
+    # realistic-camera state (cameras/realistic.cpp); lens_el is a static
+    # tuple of (curvature radius, thickness, eta, aperture radius) rows so
+    # the per-element trace unrolls with concrete constants under jit
+    lens_el: tuple = ()
+    exit_pupil: jnp.ndarray = None  # (Z,4) x0,y0,x1,y1 rear-element bounds
+    rear_z: float = 0.0
+    diagonal_m: float = 0.035
+    simple_weighting: bool = True
+    epb0_area: float = 1.0
 
     def generate_rays(self, p_film: jnp.ndarray, p_lens: jnp.ndarray):
         """p_film: (N,2) raster-space points; p_lens: (N,2) in [0,1)^2.
@@ -93,6 +102,8 @@ class Camera(NamedTuple):
             d = jnp.stack([jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta),
                            jnp.sin(theta) * jnp.sin(phi)], axis=-1)
             o = jnp.zeros_like(d)
+        elif self.kind == "realistic":
+            return self._generate_rays_realistic(p_film, p_lens)
         else:
             raise ValueError(self.kind)
 
@@ -109,10 +120,117 @@ class Camera(NamedTuple):
         d_w = d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
         return o_w, d_w, jnp.ones(n, p_film.dtype)
 
+    def _generate_rays_realistic(self, p_film, p_lens):
+        """RealisticCamera::GenerateRay (realistic.cpp:679-714): film point
+        -> exit-pupil sample on the rear element -> element-by-element
+        trace (statically unrolled); vignetted lanes get weight 0."""
+        n = p_film.shape[0]
+        aspect = self.res_y / self.res_x
+        ext_x = float(np.sqrt(self.diagonal_m ** 2 / (1 + aspect * aspect)))
+        ext_y = aspect * ext_x
+        sx = p_film[:, 0] / self.res_x
+        sy = p_film[:, 1] / self.res_y
+        pfx = -(-ext_x / 2 + sx * ext_x)  # pFilm.x = -physical.x
+        pfy = -ext_y / 2 + sy * ext_y
+
+        # exit pupil sample (SampleExitPupil, realistic.cpp:613-633)
+        r_film = jnp.sqrt(pfx * pfx + pfy * pfy)
+        zones = self.exit_pupil.shape[0]
+        r_idx = jnp.minimum((r_film / (self.diagonal_m / 2)
+                             * zones).astype(jnp.int32), zones - 1)
+        b = self.exit_pupil[r_idx]  # (N,4)
+        area = jnp.maximum((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]), 0.0)
+        lx = b[:, 0] + p_lens[:, 0] * (b[:, 2] - b[:, 0])
+        ly = b[:, 1] + p_lens[:, 1] * (b[:, 3] - b[:, 1])
+        sin_t = jnp.where(r_film > 0, pfy / jnp.maximum(r_film, 1e-20), 0.0)
+        cos_t = jnp.where(r_film > 0, pfx / jnp.maximum(r_film, 1e-20), 1.0)
+        prx = cos_t * lx - sin_t * ly
+        pry = sin_t * lx + cos_t * ly
+
+        # lens space: film at z=0, rear element at z=-rear_z
+        o = jnp.stack([pfx, pfy, jnp.zeros_like(pfx)], axis=-1)
+        d = jnp.stack([prx - pfx, pry - pfy,
+                       jnp.full_like(pfx, -self.rear_z)], axis=-1)
+        cos4 = (self.rear_z ** 2 / jnp.maximum(
+            jnp.sum(d * d, axis=-1), 1e-30)) ** 2
+
+        ok, o, d = _trace_lenses_from_film(self.lens_el, o, d)
+
+        # lens -> camera space (flip z) -> world
+        flip = jnp.asarray([1.0, 1.0, -1.0], jnp.float32)
+        o_w = _xform_point_batch(self.camera_to_world, o * flip)
+        d_w = _xform_vector_batch(self.camera_to_world, d * flip)
+        d_w = d_w / jnp.maximum(
+            jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-30)
+        if self.simple_weighting:
+            w = cos4 * area / max(self.epb0_area, 1e-20)
+        else:
+            w = ((self.shutter_close - self.shutter_open) * cos4 * area
+                 / (self.rear_z * self.rear_z))
+        return o_w, d_w, jnp.where(ok, w, 0.0).astype(p_film.dtype)
+
+
+def _trace_lenses_from_film(lens_el: tuple, o, d):
+    """TraceLensesFromFilm (realistic.cpp:100-152) on (N,3) lens-space ray
+    batches; the element loop unrolls statically (lens_el rows are python
+    floats)."""
+    ok = jnp.ones(o.shape[0], bool)
+    element_z = 0.0
+    m = len(lens_el)
+    for i in range(m - 1, -1, -1):
+        radius, thickness, eta, ap = lens_el[i]
+        element_z -= thickness
+        if radius == 0:  # aperture stop plane
+            live = ok & (d[:, 2] < 0)
+            t = (element_z - o[:, 2]) / jnp.where(d[:, 2] == 0, -1e-9,
+                                                  d[:, 2])
+            ok = live & (t >= 0)
+            n = None
+        else:
+            z_center = element_z + radius
+            oc = o - jnp.asarray([0.0, 0.0, z_center], jnp.float32)
+            a = jnp.sum(d * d, axis=-1)
+            bq = 2.0 * jnp.sum(d * oc, axis=-1)
+            c = jnp.sum(oc * oc, axis=-1) - radius * radius
+            disc = bq * bq - 4 * a * c
+            has = disc >= 0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = -0.5 * (bq + jnp.where(bq < 0, -sq, sq))
+            t0 = q / jnp.where(a == 0, 1e-30, a)
+            t1 = c / jnp.where(q == 0, 1e-30, q)
+            closer = (d[:, 2] > 0) ^ (radius < 0)
+            t = jnp.where(closer, jnp.minimum(t0, t1), jnp.maximum(t0, t1))
+            ok = ok & has & (t >= 0)
+            p = o + t[:, None] * d
+            n = p - jnp.asarray([0.0, 0.0, z_center], jnp.float32)
+            n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                                1e-30)
+            n = jnp.where((jnp.sum(n * -d, axis=-1) < 0)[:, None], -n, n)
+        p_hit = o + t[:, None] * d
+        r2 = p_hit[:, 0] ** 2 + p_hit[:, 1] ** 2
+        ok = ok & (r2 <= ap * ap)
+        o = jnp.where(ok[:, None], p_hit, o)
+        if radius != 0:
+            eta_i = eta
+            eta_t = (lens_el[i - 1][2]
+                     if (i > 0 and lens_el[i - 1][2] != 0) else 1.0)
+            dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                                 1e-30)
+            cos_i = jnp.sum(n * -dn, axis=-1)
+            eta_rel = eta_i / eta_t
+            sin2_t = eta_rel * eta_rel * jnp.maximum(0.0, 1.0 - cos_i ** 2)
+            r_ok = sin2_t < 1.0
+            cos_tt = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            wt = dn * eta_rel + (eta_rel * cos_i - cos_tt)[:, None] * n
+            ok = ok & r_ok
+            d = jnp.where(ok[:, None], wt, d)
+    return ok, o, d
+
 
 from tpurt.pytrees import register_static_pytree  # noqa: E402
 
-register_static_pytree(Camera, ["camera_to_world", "raster_to_camera"])
+register_static_pytree(Camera, ["camera_to_world", "raster_to_camera",
+                                "exit_pupil"])
 
 
 def _screen_window(res_x: int, res_y: int, ps: ParamSet):
@@ -141,15 +259,50 @@ def _raster_to_screen_to_camera(camera_to_screen: xf.Transform, sw,
 
 
 def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
-                res_x: int, res_y: int) -> Camera:
+                res_x: int, res_y: int,
+                diagonal_m: float = 0.035) -> Camera:
     """MakeCamera dispatch (api.cpp :786-815) with reference defaults."""
     shutter_open = ps.find_one_float("shutteropen", 0.0)
     shutter_close = ps.find_one_float("shutterclose", 1.0)
     lens_radius = ps.find_one_float("lensradius", 0.0)
     focal_distance = ps.find_one_float("focaldistance", 1e6)
     sw = _screen_window(res_x, res_y, ps)
+    lens_el = ()
+    exit_pupil = jnp.zeros((1, 4), jnp.float32)
+    rear_z = 0.0
+    simple_weighting = True
+    epb0_area = 1.0
 
-    if name == "perspective":
+    if name == "realistic":
+        import logging
+
+        slog = logging.getLogger("tpurt.scene")
+        lensfile = ps.find_one_string("lensfile", "")
+        try:
+            if not lensfile:
+                raise ValueError('realistic camera needs "string lensfile"')
+            from tpurt.render.lenses import build_lens_system
+
+            ls = build_lens_system(
+                lensfile,
+                ps.find_one_float("aperturediameter", 1.0),
+                ps.find_one_float("focusdistance", 10.0),
+                diagonal_m)
+            lens_el = tuple(tuple(float(v) for v in row)
+                            for row in ls.elements)
+            exit_pupil = jnp.asarray(ls.exit_pupil)
+            rear_z = ls.rear_z
+            b0 = ls.exit_pupil[0]
+            epb0_area = float(max((b0[2] - b0[0]) * (b0[3] - b0[1]), 1e-20))
+            simple_weighting = ps.find_one_bool("simpleweighting", True)
+            cam_to_screen = xf.Transform()
+        except (OSError, ValueError) as e:
+            slog.warning("realistic camera unavailable (%s); "
+                         "using perspective fov=45", e)
+            cam_to_screen = xf.perspective(45.0, 1e-2, 1000.0)
+            name = "perspective"
+            lens_el = ()
+    elif name == "perspective":
         fov = ps.find_one_float("fov", 90.0)
         half_fov = ps.find_one_float("halffov", -1.0)
         if half_fov > 0:
@@ -159,13 +312,6 @@ def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
         cam_to_screen = xf.orthographic(0.0, 1.0)
     elif name in ("environment",):
         cam_to_screen = xf.Transform()
-    elif name == "realistic":
-        import logging
-
-        logging.getLogger("tpurt.scene").warning(
-            "realistic camera not yet supported; using perspective fov=45")
-        cam_to_screen = xf.perspective(45.0, 1e-2, 1000.0)
-        name = "perspective"
     else:
         raise ValueError(f'camera "{name}" unknown')
 
@@ -180,6 +326,12 @@ def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
         shutter_close=shutter_close,
         res_x=res_x,
         res_y=res_y,
+        lens_el=lens_el,
+        exit_pupil=exit_pupil,
+        rear_z=rear_z,
+        diagonal_m=diagonal_m,
+        simple_weighting=simple_weighting,
+        epb0_area=epb0_area,
     )
 
 

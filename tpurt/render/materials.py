@@ -156,6 +156,35 @@ def _mix(tp: TextureParams) -> MaterialRecord:
     return MaterialRecord("mix", slots)
 
 
+def _disney(tp: TextureParams) -> MaterialRecord:
+    """Disney BSDF (materials/disney.cpp CreateDisneyMaterial :589-643).
+    The color rides the Kd slot so image textures flow through the
+    existing override plumbing; scatterdistance (BSSRDF) is parsed but
+    not yet shaded (logged)."""
+    sd = tp.get_spectrum_texture("scatterdistance", 0.0)
+    if sd[0] == "constant" and np.any(np.asarray(sd[1]) > 0):
+        log.warning("disney scatterdistance (BSSRDF) not yet shaded; "
+                    "using the diffuse lobe")
+    slots = {
+        "Kd": tp.get_spectrum_texture("color", 0.5),
+        "metallic": tp.get_float_texture("metallic", 0.0),
+        "eta": tp.get_float_texture("eta", 1.5),
+        "roughness": tp.get_float_texture("roughness", 0.5),
+        "speculartint": tp.get_float_texture("speculartint", 0.0),
+        "anisotropic": tp.get_float_texture("anisotropic", 0.0),
+        "sheen": tp.get_float_texture("sheen", 0.0),
+        "sheentint": tp.get_float_texture("sheentint", 0.5),
+        "clearcoat": tp.get_float_texture("clearcoat", 0.0),
+        "clearcoatgloss": tp.get_float_texture("clearcoatgloss", 1.0),
+        "spectrans": tp.get_float_texture("spectrans", 0.0),
+        "thin": ("constant", tp.find_bool("thin", False)),
+        "flatness": tp.get_float_texture("flatness", 0.0),
+        "difftrans": tp.get_float_texture("difftrans", 1.0),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("disney", slots)
+
+
 def _fourier(tp: TextureParams) -> MaterialRecord:
     slots = {"bsdffile": ("constant", tp.find_string("bsdffile", ""))}
     _common_bump(tp, slots)
@@ -174,4 +203,5 @@ _FACTORIES = {
     "translucent": _translucent,
     "mix": _mix,
     "fourier": _fourier,
+    "disney": _disney,
 }

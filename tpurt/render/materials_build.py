@@ -21,6 +21,7 @@ import numpy as np
 from tpurt.render.bsdf import (
     FRESNEL_CONDUCTOR,
     FRESNEL_DIELECTRIC,
+    FRESNEL_DISNEY,
     FRESNEL_NOOP,
     FRESNEL_SCHLICK,
     LobeParams,
@@ -32,10 +33,13 @@ from tpurt.scene.records import MaterialRecord
 log = logging.getLogger("tpurt.render")
 
 # columns of the constant-parameter table
-_N_COLS = 22
+_N_COLS = 39
 (C_KD0, C_KD1, C_KD2, C_KS0, C_KS1, C_KS2, C_KR0, C_KR1, C_KR2,
  C_KT0, C_KT1, C_KT2, C_ROUGH, C_UROUGH, C_VROUGH, C_ETA, C_SIGMA,
- C_ETA30, C_ETA31, C_ETA32, C_REMAP, C_FRESNEL) = range(_N_COLS)
+ C_ETA30, C_ETA31, C_ETA32, C_REMAP, C_FRESNEL,
+ C_TR0, C_TR1, C_TR2, C_TT0, C_TT1, C_TT2,  # translucent reflect/transmit
+ C_METALLIC, C_SPECTRANS, C_ANISO, C_SHEEN, C_SHEENTINT, C_CC, C_CCGLOSS,
+ C_SPECTINT, C_FLAT, C_DIFFTRANS, C_THIN) = range(_N_COLS)
 
 
 @dataclasses.dataclass
@@ -61,12 +65,14 @@ MAT_METAL = 5
 MAT_UBER = 6
 MAT_SUBSTRATE = 7
 MAT_TRANSLUCENT = 8
+MAT_DISNEY = 9
 _KIND_CODES = {
     "matte": MAT_MATTE, "plastic": MAT_PLASTIC, "mirror": MAT_MIRROR,
     "glass": MAT_GLASS, "metal": MAT_METAL, "uber": MAT_UBER,
     "substrate": MAT_SUBSTRATE, "translucent": MAT_TRANSLUCENT,
+    "disney": MAT_DISNEY,
     # not yet shaded natively; mapped to nearest supported kind
-    "mix": MAT_MATTE, "fourier": MAT_MATTE, "disney": MAT_UBER,
+    "mix": MAT_MATTE, "fourier": MAT_MATTE,
     "subsurface": MAT_GLASS, "kdsubsurface": MAT_MATTE, "hair": MAT_MATTE,
     "metal_": MAT_METAL,
 }
@@ -129,6 +135,20 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
         put1("vroughness", C_VROUGH, -1.0)
         put1("sigma", C_SIGMA, 0.0)
         put1("eta", C_ETA, 1.5)
+        put3("reflect", (C_TR0, C_TR1, C_TR2), 0.5)
+        put3("transmit", (C_TT0, C_TT1, C_TT2), 0.5)
+        # disney extras (disney.cpp:589-643 defaults)
+        put1("metallic", C_METALLIC, 0.0)
+        put1("spectrans", C_SPECTRANS, 0.0)
+        put1("anisotropic", C_ANISO, 0.0)
+        put1("sheen", C_SHEEN, 0.0)
+        put1("sheentint", C_SHEENTINT, 0.5)
+        put1("clearcoat", C_CC, 0.0)
+        put1("clearcoatgloss", C_CCGLOSS, 1.0)
+        put1("speculartint", C_SPECTINT, 0.0)
+        put1("flatness", C_FLAT, 0.0)
+        put1("difftrans", C_DIFFTRANS, 1.0)
+        table[i, C_THIN] = float(_const(s.get("thin"), False) in (True, 1.0))
         table[i, C_REMAP] = float(_const(s.get("remaproughness"), True) in (True, 1.0))
 
         if kind == MAT_METAL:
@@ -145,6 +165,8 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
             table[i, C_FRESNEL] = FRESNEL_SCHLICK
         elif kind == MAT_MIRROR:
             table[i, C_FRESNEL] = FRESNEL_NOOP
+        elif kind == MAT_DISNEY:
+            table[i, C_FRESNEL] = FRESNEL_DISNEY
         else:
             table[i, C_FRESNEL] = FRESNEL_DIELECTRIC
         if kind == MAT_METAL and "roughness" in s and _const(s["roughness"], None) is None:
@@ -236,24 +258,95 @@ def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
 
     # map material kinds onto lobe slots
     lobe_kd = jnp.where(((kind == MAT_MATTE) | (kind == MAT_PLASTIC)
-                         | (kind == MAT_UBER) | (kind == MAT_SUBSTRATE)
-                         | (kind == MAT_TRANSLUCENT))[:, None], kd, z3)
+                         | (kind == MAT_UBER) | (kind == MAT_SUBSTRATE))
+                        [:, None], kd, z3)
     lobe_ks = jnp.where(((kind == MAT_PLASTIC) | (kind == MAT_UBER)
-                         | (kind == MAT_SUBSTRATE)
-                         | (kind == MAT_TRANSLUCENT))[:, None], ks, z3)
+                         | (kind == MAT_SUBSTRATE))[:, None], ks, z3)
     # metal's glossy slot carries ks=1 with conductor fresnel
     lobe_ks = by_kind(MAT_METAL, jnp.ones((n, 3), jnp.float32), lobe_ks)
-    # smooth glass -> fresnel-specular slot; rough glass -> glossy (later)
-    lobe_fs_kr = by_kind(MAT_GLASS, kr, z3)
-    lobe_kt = by_kind(MAT_GLASS, kt, z3)
-    lobe_kt = by_kind(MAT_UBER, kt, lobe_kt)
-    lobe_fs_kr = by_kind(MAT_UBER, z3, lobe_fs_kr)  # uber Kt w/o matching Kr
+    lobe_kt = by_kind(MAT_UBER, kt, z3)
     lobe_kr = by_kind(MAT_MIRROR, kr, z3)
     lobe_kr = by_kind(MAT_UBER, kr, lobe_kr)
+
+    z1 = jnp.zeros((n,), jnp.float32)
+    lobe_kt_g = z3
+    lobe_kd_t = z3
+    t_ax, t_ay = ax, ay
+
+    # glass: smooth -> fresnel-specular; rough -> GGX reflection +
+    # microfacet transmission (glass.cpp: isSpecular when u/v rough == 0)
+    glass_rough = (kind == MAT_GLASS) & ((urough > 0) | (vrough > 0))
+    glass_smooth = (kind == MAT_GLASS) & ~glass_rough
+    lobe_fs_kr = jnp.where(glass_smooth[:, None], kr, z3)
+    lobe_kt = jnp.where(glass_smooth[:, None], kt, lobe_kt)
+    lobe_ks = jnp.where(glass_rough[:, None], kr, lobe_ks)
+    lobe_kt_g = jnp.where(glass_rough[:, None], kt, lobe_kt_g)
+
+    # translucent (translucent.cpp): reflect/transmit split both the
+    # diffuse and glossy components
+    trefl = row[:, C_TR0:C_TR0 + 3]
+    ttrans = row[:, C_TT0:C_TT0 + 3]
+    is_tl = kind == MAT_TRANSLUCENT
+    lobe_kd = jnp.where(is_tl[:, None], trefl * kd, lobe_kd)
+    lobe_kd_t = jnp.where(is_tl[:, None], ttrans * kd, lobe_kd_t)
+    lobe_ks = jnp.where(is_tl[:, None], trefl * ks, lobe_ks)
+    lobe_kt_g = jnp.where(is_tl[:, None], ttrans * ks, lobe_kt_g)
 
     # substrate folds ks into the Schlick Rs (glossy fresnel)
     lobe_ks = jnp.where(((kind == MAT_SUBSTRATE) & (fresnel_kind == FRESNEL_SCHLICK))[:, None],
                         ks, lobe_ks)
+
+    # ---- disney (disney.cpp ComputeScatteringFunctions :474-587) ----
+    is_dis = kind == MAT_DISNEY
+    metallic = jnp.where(is_dis, row[:, C_METALLIC], 0.0)
+    strans = row[:, C_SPECTRANS]
+    thin = row[:, C_THIN] > 0
+    dw = (1.0 - metallic) * (1.0 - strans)  # diffuseWeight
+    dt = row[:, C_DIFFTRANS] / 2.0
+    lum = (0.212671 * kd[:, 0] + 0.715160 * kd[:, 1] + 0.072169 * kd[:, 2])
+    ctint = jnp.where(lum[:, None] > 0, kd / jnp.maximum(lum, 1e-9)[:, None],
+                      jnp.ones_like(kd))
+    sheen_w = row[:, C_SHEEN]
+    csheen = ((1.0 - row[:, C_SHEENTINT])[:, None]
+              + row[:, C_SHEENTINT][:, None] * ctint)
+    flat = row[:, C_FLAT]
+    d_kd_w = jnp.where(thin, (1.0 - flat) * (1.0 - dt), 1.0)
+    lobe_kd = jnp.where(is_dis[:, None], (dw * d_kd_w)[:, None] * kd, lobe_kd)
+    kd_ss = jnp.where((is_dis & thin)[:, None],
+                      (dw * flat * (1.0 - dt))[:, None] * kd, z3)
+    retro = jnp.where(is_dis[:, None], dw[:, None] * kd, z3)
+    sheen = jnp.where(is_dis[:, None], (dw * sheen_w)[:, None] * csheen, z3)
+    lobe_kd_t = jnp.where((is_dis & thin)[:, None], dt[:, None] * kd,
+                          lobe_kd_t)
+    # specular: white scale, disney fresnel (R0 tinted), disney alphas
+    lobe_ks = jnp.where(is_dis[:, None], jnp.ones((n, 3), jnp.float32),
+                        lobe_ks)
+    spec_tint = row[:, C_SPECTINT]
+    r0_eta = ((eta - 1.0) ** 2) / jnp.maximum((eta + 1.0) ** 2, 1e-9)
+    cspec0 = ((1.0 - metallic)[:, None] * r0_eta[:, None]
+              * ((1.0 - spec_tint)[:, None] + spec_tint[:, None] * ctint)
+              + metallic[:, None] * kd)
+    aspect = jnp.sqrt(jnp.maximum(1.0 - row[:, C_ANISO] * 0.9, 1e-6))
+    d_ax = jnp.maximum(0.001, rough * rough / aspect)
+    d_ay = jnp.maximum(0.001, rough * rough * aspect)
+    ax = jnp.where(is_dis, d_ax, ax)
+    ay = jnp.where(is_dis, d_ay, ay)
+    # transmission: strans*sqrt(c); thin scales roughness by IOR
+    lobe_kt_g = jnp.where(is_dis[:, None],
+                          strans[:, None] * jnp.sqrt(jnp.maximum(kd, 0.0)),
+                          lobe_kt_g)
+    rscaled = (0.65 * eta - 0.35) * rough
+    t_ax = jnp.where(is_dis,
+                     jnp.where(thin,
+                               jnp.maximum(0.001, rscaled * rscaled / aspect),
+                               d_ax), t_ax)
+    t_ay = jnp.where(is_dis,
+                     jnp.where(thin,
+                               jnp.maximum(0.001, rscaled * rscaled * aspect),
+                               d_ay), t_ay)
+    cc = jnp.where(is_dis, row[:, C_CC], 0.0)
+    ccg = row[:, C_CCGLOSS]
+    cc_gloss = jnp.maximum(0.1 * (1.0 - ccg) + 0.001 * ccg, 1e-4)
 
     return LobeParams(
         kd=lobe_kd,
@@ -264,4 +357,9 @@ def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
         fresnel_kind=fresnel_kind,
         eta=eta, eta3=eta3, k3=k3,
         kr=lobe_kr, kt=lobe_kt, fs_kr=lobe_fs_kr,
+        kt_g=lobe_kt_g, t_alpha_x=t_ax, t_alpha_y=t_ay,
+        cc=cc, cc_gloss=cc_gloss, kd_t=lobe_kd_t,
+        disney=is_dis, metallic=metallic, r0=cspec0,
+        sheen=sheen, retro=retro, kd_ss=kd_ss,
+        d_rough=jnp.where(is_dis, rough, z1 + 0.5),
     )

@@ -487,6 +487,158 @@ class ZeroTwoSequenceSampler(NamedTuple):
         return self.dim2(px, py, sample_idx, 0)
 
 
+# ---------------------------------------------------------------------------
+# Sobol' (global sampler) — samplers/sobol.cpp + lowdiscrepancy SobolSample /
+# SobolIntervalToIndex, with matrices generated (not copied) by
+# tpurt.sampling.sobol
+# ---------------------------------------------------------------------------
+
+class SobolSampler(NamedTuple):
+    spp: int  # power of two (sobol.cpp rounds up)
+    m: int  # log2 of the pow2 pixel tiling resolution
+    mats: jnp.ndarray  # (D, 32) uint32 direction vectors
+    inv_cols: jnp.ndarray  # (2m,) uint32 — interval-to-index solve
+    fmap_cols: jnp.ndarray  # (F,) uint32
+
+    name: str = "sobol"
+
+    @property
+    def _idx_bits(self) -> int:
+        return 2 * self.m + max(self.spp - 1, 1).bit_length()
+
+    def index(self, px, py, sidx):
+        """SobolIntervalToIndex analog: global index of pixel (px,py)'s
+        sidx-th sample (see sobol.build_interval_to_index)."""
+        f = sidx.astype(jnp.uint32)
+        if self.m == 0:
+            return f
+        m, lm = self.m, 2 * self.m
+        pxu = px.astype(jnp.uint32)
+        pyu = py.astype(jnp.uint32)
+        y = jnp.zeros_like(pxu)
+        for q in range(m):
+            y = (y | (((pxu >> q) & 1) << q)
+                 | (((pyu >> q) & 1) << (m + q)))
+        t = y
+        for b in range(min(max(self.spp - 1, 1).bit_length(),
+                           int(self.fmap_cols.shape[0]))):
+            t = t ^ jnp.where(((f >> b) & 1).astype(bool),
+                              self.fmap_cols[b], jnp.uint32(0))
+        ell = jnp.zeros_like(t)
+        for b in range(lm):
+            ell = ell ^ jnp.where(((t >> b) & 1).astype(bool),
+                                  self.inv_cols[b], jnp.uint32(0))
+        return (f << lm) | ell
+
+    def lane_ctx(self, px, py, sample_idx):
+        return self.index(px, py, sample_idx)
+
+    def _eval(self, idx, row):
+        v = jnp.zeros_like(idx)
+        for k in range(self._idx_bits):
+            v = v ^ jnp.where(((idx >> k) & 1).astype(bool), row[k],
+                              jnp.uint32(0))
+        return jnp.minimum(v.astype(jnp.float32) * jnp.float32(2 ** -32),
+                           ONE_MINUS_EPS)
+
+    def dim(self, px, py, sidx, d, ctx=None) -> jnp.ndarray:
+        """SobolSampler::SampleDimension (sobol.cpp:46-58): dims 0/1 are
+        remapped to in-pixel offsets via the pow2 tiling."""
+        idx = ctx if ctx is not None else self.index(px, py, sidx)
+        s = self._eval(idx, self.mats[d])
+        if isinstance(d, int) and d in (0, 1):
+            res = jnp.float32(1 << self.m)
+            pix = (px if d == 0 else py).astype(jnp.float32)
+            return jnp.clip(s * res - pix, 0.0, ONE_MINUS_EPS)
+        return s
+
+    dim_dyn = dim
+
+    def film_offset(self, px, py, sidx, ctx=None):
+        return (self.dim(px, py, sidx, 0, ctx),
+                self.dim(px, py, sidx, 1, ctx))
+
+
+def make_sobol(spp: int, res_x: int, res_y: int) -> SobolSampler:
+    from tpurt.sampling import sobol as sb
+
+    m = max(int(np.ceil(np.log2(max(res_x, res_y, 1)))), 0)
+    mats = sb.generate_sobol_matrices()
+    inv_cols, fmap_cols = sb.build_interval_to_index(m, mats)
+    return SobolSampler(spp=spp, m=m, mats=jnp.asarray(mats),
+                        inv_cols=jnp.asarray(inv_cols),
+                        fmap_cols=jnp.asarray(fmap_cols))
+
+
+# ---------------------------------------------------------------------------
+# MaxMinDist — samplers/maxmin.cpp: the FIRST 2D dimension uses a
+# min-distance-optimized generator matrix (searched, not copied — see
+# sobol.maxmin_dist_matrix); every other dimension is the (0,2)-sequence.
+# ---------------------------------------------------------------------------
+
+class MaxMinDistSampler(NamedTuple):
+    spp: int  # power of two
+    seed: int
+    res_x: int
+    cpixel: tuple  # k uint32 MSB-aligned generator columns
+
+    name: str = "maxmindist"
+
+    _zt = ZeroTwoSequenceSampler
+
+    def _base(self):
+        return ZeroTwoSequenceSampler(spp=self.spp, seed=self.seed,
+                                      res_x=self.res_x)
+
+    def lane_ctx(self, px, py, sample_idx):
+        return None
+
+    def _shuffled(self, px, py, sidx):
+        """Per-pixel xor bijection of the sample order (the Shuffle at
+        maxmin.cpp:45)."""
+        key = jax.random.fold_in(jax.random.key(self.seed ^ 0x5157), 1)
+        pix = (py.astype(jnp.uint32) * np.uint32(self.res_x)
+               + px.astype(jnp.uint32))
+        ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pix)
+        r = jax.vmap(lambda k: jax.random.bits(k, (), jnp.uint32))(ks)
+        return sidx.astype(jnp.uint32) ^ (r % np.uint32(max(self.spp, 1)))
+
+    def film_offset(self, px, py, sidx, ctx=None):
+        j = self._shuffled(px, py, sidx)
+        fx = jnp.minimum(j.astype(jnp.float32) / np.float32(self.spp),
+                         ONE_MINUS_EPS)
+        v = jnp.zeros_like(j)
+        for c, col in enumerate(self.cpixel):
+            v = v ^ jnp.where(((j >> c) & 1).astype(bool),
+                              np.uint32(col), np.uint32(0))
+        fy = jnp.minimum(v.astype(jnp.float32) * jnp.float32(2 ** -32),
+                         ONE_MINUS_EPS)
+        return fx, fy
+
+    def dim(self, px, py, sidx, d, ctx=None) -> jnp.ndarray:
+        if isinstance(d, int) and d in (0, 1):
+            fx, fy = self.film_offset(px, py, sidx)
+            return fx if d == 0 else fy
+        return self._base().dim(px, py, sidx, d, ctx)
+
+    dim_dyn = dim
+
+
+def make_maxmin(spp: int, res_x: int) -> MaxMinDistSampler:
+    from tpurt.sampling import sobol as sb
+
+    k = max(spp - 1, 1).bit_length()
+    if (1 << k) != spp:
+        k = int(np.ceil(np.log2(max(spp, 1))))
+    if k <= 10:
+        cols = tuple(int(c) for c in sb.maxmin_dist_matrix(max(k, 1)))
+    else:
+        log.warning("maxmindist: spp %d too large for the matrix search; "
+                    "using the (0,2)-sequence pixel dimension", spp)
+        cols = tuple(int(_SOBOL2_COLS[c]) for c in range(k))
+    return MaxMinDistSampler(spp=spp, seed=0, res_x=res_x, cpixel=cols)
+
+
 from tpurt.pytrees import register_static_pytree  # noqa: E402
 
 register_static_pytree(HaltonSampler,
@@ -494,6 +646,8 @@ register_static_pytree(HaltonSampler,
 register_static_pytree(RandomSampler, [])
 register_static_pytree(StratifiedSampler, [])
 register_static_pytree(ZeroTwoSequenceSampler, [])
+register_static_pytree(SobolSampler, ["mats", "inv_cols", "fmap_cols"])
+register_static_pytree(MaxMinDistSampler, [])
 
 
 def make_sampler(name: str, params, res_x: int, res_y: int, quick: bool = False):
@@ -523,9 +677,10 @@ def make_sampler(name: str, params, res_x: int, res_y: int, quick: bool = False)
         pow2 = 1 << max(0, int(np.ceil(np.log2(max(spp, 1)))))
         if pow2 != spp:
             log.warning("sampler %s: rounding %d samples to pow2 %d", name, spp, pow2)
-        if name in ("maxmindist", "sobol"):
-            log.warning("sampler %s currently backed by the (0,2)-sequence "
-                        "construction (full generator matrices: later round)", name)
+        if name == "sobol":
+            return make_sobol(pow2, res_x, res_y)
+        if name == "maxmindist":
+            return make_maxmin(pow2, res_x)
         return ZeroTwoSequenceSampler(spp=pow2, seed=0, res_x=res_x)
     log.warning('sampler "%s" unknown; using halton', name)
     return make_halton(16 if not quick else 1, res_x, res_y)

@@ -1,0 +1,306 @@
+"""Sobol' sequence: generator matrices + global-index sampler math.
+
+Reference analog: core/lowdiscrepancy.{h,cpp} (SobolSample,
+SobolIntervalToIndex) + core/sobolmatrices.cpp and samplers/sobol.cpp.
+The reference ships 27 kLoC of pregenerated tables (NumSobolDimensions =
+1024, 52-bit matrices, plus VdCSobolMatrices/Inv for the interval-to-index
+solve).  This module generates everything at first use instead:
+
+* Direction numbers from a primitive-polynomial search over GF(2)
+  (Bratley-Fox recurrence).  Dimension 0 is the van der Corput identity;
+  dimensions >= 1 use the lexicographically-first primitive polynomials
+  with deterministic admissible initial values m_k (odd, < 2^k, from a
+  fixed LCG).  Any admissible m yields a valid Sobol' (t,s)-sequence;
+  these are not the Joe-Kuo optimized sets, so high-dimension pairwise
+  projections differ from the reference's tables (documented deviation —
+  the low dimensions that matter for pixel/lens sampling are classical).
+* The SobolIntervalToIndex pixel->global-index mapping is obtained by
+  directly inverting the GF(2) linear system "low 2m index bits -> top m
+  output bits of dims 0/1" per film resolution, replacing the reference's
+  pregenerated VdCSobolMatrices.
+
+Everything is cached in $TPURT_CACHE (~/.cache/tpurt).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+N_DIMS = 256
+N_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# GF(2) polynomial arithmetic (ints as bit-vectors)
+# ---------------------------------------------------------------------------
+
+def _polymulmod(a: int, b: int, mod: int, d: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        b >>= 1
+        a <<= 1
+        if a >> d & 1:
+            a ^= mod
+    return r
+
+
+def _polypowmod(base: int, e: int, mod: int, d: int) -> int:
+    r = 1
+    while e:
+        if e & 1:
+            r = _polymulmod(r, base, mod, d)
+        base = _polymulmod(base, base, mod, d)
+        e >>= 1
+    return r
+
+
+def _prime_factors(n: int):
+    fs, p = set(), 2
+    while p * p <= n:
+        while n % p == 0:
+            fs.add(p)
+            n //= p
+        p += 1
+    if n > 1:
+        fs.add(n)
+    return fs
+
+
+def _is_primitive(poly: int, d: int) -> bool:
+    """poly encodes x^d + ... + c0 (bit d set).  Primitive iff x has
+    multiplicative order 2^d - 1 in GF(2)[x]/poly."""
+    if not (poly & 1) or not (poly >> d & 1):
+        return False
+    n = (1 << d) - 1
+    if _polypowmod(2, n, poly, d) != 1:  # 2 encodes the polynomial x
+        return False
+    return all(_polypowmod(2, n // q, poly, d) != 1
+               for q in _prime_factors(n))
+
+
+def primitive_polynomials(count: int):
+    """First `count` primitive polynomials over GF(2), ordered by degree
+    then lexicographically (the classical Sobol' dimension assignment)."""
+    out = []
+    d = 1
+    while len(out) < count:
+        for tail in range(1 << d):
+            poly = (1 << d) | tail
+            if _is_primitive(poly, d):
+                out.append((d, poly))
+                if len(out) == count:
+                    break
+        d += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# direction numbers (Bratley-Fox)
+# ---------------------------------------------------------------------------
+
+def generate_sobol_matrices(n_dims: int = N_DIMS,
+                            n_bits: int = N_BITS) -> np.ndarray:
+    """(n_dims, n_bits) uint32 direction vectors, MSB-aligned: sample =
+    XOR of matrices[dim][k] over set bits k of the index, / 2^32."""
+    cache_dir = os.environ.get("TPURT_CACHE",
+                               os.path.expanduser("~/.cache/tpurt"))
+    path = os.path.join(cache_dir, f"sobol_mats_v1_{n_dims}x{n_bits}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    v = np.zeros((n_dims, n_bits), np.uint32)
+    # dimension 0: van der Corput (identity matrix -> bit reversal)
+    for k in range(n_bits):
+        v[0, k] = np.uint32(1 << (31 - k))
+    polys = primitive_polynomials(n_dims - 1)
+    seed = 0x9E3779B9
+    for j, (d, poly) in enumerate(polys, start=1):
+        m = np.zeros(n_bits + 1, np.uint64)  # 1-indexed like the papers
+        for k in range(1, min(d, n_bits) + 1):
+            # deterministic admissible init: odd, < 2^k (LCG stream)
+            seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            m[k] = ((seed >> 33) % (1 << (k - 1))) * 2 + 1
+        a = [(poly >> (d - i)) & 1 for i in range(1, d)]  # a_1..a_{d-1}
+        for k in range(d + 1, n_bits + 1):
+            mk = m[k - d] ^ (int(m[k - d]) << d)
+            for i in range(1, d):
+                if a[i - 1]:
+                    mk ^= int(m[k - i]) << i
+            m[k] = mk
+        for k in range(1, n_bits + 1):
+            v[j, k - 1] = np.uint32((int(m[k]) << (32 - k)) & 0xFFFFFFFF)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.save(path, v)
+    return v
+
+
+def sobol_sample_np(index: np.ndarray, dim: int,
+                    mats: np.ndarray) -> np.ndarray:
+    """Scalar-loop reference evaluator (tests / host precompute)."""
+    idx = np.asarray(index, np.uint64)
+    out = np.zeros(idx.shape, np.uint32)
+    for k in range(N_BITS):
+        bit = ((idx >> np.uint64(k)) & np.uint64(1)).astype(bool)
+        out = np.where(bit, out ^ mats[dim, k], out)
+    return out.astype(np.float64) * (1.0 / (1 << 32))
+
+
+# ---------------------------------------------------------------------------
+# pixel -> global index (SobolIntervalToIndex analog)
+# ---------------------------------------------------------------------------
+
+def build_interval_to_index(m: int, mats: np.ndarray):
+    """For a 2^m x 2^m pixel tiling, the global Sobol' index of the
+    frame-th sample landing in pixel (px, py) is
+
+        i = (frame << 2m) | L,   L = INV @ (y XOR FMAP @ frame_bits)
+
+    over GF(2), where y = [bits of px, bits of py] are the top-m output
+    bits of dims 0/1.  Returns (inv_cols, fmap_cols): uint32 column
+    tables s.t. L = xor of inv_cols[b] over set bits b of t, with
+    t = y ^ xor of fmap_cols[b] over set bits of frame.
+
+    Replaces VdCSobolMatrices/Inv (sobolmatrices.cpp) with a direct
+    GF(2) inversion at build time."""
+    if m == 0:
+        return (np.zeros(1, np.uint32), np.zeros(max(1, N_BITS), np.uint32))
+    lm = 2 * m
+    # y bits: for pixel px = floor(out0 * 2^m): bit j of px (MSB-first
+    # weight) is output bit 31-j ... define y = [px bits m-1..0, py bits
+    # m-1..0] with px bit q = output0 bit (32 - m + q).
+    def out_bits(dim, idx_bit):
+        col = int(mats[dim, idx_bit])
+        return [(col >> (32 - m + q)) & 1 for q in range(m)]
+
+    # A_L: lm x lm, columns = index low bits
+    a_l = np.zeros((lm, lm), np.uint8)
+    for b in range(lm):
+        a_l[0:m, b] = out_bits(0, b)
+        a_l[m:lm, b] = out_bits(1, b)
+    # invert over GF(2)
+    aug = np.concatenate([a_l, np.eye(lm, dtype=np.uint8)], axis=1)
+    for col in range(lm):
+        piv = None
+        for r in range(col, lm):
+            if aug[r, col]:
+                piv = r
+                break
+        if piv is None:
+            raise ValueError("Sobol interval matrix is singular")
+        if piv != col:
+            aug[[col, piv]] = aug[[piv, col]]
+        for r in range(lm):
+            if r != col and aug[r, col]:
+                aug[r] ^= aug[col]
+    inv = aug[:, lm:]
+    # pack: inv_cols[b] = integer whose bit j is inv[j, b] (L bit j)
+    inv_cols = np.zeros(lm, np.uint32)
+    for b in range(lm):
+        val = 0
+        for j in range(lm):
+            if inv[j, b]:
+                val |= 1 << j
+        inv_cols[b] = val
+    # frame map: index bit (2m + b) contributes out bits -> y bits
+    n_f = N_BITS - lm
+    fmap_cols = np.zeros(max(1, n_f), np.uint32)
+    for b in range(n_f):
+        y0 = out_bits(0, lm + b)
+        y1 = out_bits(1, lm + b)
+        val = 0
+        for q in range(m):
+            if y0[q]:
+                val |= 1 << q
+            if y1[q]:
+                val |= 1 << (m + q)
+        fmap_cols[b] = val
+    return inv_cols, fmap_cols
+
+
+def _gf2_invertible(cols: np.ndarray, k: int) -> bool:
+    rows = list(cols.astype(np.uint64))
+    rank = 0
+    for bit in range(k):
+        piv = None
+        for i in range(rank, len(rows)):
+            if (rows[i] >> bit) & 1:
+                piv = i
+                break
+        if piv is None:
+            continue
+        rows[rank], rows[piv] = rows[piv], rows[rank]
+        for i in range(len(rows)):
+            if i != rank and (rows[i] >> bit) & 1:
+                rows[i] ^= rows[rank]
+        rank += 1
+    return rank == k
+
+
+def maxmin_dist_matrix(k: int) -> np.ndarray:
+    """Generator matrix (k uint32 columns, MSB-aligned) for the pixel
+    dimension of the MaxMinDist sampler: the 2^k points (i/n, C.i) should
+    maximize toroidal minimum distance.
+
+    Reference analog: the 17 pregenerated CMaxMinDist matrices
+    (lowdiscrepancy.cpp, samplers/maxmin.cpp:42).  Rather than copying the
+    table, a deterministic random search over invertible GF(2) matrices is
+    run once per k and cached; the resulting minimum distance is close to
+    (not always equal to) the published optima — documented deviation."""
+    cache_dir = os.environ.get("TPURT_CACHE",
+                               os.path.expanduser("~/.cache/tpurt"))
+    path = os.path.join(cache_dir, f"maxmin_c_v1_{k}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    n = 1 << k
+    rng = np.random.default_rng(k * 7919 + 13)
+    i_arr = np.arange(n)
+    xs = i_arr.astype(np.float64) / n
+    best, best_d = None, -1.0
+    iters = int(max(128, min(4000, 400000 // max(n, 1))))
+    for _ in range(iters):
+        cols = rng.integers(1, 1 << k, size=k, dtype=np.uint32)
+        if not _gf2_invertible(cols, k):
+            continue
+        ys = np.zeros(n, np.uint32)
+        for c in range(k):
+            ys ^= np.where((i_arr >> c) & 1, cols[c], 0).astype(np.uint32)
+        ysf = ys.astype(np.float64) / n
+        dx = np.abs(xs[:, None] - xs[None, :])
+        dx = np.minimum(dx, 1.0 - dx)
+        dy = np.abs(ysf[:, None] - ysf[None, :])
+        dy = np.minimum(dy, 1.0 - dy)
+        d2 = dx * dx + dy * dy
+        np.fill_diagonal(d2, 9.0)
+        md = float(d2.min())
+        if md > best_d:
+            best_d, best = md, cols
+    out = (best.astype(np.uint64) << np.uint64(32 - k)).astype(np.uint32)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.save(path, out)
+    return out
+
+
+def interval_to_index_np(m: int, frame: np.ndarray, px: np.ndarray,
+                         py: np.ndarray, inv_cols: np.ndarray,
+                         fmap_cols: np.ndarray) -> np.ndarray:
+    """Host reference of the index solve (for tests)."""
+    if m == 0:
+        return np.asarray(frame, np.uint64)
+    lm = 2 * m
+    frame = np.asarray(frame, np.uint64)
+    y = np.zeros(px.shape, np.uint32)
+    for q in range(m):
+        y |= (((np.asarray(px, np.uint32) >> q) & 1) << q).astype(np.uint32)
+        y |= (((np.asarray(py, np.uint32) >> q) & 1) << (m + q)).astype(np.uint32)
+    t = y.copy()
+    for b in range(len(fmap_cols)):
+        bit = ((frame >> np.uint64(b)) & np.uint64(1)).astype(bool)
+        t = np.where(bit, t ^ fmap_cols[b], t)
+    ell = np.zeros(px.shape, np.uint32)
+    for b in range(lm):
+        bit = ((t >> b) & 1).astype(bool)
+        ell = np.where(bit, ell ^ inv_cols[b], ell)
+    return (frame << np.uint64(lm)) | ell.astype(np.uint64)
