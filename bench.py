@@ -81,6 +81,13 @@ def main() -> int:
         sd_rpf.integrator_name = "rpf"
         if args.spp:
             sd_rpf.sampler_params.add("integer", "pixelsamples", [args.spp])
+        # steady-state timing like the render pass: first run compiles
+        # (the axon PJRT plugin does not serve the persistent compile
+        # cache), second run measures — the C++ baseline's timings would
+        # not include compilation either
+        t0 = time.time()
+        render_rpf(sd_rpf, crop_override=crop, write_feature_exrs=False)
+        t_rpf_cold = time.time() - t0
         t0 = time.time()
         _img2, _job2, extras = render_rpf(
             sd_rpf, crop_override=crop, write_feature_exrs=False)
@@ -88,6 +95,7 @@ def main() -> int:
         result["rpf_filter_ms"] = round(extras["filter_time"] * 1000.0, 1)
         result["rpf_sampling_s"] = round(extras["sampling_time"], 2)
         result["rpf_total_s"] = round(t_total_rpf, 2)
+        result["rpf_compile_s"] = round(max(t_rpf_cold - t_total_rpf, 0.0), 2)
 
     result["render_s"] = round(t_render, 2)
     result["compile_s"] = round(max(t_first - t_render, 0.0), 2)

@@ -201,3 +201,33 @@ def test_plastic_highlight():
     # specular highlight should be much brighter than the diffuse body
     body = np.median(img[img.sum(-1) > 0.01].reshape(-1))
     assert img.max() > 4 * body
+
+
+MIX_SCENE = """
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "halton" "integer pixelsamples" [8]
+Integrator "path"
+Camera "perspective" "float fov" [45]
+WorldBegin
+LightSource "point" "color I" [3.1415926 3.1415926 3.1415926]
+MakeNamedMaterial "red" "string type" "matte" "color Kd" [1 0 0] "float sigma" [0]
+MakeNamedMaterial "blue" "string type" "matte" "color Kd" [0 0 1] "float sigma" [0]
+Material "mix" "string namedmaterial1" ["red"] "string namedmaterial2" ["blue"]
+  "color amount" [{amt} {amt} {amt}]
+ReverseOrientation
+Shape "sphere" "float radius" [1]
+WorldEnd
+"""
+
+
+def test_mix_material_blends_submaterials():
+    # furnace closed form per channel with the blended albedo
+    # Kd_blend = amt*red + (1-amt)*blue (materials/mix.cpp scaling):
+    # radiance = sum_{k=1..maxdepth+1} Kd^k
+    img = _render_scene(MIX_SCENE.format(amt=0.75))
+    mean = img.reshape(-1, 3).mean(axis=0)
+    want_r = sum(0.75 ** k for k in range(1, 6))
+    want_b = sum(0.25 ** k for k in range(1, 6))
+    assert abs(mean[0] - want_r) < 0.05, (mean, want_r)
+    assert abs(mean[2] - want_b) < 0.02, (mean, want_b)
+    assert mean[1] < 0.01, mean

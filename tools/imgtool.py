@@ -127,9 +127,93 @@ def cmd_assemble(args) -> int:
     return 0
 
 
+def cmd_makesky(args) -> int:
+    """Physically-based sky environment map in the lat-long mapping, like
+    the reference (imgtool makesky, imgtool.cpp:430-520).
+
+    Model deviation (documented): the reference evaluates the
+    Hosek-Wilkie model through its vendored coefficient dataset
+    (ext/ArHosekSkyModel.c); that dataset is not reproduced here — the
+    Preetham et al. 1999 analytic model (closed-form Perez functions, no
+    tables) is used instead.  Same CLI surface: --albedo --elevation
+    --outfile --turbidity --resolution."""
+    t = args.turbidity
+    theta_s = np.pi / 2 - np.radians(args.elevation)
+    res = args.resolution
+
+    # Perez coefficients for Y, x, y (Preetham et al., A Practical
+    # Analytic Model for Daylight, SIGGRAPH 99, table in appendix)
+    per_y = (0.1787 * t - 1.4630, -0.3554 * t + 0.4275,
+             -0.0227 * t + 5.3251, 0.1206 * t - 2.5771,
+             -0.0670 * t + 0.3703)
+    per_x = (-0.0193 * t - 0.2592, -0.0665 * t + 0.0008,
+             -0.0004 * t + 0.2125, -0.0641 * t - 0.8989,
+             -0.0033 * t + 0.0452)
+    per_yy = (-0.0167 * t - 0.2608, -0.0950 * t + 0.0092,
+              -0.0079 * t + 0.2102, -0.0441 * t - 1.6537,
+              -0.0109 * t + 0.0529)
+
+    chi = (4.0 / 9.0 - t / 120.0) * (np.pi - 2 * theta_s)
+    yz = (4.0453 * t - 4.9710) * np.tan(chi) - 0.2155 * t + 2.4192  # kcd/m^2
+    t2, th, th2, th3 = t * t, theta_s, theta_s ** 2, theta_s ** 3
+    xz = ((0.00166 * th3 - 0.00375 * th2 + 0.00209 * th) * t2
+          + (-0.02903 * th3 + 0.06377 * th2 - 0.03202 * th + 0.00394) * t
+          + (0.11693 * th3 - 0.21196 * th2 + 0.06052 * th + 0.25886))
+    yyz = ((0.00275 * th3 - 0.00610 * th2 + 0.00317 * th) * t2
+           + (-0.04214 * th3 + 0.08970 * th2 - 0.04153 * th + 0.00516) * t
+           + (0.15346 * th3 - 0.26756 * th2 + 0.06670 * th + 0.26688))
+
+    def perez(coef, theta, gamma):
+        a, b, c, d, e = coef
+        cg = np.cos(gamma)
+        return ((1 + a * np.exp(b / np.maximum(np.cos(theta), 0.01)))
+                * (1 + c * np.exp(d * gamma) + e * cg * cg))
+
+    # lat-long: rows theta in [0, pi/2] (upper hemisphere; below horizon
+    # black like the reference's sun-sky output), cols phi in [0, 2pi)
+    v, u = np.meshgrid((np.arange(res) + 0.5) / res,
+                       (np.arange(2 * res) + 0.5) / (2 * res), indexing="ij")
+    theta = v * np.pi
+    phi = u * 2 * np.pi
+    sun_dir = np.array([np.sin(theta_s), 0.0, np.cos(theta_s)])
+    d = np.stack([np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi),
+                  np.cos(theta)], -1)
+    cg = np.clip(d @ sun_dir, -1, 1)
+    gamma = np.arccos(cg)
+    up = theta < np.pi / 2
+
+    def ratio(coef, zenith):
+        return zenith * (perez(coef, theta, gamma)
+                         / perez(coef, 0.0, theta_s))
+
+    Y = np.where(up, ratio(per_y, yz), 0.0) * 1000.0  # cd/m^2
+    x = np.where(up, ratio(per_x, xz), 0.3)
+    yy = np.where(up, ratio(per_yy, yyz), 0.3)
+    # xyY -> XYZ -> linear sRGB; scale like the reference's output units
+    yy = np.maximum(yy, 1e-4)
+    X = x / yy * Y
+    Z = (1 - x - yy) / yy * Y
+    r = 3.240479 * X - 1.537150 * Y - 0.498535 * Z
+    g = -0.969256 * X + 1.875991 * Y + 0.041556 * Z
+    b = 0.055648 * X - 0.204043 * Y + 1.057311 * Z
+    img = np.maximum(np.stack([r, g, b], -1), 0.0) * args.scale
+    write_image(args.outfile, img.astype(np.float32))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="imgtool")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("makesky")
+    p.add_argument("--outfile", "-o", default="sky.exr")
+    p.add_argument("--albedo", type=float, default=0.5)  # accepted for CLI
+    # parity with the reference; the Preetham model has no albedo term
+    p.add_argument("--turbidity", type=float, default=3.0)
+    p.add_argument("--elevation", type=float, default=10.0)  # degrees
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--scale", type=float, default=1e-4)
+    p.set_defaults(fn=cmd_makesky)
 
     p = sub.add_parser("info")
     p.add_argument("files", nargs="+")

@@ -33,6 +33,10 @@ def make_shapes(name: str, object_to_world: Transform, reverse_orientation: bool
         return _create_loop_subdiv(object_to_world, params)
     if name in ("sphere", "cylinder", "disk", "cone", "paraboloid", "hyperboloid"):
         return _create_quadric(name, object_to_world, params)
+    if name == "curve":
+        return _create_curve(object_to_world, params)
+    if name == "nurbs":
+        return _create_nurbs(object_to_world, params)
     log.warning('shape "%s" unknown or not yet supported', name)
     return []
 
@@ -357,3 +361,282 @@ def read_ply(path: str):
         if P is None:
             raise ValueError("PLY file has no vertex element")
         return P, N, UV, np.asarray(faces, dtype=np.int64)
+
+
+# -- curves (tessellated) ------------------------------------------------------
+
+def _bezier_eval(cp: np.ndarray, u: np.ndarray):
+    """Evaluate a degree-(len(cp)-1) Bezier at u (M,) by de Casteljau.
+    Returns (points (M,3), tangents (M,3))."""
+    pts = [np.broadcast_to(c, (len(u), 3)).astype(np.float64) for c in cp]
+    while len(pts) > 2:
+        pts = [(1 - u)[:, None] * pts[i] + u[:, None] * pts[i + 1]
+               for i in range(len(pts) - 1)]
+    tan = (len(cp) - 1) * (pts[1] - pts[0])
+    p = (1 - u)[:, None] * pts[0] + u[:, None] * pts[1]
+    return p, tan
+
+
+def _bspline_to_bezier(cp: np.ndarray, degree: int) -> List[np.ndarray]:
+    """Uniform B-spline control points -> per-span Bezier control points
+    (blossoming; curve.cpp:470-500 does the same per segment)."""
+    segs = []
+    n = len(cp)
+    if degree == 2:
+        for i in range(n - 2):
+            p0, p1, p2 = cp[i], cp[i + 1], cp[i + 2]
+            segs.append(np.stack([(p0 + p1) / 2, p1, (p1 + p2) / 2]))
+    else:
+        for i in range(n - 3):
+            p0, p1, p2, p3 = cp[i], cp[i + 1], cp[i + 2], cp[i + 3]
+            b0 = (p0 + 4 * p1 + p2) / 6
+            b1 = (2 * p1 + p2) / 3
+            b2 = (p1 + 2 * p2) / 3
+            b3 = (p1 + 4 * p2 + p3) / 6
+            segs.append(np.stack([b0, b1, b2, b3]))
+    return segs
+
+
+def _parallel_frames(tangents: np.ndarray, n0=None) -> np.ndarray:
+    """Rotation-minimizing normals along a polyline of tangents (M,3)."""
+    t = tangents / np.maximum(np.linalg.norm(tangents, axis=-1,
+                                             keepdims=True), 1e-12)
+    if n0 is None:
+        a = np.array([0.0, 0.0, 1.0])
+        if abs(np.dot(t[0], a)) > 0.9:
+            a = np.array([1.0, 0.0, 0.0])
+        n0 = np.cross(t[0], a)
+    n = n0 / max(np.linalg.norm(n0), 1e-12)
+    out = np.zeros_like(t)
+    for i in range(len(t)):
+        n = n - t[i] * np.dot(n, t[i])
+        ln = np.linalg.norm(n)
+        if ln < 1e-9:
+            a = np.array([0.0, 0.0, 1.0])
+            if abs(np.dot(t[i], a)) > 0.9:
+                a = np.array([1.0, 0.0, 0.0])
+            n = np.cross(t[i], a)
+            ln = np.linalg.norm(n)
+        n = n / ln
+        out[i] = n
+    return out
+
+
+def _create_curve(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
+    """Curve shape (shapes/curve.cpp CreateCurveShape :397-470).
+
+    TPU deviation (documented): the reference intersects Bezier ribbons
+    analytically with recursive splitting; here curves are TESSELLATED
+    host-side into triangle strips/tubes that ride the standard wavefront
+    triangle kernels.  'flat' curves (view-facing in the reference) use a
+    rotation-minimizing frame instead of the camera-facing orientation;
+    'cylinder' curves become 6-sided tubes; 'ribbon' curves interpolate
+    the supplied normals."""
+    width = ps.find_one_float("width", 1.0)
+    width0 = ps.find_one_float("width0", width)
+    width1 = ps.find_one_float("width1", width)
+    degree = ps.find_one_int("degree", 3)
+    if degree not in (2, 3):
+        log.error("curve: only degree 2/3 supported (got %d)", degree)
+        return []
+    basis = ps.find_one_string("basis", "bezier")
+    cp = ps.find_point3_array("P")
+    if cp is None:
+        log.error("curve: missing P")
+        return []
+    cp = np.asarray(cp, np.float64).reshape(-1, 3)
+    ctype = ps.find_one_string("type", "flat")
+    norms = ps.find_normal3_array("N")
+    if norms is not None:
+        norms = np.asarray(norms, np.float64).reshape(-1, 3)
+
+    if basis == "bezier":
+        if (len(cp) - 1 - degree) % degree != 0:
+            log.error("curve: bad control point count %d", len(cp))
+            return []
+        segs = [cp[i * degree:i * degree + degree + 1]
+                for i in range((len(cp) - 1) // degree)]
+    elif basis == "bspline":
+        if len(cp) < degree + 1:
+            log.error("curve: bad control point count %d", len(cp))
+            return []
+        segs = _bspline_to_bezier(cp, degree)
+    else:
+        log.error('curve: unknown basis "%s"', basis)
+        return []
+
+    splitdepth = ps.find_one_int("splitdepth", 3)
+    steps = max(2, 1 << splitdepth)
+    n_seg = len(segs)
+    # sample all segments: global u in [0,1] across the whole curve
+    P_rows, T_rows, U_rows = [], [], []
+    for si, seg in enumerate(segs):
+        u = np.linspace(0.0, 1.0, steps + 1)
+        if si > 0:
+            u = u[1:]  # shared point with previous segment
+        p, t = _bezier_eval(seg, u)
+        P_rows.append(p)
+        T_rows.append(t)
+        U_rows.append((si + u) / n_seg)
+    P = np.concatenate(P_rows)
+    T = np.concatenate(T_rows)
+    U = np.concatenate(U_rows)
+    half_w = 0.5 * ((1 - U) * width0 + U * width1)
+
+    if ctype == "ribbon" and norms is not None and len(norms) >= 2:
+        # interpolate the supplied normals along u (normalized lerp)
+        n_along = ((1 - U)[:, None] * norms[0] + U[:, None] * norms[-1])
+        n_along /= np.maximum(np.linalg.norm(n_along, axis=-1,
+                                             keepdims=True), 1e-12)
+        side = np.cross(T, n_along)
+        side /= np.maximum(np.linalg.norm(side, axis=-1, keepdims=True),
+                           1e-12)
+    else:
+        n_frames = _parallel_frames(T)
+        side = np.cross(T / np.maximum(np.linalg.norm(T, axis=-1,
+                                                      keepdims=True), 1e-12),
+                        n_frames)
+
+    m = len(P)
+    if ctype == "cylinder":
+        n_sides = 6
+        tn = T / np.maximum(np.linalg.norm(T, axis=-1, keepdims=True), 1e-12)
+        nf = _parallel_frames(T)
+        bf = np.cross(tn, nf)
+        verts, vnorms = [], []
+        for k in range(n_sides):
+            ang = 2 * np.pi * k / n_sides
+            dirv = np.cos(ang) * nf + np.sin(ang) * bf
+            verts.append(P + half_w[:, None] * dirv)
+            vnorms.append(dirv)
+        V = np.concatenate(verts)         # (n_sides*m, 3) ring-major
+        VN = np.concatenate(vnorms)
+        idx = []
+        for k in range(n_sides):
+            k2 = (k + 1) % n_sides
+            for i in range(m - 1):
+                a, b = k * m + i, k * m + i + 1
+                c, d = k2 * m + i, k2 * m + i + 1
+                idx.append([a, b, c])
+                idx.append([b, d, c])
+        return _mesh_from_arrays(o2w, V, np.asarray(idx), N=VN)
+    # flat / ribbon: two-vertex strip
+    v0 = P - half_w[:, None] * side
+    v1 = P + half_w[:, None] * side
+    V = np.concatenate([v0, v1])
+    idx = []
+    for i in range(m - 1):
+        a, b, c, d = i, i + 1, m + i, m + i + 1
+        idx.append([a, b, c])
+        idx.append([b, d, c])
+    return _mesh_from_arrays(o2w, V, np.asarray(idx))
+
+
+# -- NURBS (diced to a triangle mesh) ------------------------------------------
+
+def _bspline_basis(knots: np.ndarray, order: int, n_cp: int,
+                   u: np.ndarray):
+    """Cox-de Boor: returns (basis (M, n_cp), dbasis (M, n_cp))."""
+    m = len(u)
+    deg = order - 1
+    # zeroth degree
+    b = np.zeros((m, len(knots) - 1))
+    for i in range(len(knots) - 1):
+        b[:, i] = (u >= knots[i]) & (u < knots[i + 1])
+    # ensure u == last knot lands in the final nonempty span
+    last = np.max(np.nonzero(knots < knots[-1])[0]) if np.any(
+        knots < knots[-1]) else 0
+    b[u >= knots[-1] - 1e-12, :] = 0
+    b[u >= knots[-1] - 1e-12, last] = 1
+    db = np.zeros_like(b)
+    for d in range(1, deg + 1):
+        nb = np.zeros_like(b)
+        ndb = np.zeros_like(b)
+        for i in range(len(knots) - 1 - d):
+            den1 = knots[i + d] - knots[i]
+            den2 = knots[i + d + 1] - knots[i + 1]
+            t1 = np.where(den1 > 0, (u - knots[i]) / max(den1, 1e-30), 0.0)
+            t2 = np.where(den2 > 0, (knots[i + d + 1] - u)
+                          / max(den2, 1e-30), 0.0)
+            nb[:, i] = t1 * b[:, i] + t2 * b[:, i + 1]
+            d1 = d / max(den1, 1e-30) if den1 > 0 else 0.0
+            d2 = d / max(den2, 1e-30) if den2 > 0 else 0.0
+            ndb[:, i] = d1 * b[:, i] - d2 * b[:, i + 1]
+        b, db = nb, ndb
+    return b[:, :n_cp], db[:, :n_cp]
+
+
+def _create_nurbs(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
+    """NURBS surface diced into triangles (shapes/nurbs.cpp CreateNURBS
+    :145-280; the reference likewise tessellates into a trianglemesh)."""
+    nu = ps.find_one_int("nu", -1)
+    nv = ps.find_one_int("nv", -1)
+    uorder = ps.find_one_int("uorder", -1)
+    vorder = ps.find_one_int("vorder", -1)
+    uknots = ps.find_float_array("uknots")
+    vknots = ps.find_float_array("vknots")
+    if min(nu, nv, uorder, vorder) < 0 or uknots is None or vknots is None:
+        log.error("nurbs: missing nu/nv/uorder/vorder/uknots/vknots")
+        return []
+    uknots = np.asarray(uknots, np.float64)
+    vknots = np.asarray(vknots, np.float64)
+    if len(uknots) != nu + uorder or len(vknots) != nv + vorder:
+        log.error("nurbs: knot count mismatch")
+        return []
+    u0 = ps.find_one_float("u0", float(uknots[uorder - 1]))
+    u1 = ps.find_one_float("u1", float(uknots[nu]))
+    v0 = ps.find_one_float("v0", float(vknots[vorder - 1]))
+    v1 = ps.find_one_float("v1", float(vknots[nv]))
+
+    P = ps.find_point3_array("P")
+    if P is None:
+        # "Pw" is already in homogeneous (wx, wy, wz, w) form — the
+        # reference uses the values verbatim (nurbs.cpp:253-258)
+        Pw = ps.find_float_array("Pw")
+        if Pw is None:
+            log.error("nurbs: missing P/Pw")
+            return []
+        cp = np.asarray(Pw, np.float64).reshape(-1, 4)
+    else:
+        cp = np.asarray(P, np.float64).reshape(-1, 3)
+        cp = np.concatenate([cp, np.ones((len(cp), 1))], axis=-1)
+    if len(cp) != nu * nv:
+        log.error("nurbs: control point count %d != nu*nv", len(cp))
+        return []
+    grid = cp.reshape(nv, nu, 4)  # v-major like the reference
+
+    diceu, dicev = 30, 30
+    us = np.linspace(u0, u1, diceu)
+    vs = np.linspace(v0, v1, dicev)
+    bu, dbu = _bspline_basis(uknots, uorder, nu, us)
+    bv, dbv = _bspline_basis(vknots, vorder, nv, vs)
+    # S(u,v) in homogeneous coords: (dicev, diceu, 4)
+    s = np.einsum('vj,ui,jik->vuk', bv, bu, grid)
+    su = np.einsum('vj,ui,jik->vuk', bv, dbu, grid)
+    sv = np.einsum('vj,ui,jik->vuk', dbv, bu, grid)
+    w = np.maximum(np.abs(s[..., 3:4]), 1e-12) * np.sign(
+        np.where(s[..., 3:4] == 0, 1.0, s[..., 3:4]))
+    p = s[..., :3] / w
+    # rational derivative: (su*w - s*wu)/w^2
+    dpu = (su[..., :3] * w - s[..., :3] * su[..., 3:4]) / (w * w)
+    dpv = (sv[..., :3] * w - s[..., :3] * sv[..., 3:4]) / (w * w)
+    n = np.cross(dpu, dpv)
+    nl = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(nl > 1e-12, n / np.maximum(nl, 1e-30), 0.0)
+
+    uu, vv = np.meshgrid(us, vs)
+    uvs = np.stack([uu.ravel(), vv.ravel()], -1)
+    V = p.reshape(-1, 3)
+    VN = n.reshape(-1, 3)
+    idx = []
+    for j in range(dicev - 1):
+        for i in range(diceu - 1):
+            a = j * diceu + i
+            b = a + 1
+            c = a + diceu
+            d = c + 1
+            idx.append([a, b, c])
+            idx.append([b, d, c])
+    has_n = bool(np.any(np.linalg.norm(VN, axis=-1) > 0.5))
+    return _mesh_from_arrays(o2w, V, np.asarray(idx),
+                             N=VN if has_n else None, UV=uvs)

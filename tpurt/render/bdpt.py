@@ -131,7 +131,7 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
 
         overrides = texture_eval(si) if texture_eval is not None else None
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides)
+                            si.material_id, overrides, scene.mt_mix)
         lrow = jnp.where(vvalid,
                          scene.lights.prim_to_light[jnp.maximum(si.prim, 0)],
                          -1)

@@ -160,6 +160,9 @@ def build_job(sd: SceneDescription, quick: bool = False,
         mt_table=jnp.asarray(mt.table),
         mt_k3=jnp.asarray(mt.k3),
         mt_kinds=jnp.asarray(mt.kinds),
+        # None when the scene has no mix materials -> fetch_lobes skips
+        # the double-fetch entirely (static pytree aux)
+        mt_mix=jnp.asarray(mt.mix) if mt.has_mix else None,
         med_sigma_t=jnp.asarray(sig_t),
         med_sigma_s=jnp.asarray(sig_s),
         med_g=jnp.asarray(g_arr),

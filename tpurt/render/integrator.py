@@ -78,6 +78,7 @@ class SceneData(NamedTuple):
     mt_table: jnp.ndarray
     mt_k3: jnp.ndarray
     mt_kinds: jnp.ndarray
+    mt_mix: jnp.ndarray = None  # (M,2) mix sub-material rows (or None)
     # participating media (homogeneous; media/homogeneous.cpp)
     med_sigma_t: jnp.ndarray = None  # (M,3)
     med_sigma_s: jnp.ndarray = None  # (M,3)
@@ -89,7 +90,7 @@ class SceneData(NamedTuple):
 from tpurt.pytrees import register_static_pytree  # noqa: E402
 
 register_static_pytree(SceneData, [
-    "geo", "lights", "mt_table", "mt_k3", "mt_kinds",
+    "geo", "lights", "mt_table", "mt_k3", "mt_kinds", "mt_mix",
     "med_sigma_t", "med_sigma_s", "med_g",
 ])
 
@@ -263,7 +264,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         overrides = texture_eval(si) if texture_eval is not None else None
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides)
+                            si.material_id, overrides, scene.mt_mix)
         alive = alive & jnp.any(lobes.active, axis=-1)
 
         # ---- NEE ----
@@ -555,7 +556,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         overrides = texture_eval(si) if texture_eval is not None else None
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides)
+                            si.material_id, overrides, scene.mt_mix)
         any_lobe = jnp.any(lobes.active, axis=-1)
         # null-material boundary: pass through + switch media
         null_boundary = (alive & si.valid & ~sampled_med & ~any_lobe

@@ -51,6 +51,8 @@ class MaterialTable:
     kinds: np.ndarray  # (M,) int32 material kind
     records: List[Optional[MaterialRecord]]
     textured: List[Tuple[int, str]]  # (mat_index, slot) needing texture eval
+    mix: np.ndarray = None  # (M, 2) int32 sub-material rows for mix
+    has_mix: bool = False
 
     def n(self) -> int:
         return len(self.kinds)
@@ -66,13 +68,14 @@ MAT_UBER = 6
 MAT_SUBSTRATE = 7
 MAT_TRANSLUCENT = 8
 MAT_DISNEY = 9
+MAT_MIX = 10
 _KIND_CODES = {
     "matte": MAT_MATTE, "plastic": MAT_PLASTIC, "mirror": MAT_MIRROR,
     "glass": MAT_GLASS, "metal": MAT_METAL, "uber": MAT_UBER,
     "substrate": MAT_SUBSTRATE, "translucent": MAT_TRANSLUCENT,
-    "disney": MAT_DISNEY,
+    "disney": MAT_DISNEY, "mix": MAT_MIX,
     # not yet shaded natively; mapped to nearest supported kind
-    "mix": MAT_MATTE, "fourier": MAT_MATTE,
+    "fourier": MAT_MATTE,
     "subsurface": MAT_GLASS, "kdsubsurface": MAT_MATTE, "hair": MAT_MATTE,
     "metal_": MAT_METAL,
 }
@@ -88,11 +91,38 @@ def _const(slot, default):
 
 
 def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialTable:
-    """Deduplicated list (index == material id) -> table."""
+    """Deduplicated list (index == material id) -> table.  Mix materials
+    (materials/mix.cpp) pull their resolved sub-records into extra rows;
+    fetch_lobes blends the two rows' lobe parameters by "amount"."""
+    materials = list(materials)
+    mix_pairs = {}
+    i = 0
+    while i < len(materials):  # appended sub-records may be mix too
+        rec = materials[i]
+        if rec is not None and rec.name == "mix" and i not in mix_pairs:
+            subs = []
+            for slot in ("submaterial1", "submaterial2"):
+                sub = rec.slots.get(slot, (None, None))[1]
+                if sub is None:
+                    subs.append(-1)
+                    continue
+                for j, e in enumerate(materials):
+                    if e is sub:
+                        subs.append(j)
+                        break
+                else:
+                    materials.append(sub)
+                    subs.append(len(materials) - 1)
+            mix_pairs[i] = tuple(subs)
+        i += 1
+
     m = len(materials)
     table = np.zeros((max(m, 1), _N_COLS), np.float32)
     k3 = np.zeros((max(m, 1), 3), np.float32)
     kinds = np.zeros(max(m, 1), np.int32)
+    mix = np.full((max(m, 1), 2), -1, np.int32)
+    for i, (s1, s2) in mix_pairs.items():
+        mix[i] = (s1, s2)
     textured: List[Tuple[int, str]] = []
 
     for i, rec in enumerate(materials):
@@ -150,6 +180,9 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
         put1("difftrans", C_DIFFTRANS, 1.0)
         table[i, C_THIN] = float(_const(s.get("thin"), False) in (True, 1.0))
         table[i, C_REMAP] = float(_const(s.get("remaproughness"), True) in (True, 1.0))
+        if kind == MAT_MIX:
+            # mix "amount" rides the (otherwise translucent-only) C_TR cols
+            put3("amount", (C_TR0, C_TR1, C_TR2), 0.5)
 
         if kind == MAT_METAL:
             eta3 = _const(s.get("eta"), None)
@@ -178,7 +211,8 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
     if textured:
         log.info("materials with textured slots: %s", textured)
     return MaterialTable(table=table, k3=k3, kinds=kinds,
-                         records=list(materials), textured=textured)
+                         records=list(materials), textured=textured,
+                         mix=mix, has_mix=bool(mix_pairs))
 
 
 class MaterialIndexer:
@@ -203,13 +237,59 @@ class MaterialIndexer:
 
 def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
                 mt_kinds: jnp.ndarray, mat_id: jnp.ndarray,
-                texture_overrides: Optional[dict] = None) -> LobeParams:
+                texture_overrides: Optional[dict] = None,
+                mt_mix: Optional[jnp.ndarray] = None) -> LobeParams:
     """Gather per-lane lobe parameters from the material table.
 
     mat_id: (N,) int32 (-1 = no material -> all lobes inactive).
     texture_overrides: {slot_name: (N,...) array} blended in by the caller
     after texture evaluation.
+    mt_mix: (M,2) sub-material rows; when given, MAT_MIX lanes blend the
+    two sub-materials' lobe parameters by the "amount" color (materials/
+    mix.cpp scales each sub-BSDF by amt / 1-amt; the parameter-space blend
+    here is exact for the linear scale fields and picks the dominant side
+    for distribution shapes — documented approximation).
     """
+    lp = _fetch_lobes_one(mt_table, mt_k3, mt_kinds, mat_id,
+                          texture_overrides)
+    if mt_mix is None:
+        return lp
+    idx = jnp.maximum(mat_id, 0)
+    kind = jnp.where(mat_id >= 0, mt_kinds[idx], MAT_NONE)
+    is_mix = kind == MAT_MIX
+    sub = mt_mix[idx]  # (N,2)
+    id1 = jnp.where(is_mix, jnp.maximum(sub[:, 0], 0), idx)
+    id2 = jnp.where(is_mix, jnp.maximum(sub[:, 1], 0), idx)
+    lp1 = _fetch_lobes_one(mt_table, mt_k3, mt_kinds, id1, None)
+    lp2 = _fetch_lobes_one(mt_table, mt_k3, mt_kinds, id2, None)
+    amt3 = jnp.clip(mt_table[idx][:, C_TR0:C_TR0 + 3], 0.0, 1.0)
+    amt1 = jnp.mean(amt3, axis=-1)
+    take1 = amt1 >= 0.5
+    linear = ("kd", "ks", "kr", "kt", "fs_kr", "kt_g", "kd_t",
+              "sheen", "retro", "kd_ss", "r0")
+    blended = {}
+    for f in LobeParams._fields:
+        a, b = getattr(lp1, f), getattr(lp2, f)
+        if f in linear:
+            blended[f] = amt3 * a + (1.0 - amt3) * b
+        elif f == "cc":
+            blended[f] = amt1 * a + (1.0 - amt1) * b
+        elif a.ndim == 2:
+            blended[f] = jnp.where(take1[:, None], a, b)
+        else:
+            blended[f] = jnp.where(take1, a, b)
+    mixed = LobeParams(**blended)
+    out = {}
+    for f in LobeParams._fields:
+        a, b = getattr(mixed, f), getattr(lp, f)
+        m = is_mix[:, None] if a.ndim == 2 else is_mix
+        out[f] = jnp.where(m, a, b)
+    return LobeParams(**out)
+
+
+def _fetch_lobes_one(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
+                     mt_kinds: jnp.ndarray, mat_id: jnp.ndarray,
+                     texture_overrides: Optional[dict] = None) -> LobeParams:
     n = mat_id.shape[0]
     idx = jnp.maximum(mat_id, 0)
     row = mt_table[idx]

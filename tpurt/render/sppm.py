@@ -167,7 +167,7 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
 
         overrides = texture_eval(si) if texture_eval is not None else None
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides)
+                            si.material_id, overrides, scene.mt_mix)
         act = lobes.active
         alive = alive & jnp.any(act, axis=-1)
 
@@ -366,7 +366,7 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
 
         overrides = texture_eval(si) if texture_eval is not None else None
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides)
+                            si.material_id, overrides, scene.mt_mix)
         d0 = 6 + 4 * b
         u_lobe = _ri_dyn(hidx, primes_dev[d0], n_digits)
         u1 = _ri_dyn(hidx, primes_dev[d0 + 1], n_digits)

@@ -348,7 +348,20 @@ class PbrtAPI:
             geom_params, mat_params,
             self.graphics.float_textures, self.graphics.spectrum_textures,
         )
-        return make_material(name, tp)
+        rec = make_material(name, tp)
+        if rec is not None and rec.name == "mix":
+            # resolve the named sub-materials NOW, like api.cpp
+            # MakeMaterial (:552-570) passes the actual Materials to
+            # MixMaterial
+            for slot, key in (("submaterial1", "namedmaterial1"),
+                              ("submaterial2", "namedmaterial2")):
+                nm = rec.slots.get(key, ("constant", ""))[1]
+                sub = self.graphics.named_materials.get(nm)
+                if sub is None:
+                    log.error('mix material: named material "%s" undefined; '
+                              'using matte', nm)
+                rec.slots[slot] = ("material", sub)
+        return rec
 
     def _material_for_shape(self, geom_params: ParamSet) -> Optional[MaterialRecord]:
         """GraphicsState::GetMaterialForShape — shape params shadow material
