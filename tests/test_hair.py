@@ -1,0 +1,163 @@
+"""Hair BSDF tests, mirroring the reference's src/tests/hair.cpp
+(WhiteFurnace, WhiteFurnaceSampled, SamplingWeights, SamplingConsistency)
+plus a render smoke test over tessellated curves."""
+
+import numpy as np
+import pytest
+
+from tpurt.render.hair import (
+    HairParams,
+    demux_float,
+    hair_f,
+    hair_pdf,
+    hair_sample,
+    sigma_a_from_concentration,
+)
+
+import jax.numpy as jnp
+
+_YW = np.asarray([0.212671, 0.715160, 0.072169])
+
+
+def _uniform_sphere(u1, u2):
+    z = 1.0 - 2.0 * u1
+    r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    phi = 2 * np.pi * u2
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
+
+
+def _params(h, beta_m, beta_n, sigma_a=0.0, eta=1.55, alpha=0.0):
+    n = len(h)
+    return HairParams(
+        h=jnp.asarray(h, jnp.float32),
+        eta=jnp.full(n, eta, jnp.float32),
+        sigma_a=jnp.full((n, 3), sigma_a, jnp.float32),
+        beta_m=jnp.full(n, beta_m, jnp.float32),
+        beta_n=jnp.full(n, beta_n, jnp.float32),
+        alpha=jnp.full(n, alpha, jnp.float32),
+    )
+
+
+def test_demux_float_splits_bits():
+    # DemuxFloat(0) == (0,0); interleave of (a,b) demuxes back
+    a, b = demux_float(jnp.asarray([0.0, 0.5, 0.9999999]))
+    a, b = np.asarray(a), np.asarray(b)
+    assert a[0] == 0 and b[0] == 0
+    assert ((a >= 0) & (a < 1)).all() and ((b >= 0) & (b < 1)).all()
+    # 0.5 = bit31 set -> odd bit -> lands in the second output
+    assert a[1] == 0.0 and abs(b[1] - 0.5) < 1e-4
+
+
+@pytest.mark.parametrize("beta_m", [0.1, 0.5, 0.9])
+@pytest.mark.parametrize("beta_n", [0.1, 0.5, 0.9])
+def test_white_furnace(beta_m, beta_n):
+    """Absorption-free hair reflects all energy: uniform-sphere MC of
+    f*|cos| integrates to 1 (hair.cpp TEST WhiteFurnace)."""
+    rng = np.random.default_rng(11)
+    count = 300_000
+    wo1 = _uniform_sphere(rng.random(), rng.random())
+    wo = jnp.asarray(np.tile(wo1, (count, 1)), jnp.float32)
+    h = -1 + 2 * rng.random(count)
+    hp = _params(h, beta_m, beta_n)
+    wi = jnp.asarray(_uniform_sphere(rng.random(count), rng.random(count)),
+                     jnp.float32)
+    f = np.asarray(hair_f(hp, wo, wi))
+    y = (f * _YW).sum(-1) * np.abs(np.asarray(wi)[:, 2])
+    avg = y.mean() * 4 * np.pi  # / UniformSpherePdf
+    assert 0.95 <= avg <= 1.05, avg
+
+
+@pytest.mark.parametrize("beta_m,beta_n", [(0.1, 0.1), (0.5, 0.5), (0.9, 0.9)])
+def test_white_furnace_sampled(beta_m, beta_n):
+    """Sampled version: E[f |cos| / pdf] == 1 (WhiteFurnaceSampled)."""
+    rng = np.random.default_rng(13)
+    count = 200_000
+    wo1 = _uniform_sphere(rng.random(), rng.random())
+    wo = jnp.asarray(np.tile(wo1, (count, 1)), jnp.float32)
+    hp = _params(-1 + 2 * rng.random(count), beta_m, beta_n)
+    u1 = jnp.asarray(rng.random(count), jnp.float32)
+    u2 = jnp.asarray(rng.random(count), jnp.float32)
+    wi, f, pdf = hair_sample(hp, wo, u1, u2)
+    f, pdf, wi = np.asarray(f), np.asarray(pdf), np.asarray(wi)
+    y = (f * _YW).sum(-1) * np.abs(wi[:, 2])
+    est = np.where(pdf > 0, y / np.maximum(pdf, 1e-20), 0.0)
+    assert 0.98 <= est.mean() <= 1.02, est.mean()
+
+
+@pytest.mark.parametrize("beta_m,beta_n", [(0.1, 0.4), (0.5, 0.6), (0.9, 0.8)])
+def test_sampling_weights_near_one(beta_m, beta_n):
+    """f*|cos|/pdf ~= 1 for every sample (SamplingWeights): the sampling
+    scheme matches the BSDF up to the Np/Mp normalization details."""
+    rng = np.random.default_rng(17)
+    count = 20_000
+    hp = _params(-1 + 2 * rng.random(count), beta_m, beta_n)
+    wo = jnp.asarray(_uniform_sphere(rng.random(count), rng.random(count)),
+                     jnp.float32)
+    u1 = jnp.asarray(rng.random(count), jnp.float32)
+    u2 = jnp.asarray(rng.random(count), jnp.float32)
+    wi, f, pdf = hair_sample(hp, wo, u1, u2)
+    f, pdf, wi = np.asarray(f), np.asarray(pdf), np.asarray(wi)
+    w = (f * _YW).sum(-1) * np.abs(wi[:, 2]) / np.maximum(pdf, 1e-20)
+    ok = pdf > 0
+    # reference asserts (0.999, 1.001) in f64; f32 kernels keep 1%o up to
+    # a tiny tail of grazing configurations
+    frac_good = (np.abs(w[ok] - 1.0) < 0.01).mean()
+    assert frac_good > 0.995, frac_good
+    np.testing.assert_allclose(np.median(w[ok]), 1.0, atol=2e-3)
+
+
+def test_pdf_matches_sample_and_integrates():
+    """hair_pdf at sampled directions equals the pdf returned by
+    hair_sample, and uniform-sphere MC of the pdf integrates to 1
+    (SamplingConsistency analog)."""
+    rng = np.random.default_rng(23)
+    count = 100_000
+    hp = _params(-1 + 2 * rng.random(count), 0.3, 0.4, sigma_a=0.25)
+    wo1 = _uniform_sphere(0.3, 0.8)
+    wo = jnp.asarray(np.tile(wo1, (count, 1)), jnp.float32)
+    u1 = jnp.asarray(rng.random(count), jnp.float32)
+    u2 = jnp.asarray(rng.random(count), jnp.float32)
+    wi, _f, pdf_s = hair_sample(hp, wo, u1, u2)
+    pdf_e = hair_pdf(hp, wo, wi)
+    np.testing.assert_allclose(np.asarray(pdf_s), np.asarray(pdf_e),
+                               rtol=2e-3, atol=1e-4)
+    # integral of pdf over the sphere == 1 (fixed h so pdf is one function)
+    hp1 = _params(np.full(count, 0.37), 0.3, 0.4, sigma_a=0.25)
+    wi_u = jnp.asarray(_uniform_sphere(rng.random(count), rng.random(count)),
+                       jnp.float32)
+    vals = np.asarray(hair_pdf(hp1, wo, wi_u))
+    np.testing.assert_allclose(vals.mean() * 4 * np.pi, 1.0, rtol=0.03)
+
+
+def test_sigma_a_from_concentration():
+    got = sigma_a_from_concentration(1.3, 0.0)
+    np.testing.assert_allclose(got, [0.419 * 1.3, 0.697 * 1.3, 1.37 * 1.3],
+                               rtol=1e-6)
+
+
+def test_hair_render_smoke():
+    """End-to-end: curves with the hair material render finite, non-black
+    (materials/hair.cpp via the curve tessellation path)."""
+    from tpurt.render.driver import render
+    from tpurt.scene import load_scene_string
+
+    scene = """
+    Film "image" "integer xresolution" [32] "integer yresolution" [32]
+    Sampler "random" "integer pixelsamples" [8]
+    Integrator "path" "integer maxdepth" [3]
+    Camera "perspective" "float fov" [45]
+    WorldBegin
+    LightSource "distant" "color L" [3 3 3] "point from" [0 5 0] "point to" [0 0 4]
+    Material "hair" "float beta_m" [0.3] "float beta_n" [0.4]
+    Translate 0 0 4
+    Shape "curve" "string type" "cylinder"
+      "point P" [-1 -0.5 0  -0.3 0.5 0  0.3 -0.5 0  1 0.5 0]
+      "float width0" [0.4] "float width1" [0.4]
+    Shape "curve" "string type" "flat"
+      "point P" [-1 0.5 0.5  -0.3 -0.5 0.5  0.3 0.5 0.5  1 -0.5 0.5]
+      "float width0" [0.4] "float width1" [0.4]
+    WorldEnd
+    """
+    img, _ = render(load_scene_string(scene), progress=False)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01, img.max()

@@ -498,17 +498,25 @@ def _create_curve(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
                         n_frames)
 
     m = len(P)
+    # uv convention matches curve.cpp Intersect: u along the curve, v
+    # across the width (so hair's h = -1+2v works); tangents = fiber
+    # direction for the hair BSDF frame
     if ctype == "cylinder":
         n_sides = 6
         tn = T / np.maximum(np.linalg.norm(T, axis=-1, keepdims=True), 1e-12)
         nf = _parallel_frames(T)
         bf = np.cross(tn, nf)
-        verts, vnorms = [], []
+        verts, vnorms, vuv, vtan = [], [], [], []
         for k in range(n_sides):
             ang = 2 * np.pi * k / n_sides
             dirv = np.cos(ang) * nf + np.sin(ang) * bf
             verts.append(P + half_w[:, None] * dirv)
             vnorms.append(dirv)
+            # v from the ring angle: h = sin(ang) = signed offset across
+            # the width seen along the ring normal
+            vv = 0.5 * (1.0 + np.sin(ang))
+            vuv.append(np.stack([U, np.full_like(U, vv)], axis=-1))
+            vtan.append(tn)
         V = np.concatenate(verts)         # (n_sides*m, 3) ring-major
         VN = np.concatenate(vnorms)
         idx = []
@@ -519,17 +527,23 @@ def _create_curve(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
                 c, d = k2 * m + i, k2 * m + i + 1
                 idx.append([a, b, c])
                 idx.append([b, d, c])
-        return _mesh_from_arrays(o2w, V, np.asarray(idx), N=VN)
+        return _mesh_from_arrays(o2w, V, np.asarray(idx), N=VN,
+                                 UV=np.concatenate(vuv),
+                                 S=np.concatenate(vtan))
     # flat / ribbon: two-vertex strip
     v0 = P - half_w[:, None] * side
     v1 = P + half_w[:, None] * side
     V = np.concatenate([v0, v1])
+    uv = np.concatenate([np.stack([U, np.zeros_like(U)], axis=-1),
+                         np.stack([U, np.ones_like(U)], axis=-1)])
+    tn = T / np.maximum(np.linalg.norm(T, axis=-1, keepdims=True), 1e-12)
+    S = np.concatenate([tn, tn])
     idx = []
     for i in range(m - 1):
         a, b, c, d = i, i + 1, m + i, m + i + 1
         idx.append([a, b, c])
         idx.append([b, d, c])
-    return _mesh_from_arrays(o2w, V, np.asarray(idx))
+    return _mesh_from_arrays(o2w, V, np.asarray(idx), UV=uv, S=S)
 
 
 # -- NURBS (diced to a triangle mesh) ------------------------------------------

@@ -22,7 +22,7 @@ from tpurt.config import get_config
 from tpurt.render.camera import make_camera
 from tpurt.render.film import Film, make_film
 from tpurt.render.filters import make_filter
-from tpurt.render.geometry_build import flatten_geometry
+from tpurt.render.geometry_build import FLAG_HAS_TANGENTS, flatten_geometry
 from tpurt.render.bdpt import bdpt_radiance
 from tpurt.render.integrator import (
     RADIANCE_FNS,
@@ -154,6 +154,29 @@ def build_job(sd: SceneDescription, quick: bool = False,
         sig_t = np.zeros((1, 3), np.float32)
         sig_s = np.zeros((1, 3), np.float32)
         g_arr = np.zeros(1, np.float32)
+    # grid media: concatenate density lattices (media/grid.cpp)
+    n_med = max(len(media_names), 1)
+    grid_off = np.zeros(n_med, np.int32)
+    grid_dims = np.ones((n_med, 3), np.int32)
+    w2m = np.tile(np.eye(4, dtype=np.float32), (n_med, 1, 1))
+    inv_maxd = np.ones(n_med, np.float32)
+    is_grid = np.zeros(n_med, bool)
+    dens_parts = []
+    off = 0
+    for i, nm in enumerate(media_names):
+        rec = sd.media[nm]
+        if rec.density is None:
+            continue
+        nz, ny, nx = rec.density.shape
+        grid_off[i] = off
+        grid_dims[i] = (nx, ny, nz)
+        w2m[i] = rec.world_to_medium
+        inv_maxd[i] = 1.0 / max(float(rec.density.max()), 1e-20)
+        is_grid[i] = True
+        dens_parts.append(rec.density.ravel())
+        off += rec.density.size
+    density = (np.concatenate(dens_parts).astype(np.float32)
+               if dens_parts else np.zeros(1, np.float32))
     scene = SceneData(
         geo=DeviceGeometry.from_host(geo_h),
         lights=lights,
@@ -163,11 +186,21 @@ def build_job(sd: SceneDescription, quick: bool = False,
         # None when the scene has no mix materials -> fetch_lobes skips
         # the double-fetch entirely (static pytree aux)
         mt_mix=jnp.asarray(mt.mix) if mt.has_mix else None,
+        mt_hair=jnp.asarray(mt.hair) if mt.has_hair else None,
+        has_hair=mt.has_hair,
+        has_tangents=bool((geo_h.flags & FLAG_HAS_TANGENTS).any()),
         med_sigma_t=jnp.asarray(sig_t),
         med_sigma_s=jnp.asarray(sig_s),
         med_g=jnp.asarray(g_arr),
         camera_medium=medium_index(sd.camera_medium),
         has_media=bool(media_names),
+        med_density=jnp.asarray(density),
+        med_grid_off=jnp.asarray(grid_off),
+        med_grid_dims=jnp.asarray(grid_dims),
+        med_w2m=jnp.asarray(w2m),
+        med_inv_maxd=jnp.asarray(inv_maxd),
+        med_is_grid=jnp.asarray(is_grid),
+        has_grid_media=bool(is_grid.any()),
     )
 
     filt = make_filter(sd.filter_name, sd.filter_params)

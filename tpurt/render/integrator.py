@@ -79,12 +79,25 @@ class SceneData(NamedTuple):
     mt_k3: jnp.ndarray
     mt_kinds: jnp.ndarray
     mt_mix: jnp.ndarray = None  # (M,2) mix sub-material rows (or None)
-    # participating media (homogeneous; media/homogeneous.cpp)
+    # participating media (media/homogeneous.cpp + media/grid.cpp)
     med_sigma_t: jnp.ndarray = None  # (M,3)
     med_sigma_s: jnp.ndarray = None  # (M,3)
     med_g: jnp.ndarray = None  # (M,)
     camera_medium: int = -1
     has_media: bool = False
+    # grid media: concatenated density lattices + per-medium metadata
+    med_density: jnp.ndarray = None  # (D,) f32 flat
+    med_grid_off: jnp.ndarray = None  # (M,) i32 offset into med_density
+    med_grid_dims: jnp.ndarray = None  # (M,3) i32 (nx, ny, nz)
+    med_w2m: jnp.ndarray = None  # (M,4,4) world->medium
+    med_inv_maxd: jnp.ndarray = None  # (M,) 1/max(density)
+    med_is_grid: jnp.ndarray = None  # (M,) bool
+    has_grid_media: bool = False
+    # hair material table (materials/hair.cpp): rows [sigma_a rgb, eta,
+    # beta_m, beta_n, alpha]; None when the scene has no hair
+    mt_hair: jnp.ndarray = None  # (M,7)
+    has_hair: bool = False
+    has_tangents: bool = False  # any mesh carries shading tangents
 
 
 from tpurt.pytrees import register_static_pytree  # noqa: E402
@@ -92,6 +105,8 @@ from tpurt.pytrees import register_static_pytree  # noqa: E402
 register_static_pytree(SceneData, [
     "geo", "lights", "mt_table", "mt_k3", "mt_kinds", "mt_mix",
     "med_sigma_t", "med_sigma_s", "med_g",
+    "med_density", "med_grid_off", "med_grid_dims", "med_w2m",
+    "med_inv_maxd", "med_is_grid", "mt_hair",
 ])
 
 
@@ -152,19 +167,56 @@ def _choice_pmf_at(scene: SceneData, lrow_c, strategy: str, n: int,
     return jnp.full((n,), 1.0 / lt.n_lights, jnp.float32)
 
 
+def _shading_frame(si: SurfaceInteraction):
+    """BSDF local frame (t, b): aligned to the shading tangent (dpdu /
+    fiber direction) when the scene carries one, else the branchless ONB.
+    The reference always builds frames from dpdu (interaction.cpp)."""
+    if si.ss is not None:
+        return si.ss, jnp.cross(si.ns, si.ss)
+    return build_onb(si.ns)
+
+
+def _hair_ctx(scene: SceneData, si: SurfaceInteraction):
+    """(is_hair, HairParams) for hair-material lanes, or None when the
+    scene has no hair (static, so non-hair scenes compile none of this)."""
+    if not scene.has_hair:
+        return None
+    from tpurt.render.hair import HairParams
+    from tpurt.render.materials_build import MAT_HAIR
+
+    idx = jnp.maximum(si.material_id, 0)
+    kind = jnp.where(si.material_id >= 0, scene.mt_kinds[idx], 0)
+    is_hair = (kind == MAT_HAIR) & si.valid
+    row = scene.mt_hair[idx]
+    # offset across the fiber width from the curve v coordinate
+    # (hair.cpp:165: h = -1 + 2 * uv[1])
+    h = jnp.clip(-1.0 + 2.0 * si.uv[:, 1], -1.0, 1.0)
+    hp = HairParams(h=h, eta=row[:, 3], sigma_a=row[:, 0:3],
+                    beta_m=row[:, 4], beta_n=row[:, 5], alpha=row[:, 6])
+    return is_hair, hp
+
+
 def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
-         strategy: str, alive):
+         strategy: str, alive, hair_ctx=None):
     """Next-event estimation: one light sample with MIS weighting
     (UniformSampleOneLight + the light half of EstimateDirect)."""
     lt = scene.lights
     lidx, pmf = choose_light(lt, u_choice, strategy, p=si.p)
     ls = sample_li(lt, lidx, si.p, u_light)
 
-    t, b = build_onb(si.ns)
+    t, b = _shading_frame(si)
     wo_l = to_local(t, b, si.ns, si.wo)
     wi_l = to_local(t, b, si.ns, ls.wi)
     f = bsdf_f(lobes, wo_l, wi_l) * jnp.abs(dot(ls.wi, si.ns))[:, None]
     scatter_pdf = bsdf_pdf(lobes, wo_l, wi_l)
+    if hair_ctx is not None:
+        from tpurt.render.hair import hair_f, hair_pdf
+
+        is_hair, hp = hair_ctx
+        hf = hair_f(hp, wo_l, wi_l) * jnp.abs(dot(ls.wi, si.ns))[:, None]
+        f = jnp.where(is_hair[:, None], hf, f)
+        scatter_pdf = jnp.where(is_hair, hair_pdf(hp, wo_l, wi_l),
+                                scatter_pdf)
 
     usable = (alive & si.valid & (ls.pdf > 0)
               & jnp.any(ls.li > 0, axis=-1) & jnp.any(f > 0, axis=-1))
@@ -224,7 +276,8 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         t_max = jnp.where(alive, INF, 0.0)
         hit = intersect_closest(scene.geo, o, d, t_max)
-        si = compute_interaction(scene.geo, hit, o, d)
+        si = compute_interaction(scene.geo, hit, o, d,
+                                 tangents=scene.has_tangents)
 
         if cfg.capture_features:
             # RPF captures the GEOMETRIC normal + hit point at bounces 0/1,
@@ -265,25 +318,40 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         overrides = texture_eval(si) if texture_eval is not None else None
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
                             si.material_id, overrides, scene.mt_mix)
-        alive = alive & jnp.any(lobes.active, axis=-1)
+        hair_ctx = _hair_ctx(scene, si)
+        any_lobe = jnp.any(lobes.active, axis=-1)
+        has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
+        if hair_ctx is not None:
+            any_lobe = any_lobe | hair_ctx[0]
+            has_smooth = has_smooth | hair_ctx[0]
+        alive = alive & any_lobe
 
         # ---- NEE ----
         d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE
         u_choice = sampler.dim_dyn(px, py, sidx, d0, sctx)
         u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1, sctx),
                              sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)], axis=-1)
-        has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
         Ld = _nee(scene, si, lobes, u_choice, u_light, cfg.light_strategy,
-                  alive & has_smooth)
+                  alive & has_smooth, hair_ctx)
         L = L + beta * Ld
 
         # ---- BSDF sampling ----
         u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 3, sctx)
         u1 = sampler.dim_dyn(px, py, sidx, d0 + 4, sctx)
         u2 = sampler.dim_dyn(px, py, sidx, d0 + 5, sctx)
-        t, b = build_onb(si.ns)
+        t, b = _shading_frame(si)
         wo_l = to_local(t, b, si.ns, si.wo)
         wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
+        if hair_ctx is not None:
+            from tpurt.render.hair import hair_sample
+
+            is_hair, hp = hair_ctx
+            wi_h, f_h, pdf_h = hair_sample(hp, wo_l, u1, u2)
+            wi_l = jnp.where(is_hair[:, None], wi_h, wi_l)
+            f = jnp.where(is_hair[:, None], f_h, f)
+            pdf = jnp.where(is_hair, pdf_h, pdf)
+            is_spec = is_spec & ~is_hair
+            is_trans = is_trans & ~is_hair
         wi = to_world(t, b, si.ns, wi_l)
 
         ok = alive & (pdf > 0) & jnp.any(f > 0, axis=-1)
@@ -419,13 +487,150 @@ def _hg_sample(d, g, u1, u2):
     return to_world(t, b, d, local), _hg_phase(cos_theta, g)
 
 
-def _medium_tr(scene: SceneData, med, dist):
-    """Beer-Lambert transmittance through the given medium ids over dist
-    (homogeneous.cpp Tr).  NOTE: single-segment — intervening interface
-    crossings along shadow rays are not tracked yet (the reference's
-    VisibilityTester::Tr walks them; documented v1 simplification)."""
+def _track_u(lane, bounce, step, salt: int):
+    """Stateless uniform for the grid-tracking loops: fmix-style hash of
+    (lane, bounce, step, salt).  The reference draws these from the
+    sampler's 1D stream inside a data-dependent while loop (grid.cpp
+    Sample/Tr) — a counter hash is the fixed-shape equivalent."""
+    h = (lane.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ (bounce.astype(jnp.uint32) + jnp.uint32(salt)) * jnp.uint32(0x85EBCA77)
+         ^ step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    h ^= h >> 16
+    h *= jnp.uint32(0x7FEB352D)
+    h ^= h >> 15
+    h *= jnp.uint32(0x846CA68B)
+    h ^= h >> 16
+    return h.astype(jnp.float32) * jnp.float32(2 ** -32)
+
+
+def _grid_density_at(scene: SceneData, med_c, p_med):
+    """Trilinear density lookup in medium space (GridDensityMedium::Density
+    / D, grid.h:74-107).  p_med: (N,3) in [0,1]^3."""
+    dims = scene.med_grid_dims[med_c]  # (N,3) nx,ny,nz
+    off = scene.med_grid_off[med_c]
+    ps = p_med * dims.astype(jnp.float32) - 0.5
+    pi = jnp.floor(ps).astype(jnp.int32)
+    dl = ps - pi.astype(jnp.float32)
+
+    def d_at(ix, iy, iz):
+        inb = ((ix >= 0) & (ix < dims[:, 0]) & (iy >= 0) & (iy < dims[:, 1])
+               & (iz >= 0) & (iz < dims[:, 2]))
+        idx = off + (jnp.maximum(iz, 0) * dims[:, 1]
+                     + jnp.maximum(iy, 0)) * dims[:, 0] + jnp.maximum(ix, 0)
+        return jnp.where(inb, scene.med_density[
+            jnp.clip(idx, 0, scene.med_density.shape[0] - 1)], 0.0)
+
+    x, y, z = pi[:, 0], pi[:, 1], pi[:, 2]
+    dx, dy, dz = dl[:, 0], dl[:, 1], dl[:, 2]
+    d00 = d_at(x, y, z) * (1 - dx) + d_at(x + 1, y, z) * dx
+    d10 = d_at(x, y + 1, z) * (1 - dx) + d_at(x + 1, y + 1, z) * dx
+    d01 = d_at(x, y, z + 1) * (1 - dx) + d_at(x + 1, y, z + 1) * dx
+    d11 = d_at(x, y + 1, z + 1) * (1 - dx) + d_at(x + 1, y + 1, z + 1) * dx
+    return ((d00 * (1 - dy) + d10 * dy) * (1 - dz)
+            + (d01 * (1 - dy) + d11 * dy) * dz)
+
+
+def _grid_ray(scene: SceneData, med_c, o, d, t_max):
+    """World ray -> medium space + [0,1]^3 slab clip.  Returns
+    (o_m, d_m, t0, t1, hit_box)."""
+    m = scene.med_w2m[med_c]  # (N,4,4)
+    o_m = (jnp.einsum('nij,nj->ni', m[:, :3, :3], o) + m[:, :3, 3])
+    d_m = jnp.einsum('nij,nj->ni', m[:, :3, :3], d)
+    inv = 1.0 / jnp.where(jnp.abs(d_m) < 1e-12,
+                          jnp.where(d_m < 0, -1e-12, 1e-12), d_m)
+    ta = (0.0 - o_m) * inv
+    tb = (1.0 - o_m) * inv
+    t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    t0 = jnp.maximum(t0, 0.0)
+    t1 = jnp.minimum(t1, t_max)
+    return o_m, d_m, t0, t1, t0 < t1
+
+
+_GRID_TRACK_STEPS = 256
+
+
+def _grid_sample_medium(scene: SceneData, med, lane, bounce, o, d, t_surf,
+                        salt: int):
+    """Delta tracking (GridDensityMedium::Sample, grid.cpp:60-96).
+    Returns (scattered, t_scatter(world units), weight3)."""
+    med_c = jnp.maximum(med, 0)
+    sig_t = scene.med_sigma_t[med_c][:, 0]  # spectrally uniform (grid.h)
+    sig_s3 = scene.med_sigma_s[med_c]
+    inv_maxd = scene.med_inv_maxd[med_c]
+    o_m, d_m, t0, t1, hit = _grid_ray(scene, med_c, o, d, t_surf)
+
+    def body(k, carry):
+        t, done, scattered = carry
+        step = jnp.full(t.shape, k, jnp.uint32)
+        u1 = _track_u(lane, bounce, step, salt)
+        u2 = _track_u(lane, bounce, step, salt + 0x1234)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) * inv_maxd \
+            / jnp.maximum(sig_t, 1e-20)
+        exited = t_new >= t1
+        p = o_m + t_new[:, None] * d_m
+        dens = _grid_density_at(scene, med_c, p)
+        real = dens * inv_maxd > u2
+        scattered = scattered | (~done & ~exited & real)
+        done = done | exited | real
+        t = jnp.where(done & ~exited, jnp.minimum(t_new, t1),
+                      jnp.where(done, t, t_new))
+        return t, done, scattered
+
+    t, done, scattered = jax.lax.fori_loop(
+        0, _GRID_TRACK_STEPS, body,
+        (t0, ~hit, jnp.zeros_like(hit)))
+    w3 = jnp.where(scattered[:, None],
+                   sig_s3 / jnp.maximum(sig_t, 1e-20)[:, None], 1.0)
+    return scattered, t, w3
+
+
+def _grid_tr(scene: SceneData, med, lane, bounce, o, d, dist, salt: int):
+    """Ratio tracking (GridDensityMedium::Tr, grid.cpp:44-58) with the
+    reference's low-Tr Russian roulette."""
+    med_c = jnp.maximum(med, 0)
+    sig_t = scene.med_sigma_t[med_c][:, 0]
+    inv_maxd = scene.med_inv_maxd[med_c]
+    o_m, d_m, t0, t1, hit = _grid_ray(scene, med_c, o, d, dist)
+
+    def body(k, carry):
+        t, tr, done = carry
+        step = jnp.full(t.shape, k, jnp.uint32)
+        u1 = _track_u(lane, bounce, step, salt)
+        u2 = _track_u(lane, bounce, step, salt + 0x77)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) * inv_maxd \
+            / jnp.maximum(sig_t, 1e-20)
+        exited = t_new >= t1
+        p = o_m + t_new[:, None] * d_m
+        dens = _grid_density_at(scene, med_c, p)
+        tr_new = tr * (1.0 - jnp.maximum(0.0, dens * inv_maxd))
+        # RR when Tr gets small (grid.cpp:49-55)
+        small = tr_new < 1e-3
+        killed = small & (u2 < 0.75)
+        tr_new = jnp.where(small & ~killed, tr_new / 0.25, tr_new)
+        tr = jnp.where(done | exited, tr, jnp.where(killed, 0.0, tr_new))
+        done = done | exited | killed
+        return jnp.where(done, t, t_new), tr, done
+
+    _, tr, _ = jax.lax.fori_loop(
+        0, _GRID_TRACK_STEPS, body,
+        (t0, jnp.ones_like(t0), ~hit))
+    return tr
+
+
+def _medium_tr(scene: SceneData, med, dist, o=None, d=None, lane=None,
+               bounce=None):
+    """Transmittance through the given medium ids over dist: Beer-Lambert
+    for homogeneous media (homogeneous.cpp Tr), ratio tracking for grid
+    media.  NOTE: single-segment — intervening interface crossings along
+    shadow rays are not tracked yet (the reference's VisibilityTester::Tr
+    walks them; documented v1 simplification)."""
     sig_t = scene.med_sigma_t[jnp.maximum(med, 0)]
     tr = jnp.exp(-sig_t * jnp.minimum(dist, 3.4e37)[:, None])
+    if scene.has_grid_media and o is not None:
+        is_grid = scene.med_is_grid[jnp.maximum(med, 0)]
+        tr_g = _grid_tr(scene, med, lane, bounce, o, d, dist, salt=0x51AD)
+        tr = jnp.where(is_grid[:, None], tr_g[:, None], tr)
     return jnp.where((med >= 0)[:, None], tr, 1.0)
 
 
@@ -458,7 +663,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
 
     def nee_from(scene, si, lobes, u_choice, u_light, alive, med, is_medium,
-                 g_med):
+                 g_med, bounce):
         """NEE supporting both surface and in-medium vertices."""
         lt = scene.lights
         lidx, pmf = choose_light(lt, u_choice, cfg.light_strategy, p=si.p)
@@ -487,7 +692,8 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                           0.0)
         occluded = intersect_any(scene.geo, o_sh, ls.wi,
                                  jnp.maximum(t_max, 0.0))
-        tr = _medium_tr(scene, med, dist)
+        tr = _medium_tr(scene, med, dist, o_sh, ls.wi,
+                        jnp.arange(o_sh.shape[0], dtype=jnp.uint32), bounce)
         w = jnp.where(ls.is_delta, 1.0,
                       power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
         contrib = f * ls.li * tr * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
@@ -519,6 +725,18 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         dens = jnp.where(sampled_med[:, None], sig_t * tr, tr)
         pdf_m = jnp.maximum(jnp.mean(dens, axis=-1), 1e-20)
         thru = jnp.where(sampled_med[:, None], tr * sig_s, tr) / pdf_m[:, None]
+        if scene.has_grid_media:
+            # grid lanes use delta tracking instead of the closed form
+            lane = jnp.arange(n, dtype=jnp.uint32)
+            is_grid = scene.med_is_grid[jnp.maximum(med, 0)]
+            scat_g, t_g, w_g = _grid_sample_medium(
+                scene, med, lane, bounce, o, d, t_surf, salt=0x6A1D)
+            grid_lane = in_med & is_grid
+            sampled_med = jnp.where(grid_lane, alive & scat_g, sampled_med)
+            t_min = jnp.where(grid_lane,
+                              jnp.where(scat_g, t_g,
+                                        jnp.minimum(t_surf, 3.4e37)), t_min)
+            thru = jnp.where(grid_lane[:, None], w_g, thru)
         beta = jnp.where((alive & in_med)[:, None], beta * thru, beta)
 
         # ---- emitted at surfaces (only when the surface was reached) ----
@@ -577,7 +795,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 3, sctx),
                              sampler.dim_dyn(px, py, sidx, d0 + 4, sctx)], axis=-1)
         Ld = nee_from(scene, si_eff, lobes, u_choice, u_light, alive_shade,
-                      med, sampled_med, g_med)
+                      med, sampled_med, g_med, bounce)
         L = L + beta * Ld
 
         # ---- continuation: phase sample (medium) or BSDF sample ----

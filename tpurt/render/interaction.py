@@ -37,15 +37,22 @@ class SurfaceInteraction(NamedTuple):
     arealight_id: jnp.ndarray  # (N,) i32
     prim: jnp.ndarray  # (N,) i32
     valid: jnp.ndarray  # (N,) bool
+    # shading tangent (dpdu analog): None unless the scene carries mesh
+    # tangents (curves/hair); shading then aligns frames to it
+    ss: jnp.ndarray = None  # (N,3) or None
 
 
 def _gather3(arr, idx):
     return arr[idx]
 
 
-def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d) -> SurfaceInteraction:
+def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
+                        tangents: bool = False) -> SurfaceInteraction:
     """Build shading data for each lane from its Hit.  Invalid lanes get
-    benign values (ns=+z) and valid=False."""
+    benign values (ns=+z) and valid=False.  With tangents=True (static;
+    scenes whose meshes carry shading tangents, e.g. tessellated curves)
+    the interpolated per-vertex tangent is Gram-Schmidt-orthogonalized
+    against ns and returned as ss."""
     n = hit.t.shape[0]
     prim = jnp.maximum(hit.prim, 0)
     valid = hit.prim >= 0
@@ -155,6 +162,23 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d) -> SurfaceInteracti
     wo = normalize(-d)
     safe = valid[:, None]
     up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), ng.shape)
+    ss = None
+    if tangents:
+        from tpurt.render.geometry_build import FLAG_HAS_TANGENTS
+
+        has_s = (flags & FLAG_HAS_TANGENTS) != 0
+        s_interp = (b0[:, None] * geo.vert_s[vi[:, 0]]
+                    + b1[:, None] * geo.vert_s[vi[:, 1]]
+                    + b2[:, None] * geo.vert_s[vi[:, 2]])
+        # orthogonalize against the shading normal
+        s_perp = s_interp - jnp.sum(s_interp * ns, axis=-1, keepdims=True) * ns
+        s_len = jnp.linalg.norm(s_perp, axis=-1, keepdims=True)
+        s_ok = has_s & is_tri & (s_len[:, 0] > 1e-6)
+        from tpurt.render.sampling_warps import build_onb
+
+        t_def, _ = build_onb(ns)
+        ss = jnp.where((s_ok & valid)[:, None], s_perp / jnp.maximum(s_len, F32_EPS),
+                       t_def)
     return SurfaceInteraction(
         p=jnp.where(safe, p, 0.0),
         ng=jnp.where(safe, ng, up),
@@ -165,6 +189,7 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d) -> SurfaceInteracti
         arealight_id=jnp.where(valid, geo.arealight_id[prim], -1),
         prim=hit.prim,
         valid=valid,
+        ss=ss,
     )
 
 

@@ -185,6 +185,34 @@ def _disney(tp: TextureParams) -> MaterialRecord:
     return MaterialRecord("disney", slots)
 
 
+def _hair(tp: TextureParams) -> MaterialRecord:
+    """Hair material (materials/hair.cpp CreateHairMaterial :169-226):
+    sigma_a wins over color wins over eumelanin/pheomelanin; default is
+    SigmaAFromConcentration(1.3, 0) brown.  Resolution to the final
+    sigma_a happens at table build (it needs beta_n)."""
+    slots = {}
+    for key, getter in (("sigma_a", tp.get_spectrum_texture_or_none),
+                        ("color", tp.get_spectrum_texture_or_none),
+                        ("eumelanin", tp.get_float_texture_or_none),
+                        ("pheomelanin", tp.get_float_texture_or_none)):
+        v = getter(key)
+        if v is not None:
+            slots[key] = v
+    order = ["sigma_a", "color", "eumelanin", "pheomelanin"]
+    present = [k for k in order if k in slots]
+    if len(present) > 1 and present[0] in ("sigma_a", "color"):
+        for k in present[1:]:
+            log.warning('hair: ignoring "%s" since "%s" was provided',
+                        k, present[0])
+            del slots[k]
+    slots["eta"] = tp.get_float_texture("eta", 1.55)
+    slots["beta_m"] = tp.get_float_texture("beta_m", 0.3)
+    slots["beta_n"] = tp.get_float_texture("beta_n", 0.3)
+    slots["alpha"] = tp.get_float_texture("alpha", 2.0)
+    _common_bump(tp, slots)
+    return MaterialRecord("hair", slots)
+
+
 def _fourier(tp: TextureParams) -> MaterialRecord:
     slots = {"bsdffile": ("constant", tp.find_string("bsdffile", ""))}
     _common_bump(tp, slots)
@@ -204,4 +232,5 @@ _FACTORIES = {
     "mix": _mix,
     "fourier": _fourier,
     "disney": _disney,
+    "hair": _hair,
 }

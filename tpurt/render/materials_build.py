@@ -53,6 +53,10 @@ class MaterialTable:
     textured: List[Tuple[int, str]]  # (mat_index, slot) needing texture eval
     mix: np.ndarray = None  # (M, 2) int32 sub-material rows for mix
     has_mix: bool = False
+    # hair columns [sigma_a rgb, eta, beta_m, beta_n, alpha] (hair.cpp
+    # CreateHairMaterial defaults); rows for non-hair materials are zero
+    hair: np.ndarray = None  # (M, 7) f32
+    has_hair: bool = False
 
     def n(self) -> int:
         return len(self.kinds)
@@ -69,14 +73,15 @@ MAT_SUBSTRATE = 7
 MAT_TRANSLUCENT = 8
 MAT_DISNEY = 9
 MAT_MIX = 10
+MAT_HAIR = 11
 _KIND_CODES = {
     "matte": MAT_MATTE, "plastic": MAT_PLASTIC, "mirror": MAT_MIRROR,
     "glass": MAT_GLASS, "metal": MAT_METAL, "uber": MAT_UBER,
     "substrate": MAT_SUBSTRATE, "translucent": MAT_TRANSLUCENT,
-    "disney": MAT_DISNEY, "mix": MAT_MIX,
+    "disney": MAT_DISNEY, "mix": MAT_MIX, "hair": MAT_HAIR,
     # not yet shaded natively; mapped to nearest supported kind
     "fourier": MAT_MATTE,
-    "subsurface": MAT_GLASS, "kdsubsurface": MAT_MATTE, "hair": MAT_MATTE,
+    "subsurface": MAT_GLASS, "kdsubsurface": MAT_MATTE,
     "metal_": MAT_METAL,
 }
 
@@ -120,6 +125,7 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
     table = np.zeros((max(m, 1), _N_COLS), np.float32)
     k3 = np.zeros((max(m, 1), 3), np.float32)
     kinds = np.zeros(max(m, 1), np.int32)
+    hair = np.zeros((max(m, 1), 7), np.float32)
     mix = np.full((max(m, 1), 2), -1, np.int32)
     for i, (s1, s2) in mix_pairs.items():
         mix[i] = (s1, s2)
@@ -202,6 +208,47 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
             table[i, C_FRESNEL] = FRESNEL_DISNEY
         else:
             table[i, C_FRESNEL] = FRESNEL_DIELECTRIC
+        if kind == MAT_HAIR:
+            # resolve sigma_a per CreateHairMaterial precedence
+            # (hair.cpp:151-166); textured hair params fall back to their
+            # constant defaults with a warning
+            from tpurt.render.hair import (
+                sigma_a_from_concentration,
+                sigma_a_from_reflectance,
+            )
+
+            def hconst(key, default):
+                v = _const(s.get(key), None)
+                if v is None and key in s:
+                    log.warning('hair: textured "%s" not supported; '
+                                'using default %g', key, default)
+                if v is None:
+                    return None
+                return np.asarray(v, np.float64)
+
+            bn = hconst("beta_n", 0.3)
+            bn = 0.3 if bn is None else float(bn.reshape(-1)[0])
+            sa = hconst("sigma_a", 0.0)
+            if sa is not None:
+                sa = np.clip(sa * np.ones(3), 0.0, None)
+            elif hconst("color", 0.0) is not None:
+                sa = sigma_a_from_reflectance(
+                    np.clip(hconst("color", 0.0) * np.ones(3), 0.0, 1.0), bn)
+            elif "eumelanin" in s or "pheomelanin" in s:
+                ce = hconst("eumelanin", 0.0)
+                cp = hconst("pheomelanin", 0.0)
+                sa = sigma_a_from_concentration(
+                    max(0.0, 0.0 if ce is None else float(ce)),
+                    max(0.0, 0.0 if cp is None else float(cp)))
+            else:
+                sa = sigma_a_from_concentration(1.3, 0.0)
+            for key, col, default in (("eta", 3, 1.55), ("beta_m", 4, 0.3),
+                                      ("alpha", 6, 2.0)):
+                v = hconst(key, default)
+                hair[i, col] = default if v is None else float(v.reshape(-1)[0])
+            hair[i, 0:3] = sa
+            hair[i, 5] = bn
+
         if kind == MAT_METAL and "roughness" in s and _const(s["roughness"], None) is None:
             pass  # textured roughness recorded above
         if kind == MAT_METAL:
@@ -212,7 +259,8 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
         log.info("materials with textured slots: %s", textured)
     return MaterialTable(table=table, k3=k3, kinds=kinds,
                          records=list(materials), textured=textured,
-                         mix=mix, has_mix=bool(mix_pairs))
+                         mix=mix, has_mix=bool(mix_pairs),
+                         hair=hair, has_hair=bool((kinds == MAT_HAIR).any()))
 
 
 class MaterialIndexer:

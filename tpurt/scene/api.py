@@ -251,16 +251,37 @@ class PbrtAPI:
         sig_s = params.find_one_spectrum("sigma_s", _np.array([2.55, 3.21, 3.77]))
         scale = params.find_one_float("scale", 1.0)
         g = params.find_one_float("g", 0.0)
+        density = None
+        w2m = None
         if kind in ("heterogeneous", "grid"):
             dens = params.find_float_array("density")
-            mean_d = float(_np.mean(dens)) if dens is not None else 1.0
-            log.warning('grid medium "%s" homogenized to its mean density '
-                        '%.4g (ratio-tracked grids: later round)', name, mean_d)
-            scale = scale * mean_d
+            nx = params.find_one_int("nx", 1)
+            ny = params.find_one_int("ny", 1)
+            nz = params.find_one_int("nz", 1)
+            if dens is None or len(dens) != nx * ny * nz:
+                log.error('grid medium "%s": density count != nx*ny*nz; '
+                          'treating as homogeneous', name)
+            else:
+                density = _np.asarray(dens, _np.float32).reshape(nz, ny, nx)
+                # medium-to-world = CTM * Translate(p0) * Scale(p1-p0)
+                # (api.cpp MakeMedium: data2Medium, api.cpp:711-721)
+                from tpurt.geom.transform import scale as _scale
+                from tpurt.geom.transform import translate as _translate
+                p0 = params.find_one_point3("p0", _np.zeros(3))
+                p1 = params.find_one_point3("p1", _np.ones(3))
+                m2w = (self.cur_transform.t[0] * _translate(p0)
+                       * _scale(*(p1 - p0)))
+                w2m = m2w.inverse().m.astype(_np.float32)
+                st = sig_a * scale + sig_s * scale
+                if not _np.allclose(st, st[0], rtol=1e-5):
+                    log.warning('grid medium "%s": GridDensityMedium needs '
+                                'spectrally uniform attenuation (grid.h '
+                                'ctor CHECK); using channel 0', name)
         elif kind != "homogeneous":
             log.warning('medium type "%s" unknown; treating as homogeneous', kind)
         self.render.media[name] = MediumRecord(
-            name=name, sigma_a=sig_a * scale, sigma_s=sig_s * scale, g=g)
+            name=name, sigma_a=sig_a * scale, sigma_s=sig_s * scale, g=g,
+            density=density, world_to_medium=w2m)
 
     def medium_interface(self, inside: str, outside: str) -> None:
         self._verify_initialized("MediumInterface")

@@ -292,6 +292,19 @@ class TextureParams:
             return ("constant", self.mat.find_one_float(name, default))
         return ("constant", float(default))
 
+    def get_spectrum_texture_or_none(self, name: str):
+        tex_name = self._tex_name(name)
+        if tex_name:
+            if tex_name in self.spectrum_textures:
+                return ("texture", self.spectrum_textures[tex_name])
+            log.error('couldn\'t find spectrum texture named "%s"', tex_name)
+            return None
+        if name in self.geom and self.geom.declared_type(name) != "texture":
+            return ("constant", self.geom.find_one_spectrum(name, 0.0))
+        if name in self.mat and self.mat.declared_type(name) != "texture":
+            return ("constant", self.mat.find_one_spectrum(name, 0.0))
+        return None
+
     def get_float_texture_or_none(self, name: str):
         tex_name = self._tex_name(name)
         if tex_name:

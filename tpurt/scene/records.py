@@ -90,14 +90,16 @@ class LightRecord:
 
 @dataclasses.dataclass
 class MediumRecord:
-    """Participating medium (media/homogeneous.cpp defaults; grid media
-    currently homogenized to their mean density with a warning)."""
+    """Participating medium (media/homogeneous.cpp, media/grid.cpp)."""
 
     name: str
     sigma_a: np.ndarray  # (3,) absorption (already scaled)
     sigma_s: np.ndarray  # (3,) scattering
     g: float = 0.0  # Henyey-Greenstein asymmetry
     index: int = -1
+    # grid media (GridDensityMedium): density lattice + medium transform
+    density: Optional[np.ndarray] = None  # (nz, ny, nx) f32
+    world_to_medium: Optional[np.ndarray] = None  # (4,4)
 
 
 @dataclasses.dataclass
