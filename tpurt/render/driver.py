@@ -189,6 +189,28 @@ def build_job(sd: SceneDescription, quick: bool = False,
         mt_hair=jnp.asarray(mt.hair) if mt.has_hair else None,
         has_hair=mt.has_hair,
         has_tangents=bool((geo_h.flags & FLAG_HAS_TANGENTS).any()),
+        mt_bss=jnp.asarray(mt.bss) if mt.has_bssrdf else None,
+        mt_bss_tix=jnp.asarray(mt.bss_tix) if mt.has_bssrdf else None,
+        bss_rho=(jnp.asarray(np.stack([t.rho_samples for t in mt.bss_tables])
+                             .astype(np.float32)) if mt.has_bssrdf else None),
+        bss_radius=(jnp.asarray(
+            np.stack([t.radius_samples for t in mt.bss_tables])
+            .astype(np.float32)) if mt.has_bssrdf else None),
+        bss_profile=(jnp.asarray(np.stack([t.profile for t in mt.bss_tables])
+                                 .astype(np.float32))
+                     if mt.has_bssrdf else None),
+        bss_rhoeff=(jnp.asarray(np.stack([t.rho_eff for t in mt.bss_tables])
+                                .astype(np.float32))
+                    if mt.has_bssrdf else None),
+        bss_cdf=(jnp.asarray(np.stack([t.profile_cdf for t in mt.bss_tables])
+                             .astype(np.float32)) if mt.has_bssrdf else None),
+        has_bssrdf=mt.has_bssrdf,
+        n_bss_tables=len(mt.bss_tables or []),
+        fr_tables=tuple(mt.fourier_tables or []),
+        mt_fourier_tix=(jnp.asarray(mt.fourier_tix)
+                        if mt.has_fourier else None),
+        fr_etas=tuple(mt.fourier_etas or []),
+        has_fourier=mt.has_fourier,
         med_sigma_t=jnp.asarray(sig_t),
         med_sigma_s=jnp.asarray(sig_s),
         med_g=jnp.asarray(g_arr),

@@ -98,6 +98,23 @@ class SceneData(NamedTuple):
     mt_hair: jnp.ndarray = None  # (M,7)
     has_hair: bool = False
     has_tangents: bool = False  # any mesh carries shading tangents
+    # tabulated BSSRDF (core/bssrdf.cpp): per-material [sigma_t rgb,
+    # rho rgb, eta] + diffusion-table index; tables stacked on axis 0
+    mt_bss: jnp.ndarray = None  # (M,7)
+    mt_bss_tix: jnp.ndarray = None  # (M,) i32, -1 = none
+    bss_rho: jnp.ndarray = None  # (T,R) albedo nodes
+    bss_radius: jnp.ndarray = None  # (T,S) optical radius nodes
+    bss_profile: jnp.ndarray = None  # (T,R,S)
+    bss_rhoeff: jnp.ndarray = None  # (T,R)
+    bss_cdf: jnp.ndarray = None  # (T,R,S)
+    has_bssrdf: bool = False
+    n_bss_tables: int = 0
+    # fourier tabulated BSDFs: baked tables (tuple of FourierTableDev
+    # pytrees) + per-material table index
+    fr_tables: tuple = ()
+    mt_fourier_tix: jnp.ndarray = None  # (M,) i32, -1 = none
+    fr_etas: tuple = ()  # static per-table eta
+    has_fourier: bool = False
 
 
 from tpurt.pytrees import register_static_pytree  # noqa: E402
@@ -107,6 +124,8 @@ register_static_pytree(SceneData, [
     "med_sigma_t", "med_sigma_s", "med_g",
     "med_density", "med_grid_off", "med_grid_dims", "med_w2m",
     "med_inv_maxd", "med_is_grid", "mt_hair",
+    "mt_bss", "mt_bss_tix", "bss_rho", "bss_radius", "bss_profile",
+    "bss_rhoeff", "bss_cdf", "fr_tables", "mt_fourier_tix",
 ])
 
 
@@ -196,8 +215,31 @@ def _hair_ctx(scene: SceneData, si: SurfaceInteraction):
     return is_hair, hp
 
 
+def _fourier_ctx(scene: SceneData, si: SurfaceInteraction):
+    """(is_fourier, table_idx) for fourier-material lanes, or None (static
+    for non-fourier scenes)."""
+    if not scene.has_fourier:
+        return None
+    idx = jnp.maximum(si.material_id, 0)
+    tix = jnp.where(si.material_id >= 0, scene.mt_fourier_tix[idx], -1)
+    return (tix >= 0) & si.valid, tix
+
+
+def _fourier_f_pdf_multi(scene: SceneData, tix, wo_l, wi_l):
+    from tpurt.render.fourier import fourier_f, fourier_pdf
+
+    f = jnp.zeros((wo_l.shape[0], 3), jnp.float32)
+    pdf = jnp.zeros(wo_l.shape[0], jnp.float32)
+    for k, tbl in enumerate(scene.fr_tables):
+        m = tix == k
+        f = jnp.where(m[:, None], fourier_f(tbl, scene.fr_etas[k], wo_l, wi_l),
+                      f)
+        pdf = jnp.where(m, fourier_pdf(tbl, wo_l, wi_l), pdf)
+    return f, pdf
+
+
 def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
-         strategy: str, alive, hair_ctx=None):
+         strategy: str, alive, hair_ctx=None, fourier_ctx=None):
     """Next-event estimation: one light sample with MIS weighting
     (UniformSampleOneLight + the light half of EstimateDirect)."""
     lt = scene.lights
@@ -217,6 +259,12 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
         f = jnp.where(is_hair[:, None], hf, f)
         scatter_pdf = jnp.where(is_hair, hair_pdf(hp, wo_l, wi_l),
                                 scatter_pdf)
+    if fourier_ctx is not None:
+        is_f, ftix = fourier_ctx
+        ff, fpdf = _fourier_f_pdf_multi(scene, ftix, wo_l, wi_l)
+        f = jnp.where(is_f[:, None],
+                      ff * jnp.abs(dot(ls.wi, si.ns))[:, None], f)
+        scatter_pdf = jnp.where(is_f, fpdf, scatter_pdf)
 
     usable = (alive & si.valid & (ls.pdf > 0)
               & jnp.any(ls.li > 0, axis=-1) & jnp.any(f > 0, axis=-1))
@@ -233,6 +281,181 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
                   power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
     contrib = f * ls.li * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
     return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
+
+
+from typing import NamedTuple as _NT
+
+
+class _BssTblView(_NT):
+    rho: jnp.ndarray
+    radius: jnp.ndarray
+    profile: jnp.ndarray
+    rho_eff: jnp.ndarray
+    cdf: jnp.ndarray
+
+
+def _bss_view(scene: SceneData, k: int) -> _BssTblView:
+    return _BssTblView(scene.bss_rho[k], scene.bss_radius[k],
+                       scene.bss_profile[k], scene.bss_rhoeff[k],
+                       scene.bss_cdf[k])
+
+
+def _bss_sample_sr_multi(scene, tix, sig_ch, rho_ch, u):
+    from tpurt.render.bssrdf import bss_sample_sr
+
+    out = jnp.full_like(u, -1.0)
+    for k in range(scene.n_bss_tables):
+        out = jnp.where(tix == k,
+                        bss_sample_sr(_bss_view(scene, k), sig_ch, rho_ch, u),
+                        out)
+    return out
+
+
+def _bss_pdf_sr_multi(scene, tix, sig_ch, rho_ch, r):
+    from tpurt.render.bssrdf import bss_pdf_sr
+
+    out = jnp.zeros_like(r)
+    for k in range(scene.n_bss_tables):
+        out = jnp.where(tix == k,
+                        bss_pdf_sr(_bss_view(scene, k), sig_ch, rho_ch, r),
+                        out)
+    return out
+
+
+def _bss_sr_multi(scene, tix, sigma_t, rho3, r):
+    from tpurt.render.bssrdf import bss_sr
+
+    out = jnp.zeros_like(sigma_t)
+    for k in range(scene.n_bss_tables):
+        out = jnp.where((tix == k)[:, None],
+                        bss_sr(_bss_view(scene, k), sigma_t, rho3, r), out)
+    return out
+
+
+BSS_DIMS = 8  # extra sampler dims per bounce when the scene has BSSRDFs
+
+
+def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
+                specular, prev_pdf, prev_p, is_spec, is_trans,
+                sampler, px, py, sidx, sctx, d0, cfg):
+    """The path integrator's subsurface hop (path.cpp:153-174): after a
+    transmission sample on a BSSRDF material, importance-sample an exit
+    point with Sample_Sp's three-axis probe scheme, weight by Sp/pdf, do
+    one extra NEE through the Sw exit lobe, and continue with a
+    cosine-sampled direction.
+
+    Wavefront deviation from the reference (documented): the probe keeps
+    only the CLOSEST same-material intersection along the chord rather
+    than uniformly choosing among all of them (bssrdf.cpp:297-325), so
+    multi-sheet geometry under-counts interior sheets."""
+    from tpurt.render.bssrdf import bss_sw
+
+    n = beta.shape[0]
+    idx = jnp.maximum(si.material_id, 0)
+    tix = jnp.where(si.material_id >= 0, scene.mt_bss_tix[idx], -1)
+    # reference gate: sampled lobe carries BSDF_TRANSMISSION; for smooth
+    # subsurface the FresnelSpecular lobe carries it on both branches
+    gate = alive & (tix >= 0) & (is_trans | (is_spec & lobes.active[:, 3]))
+    row = scene.mt_bss[idx]
+    sigma_t = row[:, 0:3]
+    rho3 = row[:, 3:6]
+    eta = row[:, 6]
+
+    u1 = sampler.dim_dyn(px, py, sidx, d0 + 7, sctx)
+    u2a = sampler.dim_dyn(px, py, sidx, d0 + 8, sctx)
+    u2b = sampler.dim_dyn(px, py, sidx, d0 + 9, sctx)
+
+    # choose projection axis (Sample_Sp: 1/2 ns, 1/4 ss, 1/4 ts)
+    ns = si.ns
+    c1 = (u1 < 0.5)[:, None]
+    c2 = ((u1 >= 0.5) & (u1 < 0.75))[:, None]
+    vx = jnp.where(c1, t, jnp.where(c2, b, ns))
+    vy = jnp.where(c1, b, jnp.where(c2, ns, t))
+    vz = jnp.where(c1, ns, jnp.where(c2, t, b))
+    u1r = jnp.where(u1 < 0.5, u1 * 2,
+                    jnp.where(u1 < 0.75, (u1 - 0.5) * 4, (u1 - 0.75) * 4))
+    ch = jnp.clip((u1r * 3).astype(jnp.int32), 0, 2)
+    sig_ch = jnp.take_along_axis(sigma_t, ch[:, None], axis=-1)[:, 0]
+    rho_ch = jnp.take_along_axis(rho3, ch[:, None], axis=-1)[:, 0]
+
+    r = _bss_sample_sr_multi(scene, tix, sig_ch, rho_ch, u2a)
+    r_max = _bss_sample_sr_multi(scene, tix, sig_ch, rho_ch,
+                                 jnp.full(n, 0.999, jnp.float32))
+    ok = gate & (r >= 0) & (r < r_max) & (sig_ch > 0)
+    ell = 2.0 * jnp.sqrt(jnp.maximum(r_max * r_max - r * r, 0.0))
+    phi = 2.0 * np.pi * u2b
+    base = (si.p + r[:, None] * (vx * jnp.cos(phi)[:, None]
+                                 + vy * jnp.sin(phi)[:, None])
+            - 0.5 * ell[:, None] * vz)
+    hit = intersect_closest(scene.geo, base, vz, jnp.where(ok, ell, 0.0))
+    pi_si = compute_interaction(scene.geo, hit, base, vz,
+                                tangents=scene.has_tangents)
+    ok = ok & pi_si.valid & (pi_si.material_id == si.material_id)
+
+    # Pdf_Sp: all three axes x three channels (bssrdf.cpp:327-348)
+    dvec = si.p - pi_si.p
+    dl = to_local(t, b, ns, dvec)
+    nl = to_local(t, b, ns, pi_si.ng)
+    rproj = [jnp.sqrt(dl[:, 1] ** 2 + dl[:, 2] ** 2),
+             jnp.sqrt(dl[:, 2] ** 2 + dl[:, 0] ** 2),
+             jnp.sqrt(dl[:, 0] ** 2 + dl[:, 1] ** 2)]
+    pdf_sp = jnp.zeros(n, jnp.float32)
+    for ax, axp in ((0, 0.25), (1, 0.25), (2, 0.5)):
+        for c in range(3):
+            pdf_sp = pdf_sp + (_bss_pdf_sr_multi(
+                scene, tix, sigma_t[:, c], rho3[:, c], rproj[ax])
+                * jnp.abs(nl[:, ax]) * (axp / 3.0))
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    sp = _bss_sr_multi(scene, tix, sigma_t, rho3, dist)
+    ok = ok & (pdf_sp > 0) & jnp.any(sp > 0, axis=-1)
+    beta_b = beta * sp / jnp.maximum(pdf_sp, 1e-20)[:, None]
+
+    # extra NEE at the exit point through the Sw lobe (path.cpp:163)
+    lt = scene.lights
+    uc = sampler.dim_dyn(px, py, sidx, d0 + 10, sctx)
+    ul = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 11, sctx),
+                    sampler.dim_dyn(px, py, sidx, d0 + 12, sctx)], axis=-1)
+    lidx, pmf = choose_light(lt, uc, cfg.light_strategy, p=pi_si.p)
+    ls = sample_li(lt, lidx, pi_si.p, ul)
+    cos_wi = dot(ls.wi, pi_si.ns)
+    f_sw = bss_sw(eta, cos_wi) * eta * eta * jnp.abs(cos_wi)
+    refl_ok = dot(ls.wi, pi_si.ng) * dot(pi_si.ns, pi_si.ng) > 0
+    usable = (ok & refl_ok & (ls.pdf > 0) & (f_sw > 0)
+              & jnp.any(ls.li > 0, axis=-1))
+    o_sh = offset_ray_origin(pi_si.p, pi_si.ng, ls.wi)
+    dist_l = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
+    t_sh = jnp.where(usable, dist_l * (1.0 - SHADOW_EPS) - 2e-3
+                     * jnp.maximum(1.0, jnp.max(jnp.abs(ls.p_light), axis=-1)),
+                     0.0)
+    occ = intersect_any(scene.geo, o_sh, ls.wi, jnp.maximum(t_sh, 0.0))
+    sc_pdf = jnp.maximum(cos_wi, 0.0) / np.pi
+    w_mis = jnp.where(ls.is_delta, 1.0,
+                      power_heuristic(1.0, ls.pdf, 1.0, sc_pdf))
+    Ld = (f_sw * w_mis / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None] * ls.li
+    L = L + jnp.where((usable & ~occ)[:, None], beta_b * Ld, 0.0)
+
+    # indirect continuation: cosine-sample the Sw lobe (path.cpp:167)
+    u3a = sampler.dim_dyn(px, py, sidx, d0 + 13, sctx)
+    u3b = sampler.dim_dyn(px, py, sidx, d0 + 14, sctx)
+    from tpurt.render.sampling_warps import cosine_sample_hemisphere
+
+    wi_l = cosine_sample_hemisphere(u3a, u3b)
+    tp, bp = _shading_frame(pi_si)
+    wi_w = to_world(tp, bp, pi_si.ns, wi_l)
+    cos_c = jnp.maximum(wi_l[:, 2], 0.0)
+    ok = ok & (cos_c > 1e-7)
+    # f * |cos| / pdf with pdf = cos/pi -> Sw * eta^2 * pi
+    beta_b = beta_b * (bss_sw(eta, cos_c) * eta * eta * np.pi)[:, None]
+
+    g_ok = gate & ok
+    alive = jnp.where(gate, g_ok, alive)
+    beta = jnp.where(g_ok[:, None], beta_b, beta)
+    o = jnp.where(g_ok[:, None], offset_ray_origin(pi_si.p, pi_si.ng, wi_w), o)
+    d = jnp.where(g_ok[:, None], wi_w, d)
+    prev_pdf = jnp.where(g_ok, jnp.maximum(cos_c / np.pi, 1e-20), prev_pdf)
+    prev_p = jnp.where(g_ok[:, None], pi_si.p, prev_p)
+    specular = jnp.where(gate, False, specular)
+    return o, d, beta, L, alive, specular, prev_pdf, prev_p
 
 
 def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
@@ -319,20 +542,25 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
                             si.material_id, overrides, scene.mt_mix)
         hair_ctx = _hair_ctx(scene, si)
+        fourier_ctx = _fourier_ctx(scene, si)
         any_lobe = jnp.any(lobes.active, axis=-1)
         has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
         if hair_ctx is not None:
             any_lobe = any_lobe | hair_ctx[0]
             has_smooth = has_smooth | hair_ctx[0]
+        if fourier_ctx is not None:
+            any_lobe = any_lobe | fourier_ctx[0]
+            has_smooth = has_smooth | fourier_ctx[0]
         alive = alive & any_lobe
 
         # ---- NEE ----
-        d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE
+        d0 = CAMERA_DIMS + bounce * (DIMS_PER_BOUNCE
+                                     + (BSS_DIMS if scene.has_bssrdf else 0))
         u_choice = sampler.dim_dyn(px, py, sidx, d0, sctx)
         u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1, sctx),
                              sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)], axis=-1)
         Ld = _nee(scene, si, lobes, u_choice, u_light, cfg.light_strategy,
-                  alive & has_smooth, hair_ctx)
+                  alive & has_smooth, hair_ctx, fourier_ctx)
         L = L + beta * Ld
 
         # ---- BSDF sampling ----
@@ -352,6 +580,25 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             pdf = jnp.where(is_hair, pdf_h, pdf)
             is_spec = is_spec & ~is_hair
             is_trans = is_trans & ~is_hair
+        if fourier_ctx is not None:
+            from tpurt.render.fourier import fourier_sample
+
+            is_f, ftix = fourier_ctx
+            wi_f = jnp.zeros_like(wi_l)
+            f_f = jnp.zeros_like(f)
+            pdf_f = jnp.zeros_like(pdf)
+            for k, tbl in enumerate(scene.fr_tables):
+                mk = ftix == k
+                wi_k, fk, pk = fourier_sample(tbl, scene.fr_etas[k], wo_l,
+                                              u1, u2)
+                wi_f = jnp.where(mk[:, None], wi_k, wi_f)
+                f_f = jnp.where(mk[:, None], fk, f_f)
+                pdf_f = jnp.where(mk, pk, pdf_f)
+            wi_l = jnp.where(is_f[:, None], wi_f, wi_l)
+            f = jnp.where(is_f[:, None], f_f, f)
+            pdf = jnp.where(is_f, pdf_f, pdf)
+            is_spec = is_spec & ~is_f
+            is_trans = jnp.where(is_f, wi_l[:, 2] * wo_l[:, 2] < 0, is_trans)
         wi = to_world(t, b, si.ns, wi_l)
 
         ok = alive & (pdf > 0) & jnp.any(f > 0, axis=-1)
@@ -371,6 +618,13 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         prev_p = si.p
         o = offset_ray_origin(si.p, si.ng, wi)
         d = wi
+
+        # ---- subsurface hop (path.cpp:153-174) ----
+        if scene.has_bssrdf and not specular_only:
+            (o, d, beta, L, alive, specular, prev_pdf, prev_p) = _bssrdf_hop(
+                scene, si, lobes, t, b, o, d, beta, L, alive, specular,
+                prev_pdf, prev_p, is_spec, is_trans,
+                sampler, px, py, sidx, sctx, d0, cfg)
 
         # ---- Russian roulette (path.cpp: bounces > 3) ----
         u_rr = sampler.dim_dyn(px, py, sidx, d0 + 6, sctx)

@@ -185,6 +185,60 @@ def _disney(tp: TextureParams) -> MaterialRecord:
     return MaterialRecord("disney", slots)
 
 
+def _subsurface(tp: TextureParams) -> MaterialRecord:
+    """Subsurface material (materials/subsurface.cpp
+    CreateSubsurfaceMaterial): glass-like surface BSDF + a tabulated
+    BSSRDF from (sigma_a, sigma_s) or a named measured preset."""
+    import numpy as np
+
+    from tpurt.render.bssrdf import get_medium_scattering_properties
+
+    sig_a_d = np.array([0.0011, 0.0024, 0.014])
+    sig_s_d = np.array([2.55, 3.21, 3.77])
+    g = tp.find_float("g", 0.0)
+    preset = tp.find_string("name", "")
+    props = get_medium_scattering_properties(preset) if preset else None
+    if preset and props is None:
+        log.warning('named scattering preset "%s" not found, using defaults',
+                    preset)
+    if props is not None:
+        sig_a_d, sig_s_d = props
+        g = 0.0  # preset sigma_s values are already reduced (subsurface.cpp)
+    slots = {
+        "sigma_a": tp.get_spectrum_texture("sigma_a", sig_a_d),
+        "sigma_s": tp.get_spectrum_texture("sigma_s", sig_s_d),
+        "scale": ("constant", tp.find_float("scale", 1.0)),
+        "g": ("constant", g),
+        "eta": tp.get_float_texture("eta", 1.33),
+        "Kr": tp.get_spectrum_texture("Kr", 1.0),
+        "Kt": tp.get_spectrum_texture("Kt", 1.0),
+        "uroughness": tp.get_float_texture("uroughness", 0.0),
+        "vroughness": tp.get_float_texture("vroughness", 0.0),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("subsurface", slots)
+
+
+def _kdsubsurface(tp: TextureParams) -> MaterialRecord:
+    """kdsubsurface (materials/kdsubsurface.cpp): diffuse-reflectance +
+    mean-free-path parameterization, inverted to (sigma_a, sigma_s) via
+    SubsurfaceFromDiffuse at table build."""
+    slots = {
+        "Kd": tp.get_spectrum_texture("Kd", 0.5),
+        "mfp": tp.get_float_texture("mfp", 1.0),
+        "eta": tp.get_float_texture("eta", 1.33),
+        "Kr": tp.get_spectrum_texture("Kr", 1.0),
+        "Kt": tp.get_spectrum_texture("Kt", 1.0),
+        "uroughness": tp.get_float_texture("uroughness", 0.0),
+        "vroughness": tp.get_float_texture("vroughness", 0.0),
+        "remaproughness": ("constant", tp.find_bool("remaproughness", True)),
+        "g": ("constant", 0.0),
+    }
+    _common_bump(tp, slots)
+    return MaterialRecord("kdsubsurface", slots)
+
+
 def _hair(tp: TextureParams) -> MaterialRecord:
     """Hair material (materials/hair.cpp CreateHairMaterial :169-226):
     sigma_a wins over color wins over eumelanin/pheomelanin; default is
@@ -214,9 +268,10 @@ def _hair(tp: TextureParams) -> MaterialRecord:
 
 
 def _fourier(tp: TextureParams) -> MaterialRecord:
+    """Fourier tabulated BSDF (materials/fourier.cpp CreateFourierMaterial);
+    the .bsdf table is read and baked at scene build."""
     slots = {"bsdffile": ("constant", tp.find_string("bsdffile", ""))}
     _common_bump(tp, slots)
-    log.warning("fourier material is parsed but not yet shaded; using matte fallback")
     return MaterialRecord("fourier", slots)
 
 
@@ -233,4 +288,6 @@ _FACTORIES = {
     "fourier": _fourier,
     "disney": _disney,
     "hair": _hair,
+    "subsurface": _subsurface,
+    "kdsubsurface": _kdsubsurface,
 }

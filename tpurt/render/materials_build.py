@@ -57,6 +57,18 @@ class MaterialTable:
     # CreateHairMaterial defaults); rows for non-hair materials are zero
     hair: np.ndarray = None  # (M, 7) f32
     has_hair: bool = False
+    # tabulated-BSSRDF columns [sigma_t rgb, rho rgb, eta] + per-row
+    # diffusion-table index (-1 = no BSSRDF); tables indexed by distinct
+    # (g, eta) pairs (core/bssrdf.cpp ComputeBeamDiffusionBSSRDF)
+    bss: np.ndarray = None  # (M, 7) f32
+    bss_tix: np.ndarray = None  # (M,) int32
+    bss_tables: list = None  # [BSSRDFTableHost]
+    has_bssrdf: bool = False
+    # fourier materials: per-row baked table index (-1 = none)
+    fourier_tix: np.ndarray = None  # (M,) int32
+    fourier_tables: list = None  # [FourierTableDev]
+    fourier_etas: list = None  # [float]
+    has_fourier: bool = False
 
     def n(self) -> int:
         return len(self.kinds)
@@ -74,14 +86,16 @@ MAT_TRANSLUCENT = 8
 MAT_DISNEY = 9
 MAT_MIX = 10
 MAT_HAIR = 11
+MAT_FOURIER = 12
 _KIND_CODES = {
     "matte": MAT_MATTE, "plastic": MAT_PLASTIC, "mirror": MAT_MIRROR,
     "glass": MAT_GLASS, "metal": MAT_METAL, "uber": MAT_UBER,
     "substrate": MAT_SUBSTRATE, "translucent": MAT_TRANSLUCENT,
     "disney": MAT_DISNEY, "mix": MAT_MIX, "hair": MAT_HAIR,
-    # not yet shaded natively; mapped to nearest supported kind
-    "fourier": MAT_MATTE,
-    "subsurface": MAT_GLASS, "kdsubsurface": MAT_MATTE,
+    # subsurface materials: glass-like surface lobes (subsurface.cpp
+    # ComputeScatteringFunctions) + the tabulated BSSRDF hop
+    "subsurface": MAT_GLASS, "kdsubsurface": MAT_GLASS,
+    "fourier": MAT_FOURIER,
     "metal_": MAT_METAL,
 }
 
@@ -126,6 +140,14 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
     k3 = np.zeros((max(m, 1), 3), np.float32)
     kinds = np.zeros(max(m, 1), np.int32)
     hair = np.zeros((max(m, 1), 7), np.float32)
+    bss = np.zeros((max(m, 1), 7), np.float32)
+    bss_tix = np.full(max(m, 1), -1, np.int32)
+    bss_tables: List = []
+    bss_keys: Dict[Tuple[float, float], int] = {}
+    fourier_tix = np.full(max(m, 1), -1, np.int32)
+    fourier_tables: List = []
+    fourier_etas: List = []
+    fourier_keys: Dict[str, int] = {}
     mix = np.full((max(m, 1), 2), -1, np.int32)
     for i, (s1, s2) in mix_pairs.items():
         mix[i] = (s1, s2)
@@ -249,6 +271,73 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
             hair[i, 0:3] = sa
             hair[i, 5] = bn
 
+        if kind == MAT_FOURIER:
+            fname = s.get("bsdffile", ("constant", ""))[1]
+            if fname in fourier_keys:
+                fourier_tix[i] = fourier_keys[fname]
+            elif fname:
+                try:
+                    from tpurt.render.fourier import (
+                        bake_fourier_table,
+                        read_bsdf_file,
+                    )
+
+                    host = read_bsdf_file(fname)
+                    fourier_keys[fname] = len(fourier_tables)
+                    fourier_tix[i] = len(fourier_tables)
+                    fourier_tables.append(bake_fourier_table(host))
+                    fourier_etas.append(host.eta)
+                except (OSError, ValueError) as e:
+                    # unreadable table -> black material, like the
+                    # reference's failed Read (fourier.cpp:206-210)
+                    log.error('fourier material: %s', e)
+            else:
+                log.error("fourier material: no bsdffile given")
+
+        if rec.name in ("subsurface", "kdsubsurface"):
+            # resolve the diffusion profile + per-channel coefficients
+            # (subsurface.cpp:55-58, kdsubsurface.cpp ComputeScattering)
+            from tpurt.render.bssrdf import (
+                compute_beam_diffusion_table,
+                subsurface_from_diffuse,
+            )
+
+            def bconst(key, default):
+                v = _const(s.get(key), None)
+                if v is None and key in s:
+                    log.warning('%s: textured "%s" not supported; using '
+                                'default', rec.name, key)
+                    return np.asarray(default, np.float64)
+                return (np.asarray(default, np.float64) if v is None
+                        else np.asarray(v, np.float64))
+
+            g_b = float(bconst("g", 0.0).reshape(-1)[0])
+            eta_b = float(bconst("eta", 1.33).reshape(-1)[0])
+            key = (round(g_b, 6), round(eta_b, 6))
+            if key not in bss_keys:
+                bss_keys[key] = len(bss_tables)
+                bss_tables.append(compute_beam_diffusion_table(g_b, eta_b))
+            tix = bss_keys[key]
+            tbl_h = bss_tables[tix]
+            if rec.name == "subsurface":
+                scale_b = float(bconst("scale", 1.0).reshape(-1)[0])
+                sig_a_b = np.clip(bconst("sigma_a",
+                                         [0.0011, 0.0024, 0.014])
+                                  * np.ones(3), 0, None) * scale_b
+                sig_s_b = np.clip(bconst("sigma_s", [2.55, 3.21, 3.77])
+                                  * np.ones(3), 0, None) * scale_b
+            else:
+                kd_b = np.clip(bconst("Kd", 0.5) * np.ones(3), 0.0, 1.0)
+                mfp_b = bconst("mfp", 1.0) * np.ones(3)
+                sig_a_b, sig_s_b = subsurface_from_diffuse(tbl_h, kd_b, mfp_b)
+            sig_t_b = sig_a_b + sig_s_b
+            rho_b = np.where(sig_t_b > 0, sig_s_b / np.maximum(sig_t_b, 1e-20),
+                             0.0)
+            bss[i, 0:3] = sig_t_b
+            bss[i, 3:6] = rho_b
+            bss[i, 6] = eta_b
+            bss_tix[i] = tix
+
         if kind == MAT_METAL and "roughness" in s and _const(s["roughness"], None) is None:
             pass  # textured roughness recorded above
         if kind == MAT_METAL:
@@ -260,7 +349,13 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
     return MaterialTable(table=table, k3=k3, kinds=kinds,
                          records=list(materials), textured=textured,
                          mix=mix, has_mix=bool(mix_pairs),
-                         hair=hair, has_hair=bool((kinds == MAT_HAIR).any()))
+                         hair=hair, has_hair=bool((kinds == MAT_HAIR).any()),
+                         bss=bss, bss_tix=bss_tix, bss_tables=bss_tables,
+                         has_bssrdf=bool(bss_tables),
+                         fourier_tix=fourier_tix,
+                         fourier_tables=fourier_tables,
+                         fourier_etas=fourier_etas,
+                         has_fourier=bool(fourier_tables))
 
 
 class MaterialIndexer:
