@@ -218,6 +218,52 @@ def test_grid_absorbing_render_attenuates():
     np.testing.assert_allclose(hot.mean(), want, rtol=0.12)
 
 
+def test_shadow_ray_walks_interfaces():
+    """A null-material smoke sphere between a lit wall and the light must
+    ATTENUATE shadow rays, not occlude them (VisibilityTester::Tr walks
+    boundaries, light.cpp:47-63).  Camera and light sit at the origin, so
+    center pixels see the wall through the sphere twice (camera chord +
+    shadow chord)."""
+    sigma = 0.4
+    tmpl = """
+    Film "image" "integer xresolution" [21] "integer yresolution" [21]
+    Sampler "random" "integer pixelsamples" [128]
+    Integrator "volpath" "integer maxdepth" [6]
+    MakeNamedMedium "smoke" "string type" "homogeneous"
+      "rgb sigma_a" [{s} {s} {s}] "rgb sigma_s" [0 0 0]
+    Camera "perspective" "float fov" [40]
+    WorldBegin
+    LightSource "point" "color I" [40 40 40] "point from" [0 0 0]
+    {blob}
+    Material "matte" "color Kd" [.6 .6 .6]
+    Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+      "point P" [-3 -3 6  3 -3 6  3 3 6  -3 3 6]
+    WorldEnd
+    """
+    blob = """
+    AttributeBegin
+      Material "none"
+      MediumInterface "smoke" ""
+      Translate 0 0 3
+      Shape "sphere" "float radius" [0.6]
+    AttributeEnd
+    """
+    img_s, _ = render(load_scene_string(tmpl.format(s=sigma, blob=blob)),
+                      progress=False)
+    img_0, _ = render(load_scene_string(tmpl.format(s=sigma, blob="")),
+                      progress=False)
+    assert np.isfinite(img_s).all()
+    c = 10  # center pixel: chord = 2*0.6 through the sphere, both ways
+    ratio_c = img_s[c, c, 0] / img_0[c, c, 0]
+    want = np.exp(-sigma * 1.2) ** 2
+    # the camera leg is a survival-indicator estimator: high variance,
+    # hence the 128 spp and the loose tolerance
+    np.testing.assert_allclose(ratio_c, want, atol=0.12)
+    # corner rays miss the sphere entirely: unattenuated
+    ratio_e = img_s[0, 0, 0] / img_0[0, 0, 0]
+    np.testing.assert_allclose(ratio_e, 1.0, atol=0.05)
+
+
 def test_medium_interface_crossing():
     """A null-material sphere bounding a fog volume: rays attenuate only
     inside it."""

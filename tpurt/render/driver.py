@@ -211,6 +211,13 @@ def build_job(sd: SceneDescription, quick: bool = False,
                         if mt.has_fourier else None),
         fr_etas=tuple(mt.fourier_etas or []),
         has_fourier=mt.has_fourier,
+        # Material "none" prims carry a real table row of kind MAT_NONE
+        has_null_boundaries=bool(
+            ((geo_h.material_id >= 0)
+             & (np.asarray(mt.kinds)[np.clip(geo_h.material_id, 0,
+                                             len(mt.kinds) - 1)] == 0)
+             & ((geo_h.medium_inside >= 0)
+                | (geo_h.medium_outside >= 0))).any()),
         med_sigma_t=jnp.asarray(sig_t),
         med_sigma_s=jnp.asarray(sig_s),
         med_g=jnp.asarray(g_arr),

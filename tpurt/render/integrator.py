@@ -115,6 +115,9 @@ class SceneData(NamedTuple):
     mt_fourier_tix: jnp.ndarray = None  # (M,) i32, -1 = none
     fr_etas: tuple = ()  # static per-table eta
     has_fourier: bool = False
+    # any null-material prims with a medium interface -> shadow rays walk
+    # boundaries (VisibilityTester::Tr) instead of a single-segment Tr
+    has_null_boundaries: bool = False
 
 
 from tpurt.pytrees import register_static_pytree  # noqa: E402
@@ -888,6 +891,56 @@ def _medium_tr(scene: SceneData, med, dist, o=None, d=None, lane=None,
     return jnp.where((med >= 0)[:, None], tr, 1.0)
 
 
+_SHADOW_WALK_STEPS = 4
+
+
+def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
+                    usable):
+    """VisibilityTester::Tr (core/light.cpp:47-63): march the shadow
+    segment through null-material interface boundaries, accumulating each
+    sub-segment's medium transmittance; any real-material hit occludes.
+    Fixed _SHADOW_WALK_STEPS crossings — lanes still inside geometry
+    after that are treated as occluded (conservative).  Returns
+    (occluded, tr3)."""
+    n = o.shape[0]
+    tr = jnp.ones((n, 3), jnp.float32)
+    med = med0
+    occ = jnp.zeros(n, bool)
+    done = ~usable
+    o_cur = o
+    rem = jnp.maximum(dist, 0.0)
+    for k in range(_SHADOW_WALK_STEPS):
+        t_max = jnp.where(done, 0.0, rem)
+        hit = intersect_closest(scene.geo, o_cur, d, t_max)
+        hv = hit.prim >= 0
+        prim_c = jnp.maximum(hit.prim, 0)
+        # a "real" material blocks; Material "none" rows exist in the
+        # table with kind MAT_NONE and pass through (light.cpp:52)
+        from tpurt.render.materials_build import MAT_NONE
+
+        mat = scene.geo.material_id[prim_c]
+        blocker = (hv & (mat >= 0)
+                   & (scene.mt_kinds[jnp.maximum(mat, 0)] != MAT_NONE)
+                   & ~done)
+        seg = jnp.where(hv, hit.t, rem)
+        seg_tr = _medium_tr(scene, med, seg, o_cur, d, lane,
+                            bounce * _SHADOW_WALK_STEPS + k)
+        tr = tr * jnp.where(done[:, None], 1.0, seg_tr)
+        occ = occ | blocker
+        si_k = compute_interaction(scene.geo, hit, o_cur, d)
+        entering = dot(d, si_k.ng) < 0
+        med_next = jnp.where(entering, scene.geo.medium_inside[prim_c],
+                             scene.geo.medium_outside[prim_c])
+        crossed = hv & ~blocker & ~done
+        med = jnp.where(crossed, med_next, med)
+        o_cur = jnp.where(crossed[:, None],
+                          offset_ray_origin(si_k.p, si_k.ng, d), o_cur)
+        rem = jnp.where(crossed, jnp.maximum(rem - seg, 0.0), rem)
+        done = done | ~hv | blocker
+    occ = occ | ~done  # crossing budget exhausted
+    return occ, tr
+
+
 def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                      cfg: IntegratorConfig, crop_xy=(0, 0),
                      texture_eval=None) -> Dict[str, Any]:
@@ -944,10 +997,15 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                           * jnp.maximum(1.0,
                                         jnp.max(jnp.abs(ls.p_light), axis=-1)),
                           0.0)
-        occluded = intersect_any(scene.geo, o_sh, ls.wi,
-                                 jnp.maximum(t_max, 0.0))
-        tr = _medium_tr(scene, med, dist, o_sh, ls.wi,
-                        jnp.arange(o_sh.shape[0], dtype=jnp.uint32), bounce)
+        lane = jnp.arange(o_sh.shape[0], dtype=jnp.uint32)
+        if scene.has_null_boundaries:
+            occluded, tr = _shadow_tr_walk(scene, o_sh, ls.wi,
+                                           jnp.maximum(t_max, 0.0), med,
+                                           lane, bounce, usable)
+        else:
+            occluded = intersect_any(scene.geo, o_sh, ls.wi,
+                                     jnp.maximum(t_max, 0.0))
+            tr = _medium_tr(scene, med, dist, o_sh, ls.wi, lane, bounce)
         w = jnp.where(ls.is_delta, 1.0,
                       power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
         contrib = f * ls.li * tr * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
