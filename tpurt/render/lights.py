@@ -87,6 +87,15 @@ class LightTable(NamedTuple):
     has_infinite: bool
     env_light_row: int = -1  # row index of the envmap infinite light
     spat_res: int = 1  # voxels per axis (1 = fall back to power pmf)
+    # projection / goniometric delta lights (lights/projection.cpp,
+    # goniometric.cpp): pooled image pixels + per-light transform and
+    # projection constants
+    img_pool: jnp.ndarray = None  # (D,3) f32
+    img_off: jnp.ndarray = None  # (L,) i32 offset into img_pool
+    img_wh: jnp.ndarray = None  # (L,2) i32 (w,h); (0,0) = no image
+    w2l: jnp.ndarray = None  # (L,4,4) world-to-light
+    proj: jnp.ndarray = None  # (L,8): x0,y0,x1,y1,invTanAng,hither,cosTotal,_
+    has_lightmaps: bool = False
 
     @property
     def num(self):
@@ -101,7 +110,7 @@ register_static_pytree(LightTable, [
     "world_center",
     "env_map", "env_cond_cdf", "env_cond_int", "env_marg_cdf",
     "env_w2l", "env_l2w", "spat_cdf", "spat_pmf", "spat_lo",
-    "spat_inv_extent",
+    "spat_inv_extent", "img_pool", "img_off", "img_wh", "w2l", "proj",
 ])
 
 
@@ -118,8 +127,13 @@ def build_light_table(
     center = 0.5 * (world_lo + world_hi)
     world_radius = float(np.linalg.norm(world_hi - center)) or 1.0
 
+    w2l_rows: List = []
+    proj_rows: List = []
+    img_rows: List = []
+
     def add(kind, L, p0=(0, 0, 0), p1=(0, 0, 1), par=(0, 0, 0, 0),
-            v0=(0, 0, 0), v1=(0, 0, 0), v2=(0, 0, 0), prim=-1):
+            v0=(0, 0, 0), v1=(0, 0, 0), v2=(0, 0, 0), prim=-1,
+            w2l=None, projp=None, img=None):
         kinds.append(kind)
         Ls.append(np.asarray(L, np.float64) * np.ones(3))
         p0s.append(np.asarray(p0, np.float64))
@@ -129,6 +143,10 @@ def build_light_table(
         tv1.append(np.asarray(v1, np.float64))
         tv2.append(np.asarray(v2, np.float64))
         prim_ids.append(prim)
+        w2l_rows.append(np.eye(4, dtype=np.float32) if w2l is None else w2l)
+        proj_rows.append(np.zeros(8, np.float32) if projp is None
+                         else np.asarray(projp, np.float32))
+        img_rows.append(img)
 
     prim_to_light = np.full(geo.n_prims, -1, np.int32)
     env_img = None
@@ -188,9 +206,35 @@ def build_light_table(
         elif lr.kind in ("projection", "goniometric"):
             I = ps.find_one_spectrum("I", 1.0) * scale
             frm = l2w.apply_point([0, 0, 0])
-            log.warning('light "%s" approximated as a point light (native '
-                        'support: later round)', lr.kind)
-            add(LIGHT_POINT, I, p0=frm)
+            mapname = ps.find_one_filename("mapname", "")
+            img = None
+            if mapname:
+                try:
+                    from tpurt.io import read_image
+
+                    img = np.asarray(read_image(mapname),
+                                     np.float32)[..., :3]
+                except (OSError, ValueError) as e:
+                    log.error('%s light map "%s" unreadable: %s', lr.kind,
+                              mapname, e)
+            w2l_m = l2w.inverse().m.astype(np.float32)
+            if lr.kind == "projection":
+                # screen window + cone from the image aspect + fov
+                # (projection.cpp:59-74)
+                fov = ps.find_one_float("fov", 45.0)
+                aspect = (img.shape[1] / img.shape[0]
+                          if img is not None else 1.0)
+                if aspect > 1:
+                    x0, x1, y0, y1 = -aspect, aspect, -1.0, 1.0
+                else:
+                    x0, x1, y0, y1 = -1.0, 1.0, -1 / aspect, 1 / aspect
+                inv_tan = 1.0 / np.tan(np.deg2rad(fov) / 2)
+                cos_total = 1.0 / np.sqrt((x1 / inv_tan) ** 2
+                                          + (y1 / inv_tan) ** 2 + 1.0)
+                add(LIGHT_PROJECTION, I, p0=frm, w2l=w2l_m, img=img,
+                    projp=(x0, y0, x1, y1, inv_tan, 1e-3, cos_total, 0.0))
+            else:
+                add(LIGHT_GONIO, I, p0=frm, w2l=w2l_m, img=img)
         else:
             log.warning('light "%s" unknown', lr.kind)
 
@@ -237,12 +281,37 @@ def build_light_table(
             power[i] *= 4 * np.pi * params[i][2] ** 2 * np.pi
         elif kind_a[i] == LIGHT_INFINITE:
             power[i] *= np.pi * world_radius ** 2
+        elif kind_a[i] == LIGHT_PROJECTION:
+            # I * avg(map) * 2pi(1 - cosTotalWidth) (projection.cpp Power)
+            avg = (img_rows[i].mean() if img_rows[i] is not None else 1.0)
+            power[i] *= avg * 2 * np.pi * (1.0 - proj_rows[i][6])
+        elif kind_a[i] == LIGHT_GONIO:
+            avg = (img_rows[i].mean() if img_rows[i] is not None else 1.0)
+            power[i] *= avg * 4 * np.pi
     total = power.sum()
     pmf = (power / total) if total > 0 else np.full(n, 1.0 / n)
 
     if env_img is None:
         env_img = np.zeros((1, 1, 3), np.float32)
     cond_cdf, cond_int, marg_cdf = _build_env_distribution(env_img)
+
+    # pool projection/gonio images into one flat pixel array
+    img_off = np.zeros(n, np.int32)
+    img_wh = np.zeros((n, 2), np.int32)
+    pool_parts = []
+    off = 0
+    for i, im in enumerate(img_rows):
+        if im is None:
+            continue
+        h, w = im.shape[:2]
+        img_off[i] = off
+        img_wh[i] = (w, h)
+        pool_parts.append(im.reshape(-1, 3))
+        off += h * w
+    img_pool = (np.concatenate(pool_parts).astype(np.float32)
+                if pool_parts else np.zeros((1, 3), np.float32))
+    has_lightmaps = bool(((kind_a == LIGHT_PROJECTION)
+                          | (kind_a == LIGHT_GONIO)).any())
 
     spat = _build_spatial_distribution(
         kind_a, np.stack(p0s), power, np.asarray(world_lo),
@@ -277,6 +346,12 @@ def build_light_table(
         n_lights=n,
         has_infinite=has_infinite,
         env_light_row=env_row,
+        img_pool=jnp.asarray(img_pool),
+        img_off=jnp.asarray(img_off),
+        img_wh=jnp.asarray(img_wh),
+        w2l=jnp.asarray(np.stack(w2l_rows)),
+        proj=jnp.asarray(np.stack(proj_rows)),
+        has_lightmaps=has_lightmaps,
     )
 
 
@@ -397,6 +472,65 @@ def sample_li(lt: LightTable, idx: jnp.ndarray, ref_p: jnp.ndarray,
                         jnp.where(cos_t > cos_fall, 1.0, (delta ** 2) ** 2))
     li_spot = li_point * falloff[:, None]
 
+    # --- projection / goniometric (delta position + direction-dependent
+    # intensity; projection.cpp Projection, goniometric.h Scale) ---
+    li_pg = li_point
+    if lt.has_lightmaps:
+        w2l = lt.w2l[idx]
+        pr = lt.proj[idx]
+        w = -wi_point  # direction FROM the light
+        wl = jnp.einsum("nij,nj->ni", w2l[:, :3, :3], w)
+
+        def pool_lookup(s, t, valid):
+            wh = lt.img_wh[idx]
+            has_img = wh[:, 0] > 0
+            fx = jnp.clip(s, 0.0, 1.0) * (wh[:, 0] - 1).astype(jnp.float32)
+            fy = jnp.clip(t, 0.0, 1.0) * (wh[:, 1] - 1).astype(jnp.float32)
+            x0_ = jnp.clip(fx.astype(jnp.int32), 0,
+                           jnp.maximum(wh[:, 0] - 2, 0))
+            y0_ = jnp.clip(fy.astype(jnp.int32), 0,
+                           jnp.maximum(wh[:, 1] - 2, 0))
+            dx = fx - x0_
+            dy = fy - y0_
+            base = lt.img_off[idx]
+
+            def px(xx, yy):
+                i = base + jnp.minimum(yy, wh[:, 1] - 1) * wh[:, 0] \
+                    + jnp.minimum(xx, wh[:, 0] - 1)
+                return lt.img_pool[jnp.clip(i, 0,
+                                            lt.img_pool.shape[0] - 1)]
+
+            v = ((1 - dx)[:, None] * ((1 - dy)[:, None] * px(x0_, y0_)
+                                      + dy[:, None] * px(x0_, y0_ + 1))
+                 + dx[:, None] * ((1 - dy)[:, None] * px(x0_ + 1, y0_)
+                                  + dy[:, None] * px(x0_ + 1, y0_ + 1)))
+            v = jnp.where(has_img[:, None], v, 1.0)
+            return jnp.where(valid[:, None], v, 0.0)
+
+        # projection: perspective-project wl onto the screen window
+        zc = jnp.maximum(wl[:, 2], 1e-12)
+        sx = wl[:, 0] * pr[:, 4] / zc
+        sy = wl[:, 1] * pr[:, 4] / zc
+        in_front = wl[:, 2] >= pr[:, 5]
+        inside = ((sx >= pr[:, 0]) & (sx <= pr[:, 2])
+                  & (sy >= pr[:, 1]) & (sy <= pr[:, 3]))
+        s_p = (sx - pr[:, 0]) / jnp.maximum(pr[:, 2] - pr[:, 0], 1e-9)
+        t_p = (sy - pr[:, 1]) / jnp.maximum(pr[:, 3] - pr[:, 1], 1e-9)
+        f_proj = pool_lookup(s_p, t_p, in_front & inside)
+
+        # goniometric: spherical lookup with the reference's y/z swap
+        wn = wl / jnp.maximum(jnp.linalg.norm(wl, axis=-1, keepdims=True),
+                              1e-12)
+        wx, wy, wz = wn[:, 0], wn[:, 2], wn[:, 1]  # swap y <-> z
+        theta = jnp.arccos(jnp.clip(wz, -1.0, 1.0))
+        phi = jnp.arctan2(wy, wx)
+        phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+        f_gonio = pool_lookup(phi / (2 * np.pi), theta / np.pi,
+                              jnp.ones_like(in_front))
+        factor = jnp.where((kind == LIGHT_PROJECTION)[:, None], f_proj,
+                           f_gonio)
+        li_pg = li_point * factor
+
     # --- distant ---
     wi_dist = p0
     p_dist = ref_p + wi_dist * (2.0 * wr)
@@ -469,23 +603,27 @@ def sample_li(lt: LightTable, idx: jnp.ndarray, ref_p: jnp.ndarray,
     def sel(k):
         return (kind == k)[:, None]
 
-    wi = jnp.where(sel(LIGHT_POINT) | sel(LIGHT_SPOT), wi_point,
+    pg = sel(LIGHT_PROJECTION) | sel(LIGHT_GONIO)
+    wi = jnp.where(sel(LIGHT_POINT) | sel(LIGHT_SPOT) | pg, wi_point,
          jnp.where(sel(LIGHT_DISTANT), wi_dist,
          jnp.where(sel(LIGHT_AREA_TRI), wi_tri,
          jnp.where(sel(LIGHT_AREA_SPHERE), wi_sphere, wi_inf))))
     li = jnp.where(sel(LIGHT_POINT), li_point,
          jnp.where(sel(LIGHT_SPOT), li_spot,
+         jnp.where(pg, li_pg,
          jnp.where(sel(LIGHT_DISTANT), L,
          jnp.where(sel(LIGHT_AREA_TRI), li_tri,
-         jnp.where(sel(LIGHT_AREA_SPHERE), li_sphere, li_inf)))))
+         jnp.where(sel(LIGHT_AREA_SPHERE), li_sphere, li_inf))))))
     pdf = jnp.where(kind == LIGHT_AREA_TRI, pdf_tri,
           jnp.where(kind == LIGHT_AREA_SPHERE, pdf_sphere,
           jnp.where(kind == LIGHT_INFINITE, pdf_inf, 1.0)))
-    p_light = jnp.where(sel(LIGHT_POINT) | sel(LIGHT_SPOT), p0,
+    p_light = jnp.where(sel(LIGHT_POINT) | sel(LIGHT_SPOT) | pg, p0,
               jnp.where(sel(LIGHT_DISTANT), p_dist,
               jnp.where(sel(LIGHT_AREA_TRI), p_tri,
               jnp.where(sel(LIGHT_AREA_SPHERE), p_sphere, p_inf))))
-    is_delta = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT) | (kind == LIGHT_DISTANT)
+    is_delta = ((kind == LIGHT_POINT) | (kind == LIGHT_SPOT)
+                | (kind == LIGHT_DISTANT) | (kind == LIGHT_PROJECTION)
+                | (kind == LIGHT_GONIO))
 
     return LightSample(wi=wi, li=li, pdf=pdf, p_light=p_light,
                        light_idx=idx, choice_pmf=jnp.ones_like(pdf),
