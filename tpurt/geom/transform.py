@@ -159,6 +159,41 @@ def orthographic(znear, zfar) -> Transform:
     return scale(1.0, 1.0, 1.0 / (zfar - znear)) * translate([0, 0, -znear])
 
 
+def decompose_trs(m: np.ndarray):
+    """AnimatedTransform::Decompose (transform.cpp:412+): M = T R S with
+    R extracted by polar iteration.  Returns (t (3,), q (4,) wxyz, s (3,3))."""
+    m = np.asarray(m, np.float64)
+    t = m[:3, 3].copy()
+    r = m[:3, :3].copy()
+    for _ in range(100):
+        r_next = 0.5 * (r + np.linalg.inv(r.T))
+        if np.abs(r_next - r).sum() < 1e-10:
+            r = r_next
+            break
+        r = r_next
+    s = np.linalg.inv(r) @ m[:3, :3]
+    # rotation matrix -> quaternion (quaternion.cpp Quaternion(Transform))
+    tr = np.trace(r)
+    if tr > 0:
+        w = np.sqrt(tr + 1.0) / 2
+        f = 0.25 / w
+        q = np.array([w, (r[2, 1] - r[1, 2]) * f, (r[0, 2] - r[2, 0]) * f,
+                      (r[1, 0] - r[0, 1]) * f])
+    else:
+        i = int(np.argmax([r[0, 0], r[1, 1], r[2, 2]]))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        sq = np.sqrt(max(r[i, i] - r[j, j] - r[k, k] + 1.0, 0.0))
+        qv = np.zeros(3)
+        qv[i] = 0.5 * sq
+        f = 0.5 / max(sq, 1e-12)
+        w = (r[k, j] - r[j, k]) * f
+        qv[j] = (r[j, i] + r[i, j]) * f
+        qv[k] = (r[k, i] + r[i, k]) * f
+        q = np.array([w, qv[0], qv[1], qv[2]])
+    q /= np.linalg.norm(q)
+    return t, q, s
+
+
 def from_param_matrix(values) -> Transform:
     """pbrt scene files store Transform/ConcatTransform matrices
     column-major; api.cpp transposes on read (pbrtTransform)."""

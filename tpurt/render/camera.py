@@ -78,8 +78,46 @@ class Camera(NamedTuple):
     diagonal_m: float = 0.035
     simple_weighting: bool = True
     epb0_area: float = 1.0
+    # animated camera-to-world (AnimatedTransform, transform.h:412):
+    # decomposed endpoint pair; static cameras leave animated=False
+    anim_t: jnp.ndarray = None  # (2,3) translations
+    anim_q: jnp.ndarray = None  # (2,4) rotations (w,x,y,z)
+    anim_s: jnp.ndarray = None  # (2,3,3) scale factors
+    time0: float = 0.0
+    time1: float = 1.0
+    animated: bool = False
 
-    def generate_rays(self, p_film: jnp.ndarray, p_lens: jnp.ndarray):
+    def _interp_c2w(self, time):
+        """Per-lane T-lerp / quaternion-slerp / S-lerp composition
+        (AnimatedTransform::Interpolate, transform.cpp:467-500)."""
+        dt = jnp.clip((time - self.time0)
+                      / max(self.time1 - self.time0, 1e-9), 0.0, 1.0)
+        trans = (1 - dt)[:, None] * self.anim_t[0] + dt[:, None] * self.anim_t[1]
+        s = ((1 - dt)[:, None, None] * self.anim_s[0]
+             + dt[:, None, None] * self.anim_s[1])
+        q0, q1 = self.anim_q[0], self.anim_q[1]
+        cos_t = jnp.sum(q0 * q1)
+        q1 = jnp.where(cos_t < 0, -q1, q1)
+        cos_t = jnp.abs(cos_t)
+        theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-9)
+        w0 = jnp.where(cos_t > 0.9995, 1 - dt, jnp.sin((1 - dt) * theta) / sin_t)
+        w1 = jnp.where(cos_t > 0.9995, dt, jnp.sin(dt * theta) / sin_t)
+        q = w0[:, None] * q0 + w1[:, None] * q1
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        r = jnp.stack([
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                       2 * (x * z + y * w)], -1),
+            jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                       2 * (y * z - x * w)], -1),
+            jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                       1 - 2 * (x * x + y * y)], -1),
+        ], axis=-2)  # (N,3,3)
+        return jnp.einsum("nij,njk->nik", r, s), trans
+
+    def generate_rays(self, p_film: jnp.ndarray, p_lens: jnp.ndarray,
+                      time: jnp.ndarray = None):
         """p_film: (N,2) raster-space points; p_lens: (N,2) in [0,1)^2.
         Returns (o, d, weight) with o,d (N,3) world-space; d normalized.
         Mirrors PerspectiveCamera::GenerateRay (perspective.cpp:79-93)."""
@@ -115,8 +153,13 @@ class Camera(NamedTuple):
             d = p_focus - o
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
-        o_w = _xform_point_batch(self.camera_to_world, o)
-        d_w = _xform_vector_batch(self.camera_to_world, d)
+        if self.animated and time is not None:
+            rs, trans = self._interp_c2w(time)
+            o_w = jnp.einsum("nij,nj->ni", rs, o) + trans
+            d_w = jnp.einsum("nij,nj->ni", rs, d)
+        else:
+            o_w = _xform_point_batch(self.camera_to_world, o)
+            d_w = _xform_vector_batch(self.camera_to_world, d)
         d_w = d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
         return o_w, d_w, jnp.ones(n, p_film.dtype)
 
@@ -230,7 +273,7 @@ def _trace_lenses_from_film(lens_el: tuple, o, d):
 from tpurt.pytrees import register_static_pytree  # noqa: E402
 
 register_static_pytree(Camera, ["camera_to_world", "raster_to_camera",
-                                "exit_pupil"])
+                                "exit_pupil", "anim_t", "anim_q", "anim_s"])
 
 
 def _screen_window(res_x: int, res_y: int, ps: ParamSet):
@@ -260,10 +303,20 @@ def _raster_to_screen_to_camera(camera_to_screen: xf.Transform, sw,
 
 def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
                 res_x: int, res_y: int,
-                diagonal_m: float = 0.035) -> Camera:
+                diagonal_m: float = 0.035,
+                camera_to_world_end: xf.Transform = None,
+                transform_times=(0.0, 1.0)) -> Camera:
     """MakeCamera dispatch (api.cpp :786-815) with reference defaults."""
     shutter_open = ps.find_one_float("shutteropen", 0.0)
     shutter_close = ps.find_one_float("shutterclose", 1.0)
+    anim_t = anim_q = anim_s = None
+    animated = camera_to_world_end is not None
+    if animated:
+        t0, q0, s0 = xf.decompose_trs(camera_to_world.m)
+        t1, q1, s1 = xf.decompose_trs(camera_to_world_end.m)
+        anim_t = jnp.asarray(np.stack([t0, t1]).astype(np.float32))
+        anim_q = jnp.asarray(np.stack([q0, q1]).astype(np.float32))
+        anim_s = jnp.asarray(np.stack([s0, s1]).astype(np.float32))
     lens_radius = ps.find_one_float("lensradius", 0.0)
     focal_distance = ps.find_one_float("focaldistance", 1e6)
     sw = _screen_window(res_x, res_y, ps)
@@ -332,6 +385,12 @@ def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
         diagonal_m=diagonal_m,
         simple_weighting=simple_weighting,
         epb0_area=epb0_area,
+        anim_t=anim_t,
+        anim_q=anim_q,
+        anim_s=anim_s,
+        time0=float(transform_times[0]),
+        time1=float(transform_times[1]),
+        animated=animated,
     )
 
 

@@ -239,7 +239,9 @@ def build_job(sd: SceneDescription, quick: bool = False,
     sampler = make_sampler(sd.sampler_name, sd.sampler_params, res_x, res_y,
                            quick=quick)
     camera = make_camera(sd.camera_name, sd.camera_params, sd.camera_to_world,
-                         res_x, res_y, diagonal_m=film.diagonal_m)
+                         res_x, res_y, diagonal_m=film.diagonal_m,
+                         camera_to_world_end=sd.camera_to_world_end,
+                         transform_times=sd.transform_times)
     cfg = make_integrator_config(sd)
     from tpurt.render.texeval import make_texture_eval
 

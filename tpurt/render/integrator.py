@@ -468,10 +468,14 @@ def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
     fx, fy = sampler.film_offset(px, py, sidx, sctx)
     p_film = jnp.stack([px.astype(jnp.float32) + fx,
                         py.astype(jnp.float32) + fy], axis=-1)
-    _time = sampler.dim(px, py, sidx, 2, sctx)  # consumed; animation later
+    # shutter time (camera.h:72 CameraSample; sampler consumes the dim
+    # whether or not the camera is animated, like GetCameraSample)
+    u_time = sampler.dim(px, py, sidx, 2, sctx)
+    time = (camera.shutter_open
+            + u_time * (camera.shutter_close - camera.shutter_open))
     p_lens = jnp.stack([sampler.dim(px, py, sidx, 3, sctx),
                         sampler.dim(px, py, sidx, 4, sctx)], axis=-1)
-    o, d, ray_w = camera.generate_rays(p_film, p_lens)
+    o, d, ray_w = camera.generate_rays(p_film, p_lens, time)
     p_film_crop = p_film - jnp.asarray(crop_xy, jnp.float32)
     return p_film, p_film_crop, p_lens, o, d, ray_w, sctx
 

@@ -522,6 +522,10 @@ class PbrtAPI:
             self.pushed_transforms.clear()
             self.pushed_active_bits.clear()
         self.render.camera_to_world = self.camera_to_world.t[0]
+        if self.camera_to_world.is_animated():
+            self.render.camera_to_world_end = self.camera_to_world.t[1]
+        self.render.transform_times = (self.transform_start_time,
+                                       self.transform_end_time)
         self.state = _OPTIONS_BLOCK
         self.scene = self.render
         # Reset world state like the reference's graphicsState = GraphicsState()

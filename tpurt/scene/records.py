@@ -123,6 +123,10 @@ class SceneDescription:
     camera_name: str = "perspective"
     camera_params: ParamSet = None
     camera_to_world: Transform = None
+    # animated camera (AnimatedTransform endpoints): end transform when
+    # the CTM pair differs, plus TransformTimes
+    camera_to_world_end: Transform = None
+    transform_times: Tuple[float, float] = (0.0, 1.0)
     sampler_name: str = "halton"
     sampler_params: ParamSet = None
     integrator_name: str = "path"
