@@ -99,10 +99,14 @@ def main() -> int:
 
     result["render_s"] = round(t_render, 2)
     result["compile_s"] = round(max(t_first - t_render, 0.0), 2)
-    # north-star budget: 60 s full-frame render+RPF on one chip ~= 10x a
-    # ~10 min multithreaded CPU estimate (BASELINE.md measurement pending)
+    # north-star budget: 60 s for ONE denoised frame (render+RPF) on one
+    # chip ~= 10x a ~10 min multithreaded CPU estimate (BASELINE.md).
+    # The RPF frame total (feature-capturing sampling pass + filter) IS
+    # that pipeline; without --no-rpf the plain path render above is
+    # reported separately as the Mrays/s metric, not double-counted.
     budget = 60.0 * (cam_rays / (700 * 700 * 8))
-    total = t_render + (result.get("rpf_total_s", 0.0) if not args.no_rpf else 0.0)
+    total = (result.get("rpf_total_s", 0.0) if not args.no_rpf
+             else t_render)
     result["vs_baseline"] = round(budget / max(total, 1e-9), 3)
     print(json.dumps(result))
     return 0

@@ -29,7 +29,25 @@ def main(argv=None) -> int:
                          "is device-wide on TPU)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cat", action="store_true",
+                    help="print the parsed scene as canonical pbrt "
+                         "statements and exit (pbrt --cat)")
+    ap.add_argument("--toply", action="store_true",
+                    help="like --cat, but dump big triangle meshes to PLY "
+                         "files (pbrt --toply)")
     args = ap.parse_args(argv)
+
+    if args.cat or args.toply:
+        import os
+
+        from tpurt.scene.catapi import PrintingAPI
+        from tpurt.scene.parser import parse_file
+
+        for path in args.scenes:
+            # PLY files land in the CWD like the reference's mesh_%05d.ply
+            api = PrintingAPI(to_ply=args.toply, ply_dir=".")
+            parse_file(path, api)
+        return 0
 
     if args.cpu:
         import os
