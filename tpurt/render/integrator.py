@@ -726,8 +726,11 @@ DIMS_PER_BOUNCE_VOL = 9  # + medium channel/distance dims
 
 
 def _hg_phase(cos_theta, g):
-    """Henyey-Greenstein phase function (medium.h PhaseHG)."""
-    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    """Henyey-Greenstein phase function (medium.h PhaseHG), taking the
+    cosine between the PROPAGATION direction and wi (forward scattering
+    peaks at +1 for g > 0; the reference's PhaseHG takes Dot(wo, wi)
+    with wo reversed, hence its +2g term)."""
+    denom = 1.0 + g * g - 2.0 * g * cos_theta
     return (1.0 - g * g) / (4.0 * np.pi * denom
                             * jnp.sqrt(jnp.maximum(denom, 1e-9)))
 
