@@ -218,6 +218,9 @@ def build_job(sd: SceneDescription, quick: bool = False,
                                              len(mt.kinds) - 1)] == 0)
              & ((geo_h.medium_inside >= 0)
                 | (geo_h.medium_outside >= 0))).any()),
+        has_bump=any(
+            r is not None and isinstance(r.slots.get("bumpmap"), tuple)
+            and r.slots["bumpmap"][0] == "texture" for r in mt.records),
         med_sigma_t=jnp.asarray(sig_t),
         med_sigma_s=jnp.asarray(sig_s),
         med_g=jnp.asarray(g_arr),

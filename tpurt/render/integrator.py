@@ -118,6 +118,8 @@ class SceneData(NamedTuple):
     # any null-material prims with a medium interface -> shadow rays walk
     # boundaries (VisibilityTester::Tr) instead of a single-segment Tr
     has_null_boundaries: bool = False
+    # any material carries a bump texture -> interactions compute dpdu/dpdv
+    has_bump: bool = False
 
 
 from tpurt.pytrees import register_static_pytree  # noqa: E402
@@ -507,7 +509,10 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         t_max = jnp.where(alive, INF, 0.0)
         hit = intersect_closest(scene.geo, o, d, t_max)
         si = compute_interaction(scene.geo, hit, o, d,
-                                 tangents=scene.has_tangents)
+                                 tangents=scene.has_tangents,
+                                 dpduv=scene.has_bump)
+        if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
+            si = texture_eval.bump(si)
 
         if cfg.capture_features:
             # RPF captures the GEOMETRIC normal + hit point at bounces 0/1,
@@ -1023,7 +1028,10 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         t_max = jnp.where(alive, INF, 0.0)
         hit = intersect_closest(scene.geo, o, d, t_max)
-        si = compute_interaction(scene.geo, hit, o, d)
+        si = compute_interaction(scene.geo, hit, o, d,
+                                 dpduv=scene.has_bump)
+        if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
+            si = texture_eval.bump(si)
         t_surf = jnp.where(si.valid, hit.t, INF)
 
         d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE_VOL

@@ -40,6 +40,10 @@ class SurfaceInteraction(NamedTuple):
     # shading tangent (dpdu analog): None unless the scene carries mesh
     # tangents (curves/hair); shading then aligns frames to it
     ss: jnp.ndarray = None  # (N,3) or None
+    # uv-parameterization derivatives (triangle.cpp:160-190); None unless
+    # the scene needs them (bump mapping)
+    dpdu: jnp.ndarray = None  # (N,3)
+    dpdv: jnp.ndarray = None  # (N,3)
 
 
 def _gather3(arr, idx):
@@ -47,7 +51,8 @@ def _gather3(arr, idx):
 
 
 def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
-                        tangents: bool = False) -> SurfaceInteraction:
+                        tangents: bool = False,
+                        dpduv: bool = False) -> SurfaceInteraction:
     """Build shading data for each lane from its Hit.  Invalid lanes get
     benign values (ns=+z) and valid=False.  With tangents=True (static;
     scenes whose meshes carry shading tangents, e.g. tessellated curves)
@@ -179,6 +184,31 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         t_def, _ = build_onb(ns)
         ss = jnp.where((s_ok & valid)[:, None], s_perp / jnp.maximum(s_len, F32_EPS),
                        t_def)
+    dpdu = dpdv = None
+    if dpduv:
+        # triangle uv-parameterization derivatives (triangle.cpp:160-190)
+        duv02 = jnp.where(has_uv[:, None], uv0 - uv2, duv0 - duv2)
+        duv12 = jnp.where(has_uv[:, None], uv1 - uv2, duv1 - duv2)
+        dp02 = v0 - v2
+        dp12 = v1 - v2
+        det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+        dpdu_t = (duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12) * inv[:, None]
+        dpdv_t = (-duv12[:, 0:1] * dp02 + duv02[:, 0:1] * dp12) * inv[:, None]
+        from tpurt.render.sampling_warps import build_onb as _onb
+
+        t_f, b_f = _onb(ns)
+        degen = jnp.abs(det) < 1e-9
+        dpdu_t = jnp.where(degen[:, None], t_f, dpdu_t)
+        dpdv_t = jnp.where(degen[:, None], b_f, dpdv_t)
+        # quadrics: ONB tangents scaled by the local size so bump
+        # displacement-to-size ratios stay sane (sphere dpdu ~ 2 pi r)
+        r_q = jnp.maximum(params[:, 0], 1e-3)
+        dpdu_q = t_f * (2 * np.pi * r_q)[:, None]
+        dpdv_q = b_f * (np.pi * r_q)[:, None]
+        dpdu = jnp.where(is_tri[:, None], dpdu_t, dpdu_q)
+        dpdv = jnp.where(is_tri[:, None], dpdv_t, dpdv_q)
+
     return SurfaceInteraction(
         p=jnp.where(safe, p, 0.0),
         ng=jnp.where(safe, ng, up),
@@ -190,6 +220,8 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         prim=hit.prim,
         valid=valid,
         ss=ss,
+        dpdu=dpdu,
+        dpdv=dpdv,
     )
 
 

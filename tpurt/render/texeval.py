@@ -317,13 +317,76 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
     return as_out(jnp.zeros((n,), jnp.float32))
 
 
+def make_bump_eval(mt):
+    """Material::Bump (material.cpp:50-87) as a wavefront pass: evaluate
+    the displacement texture at uv, uv+du, uv+dv and rebuild the shading
+    normal from the displaced dpdu/dpdv.  No ray differentials yet, so
+    the offsets use the reference's constant fallback (du = .0005).
+    Returns None when no material carries a bump texture."""
+    recs = []
+    for i, r in enumerate(mt.records):
+        if r is None:
+            continue
+        s = r.slots.get("bumpmap")
+        if isinstance(s, tuple) and s[0] == "texture":
+            recs.append((i, s[1]))
+    if not recs:
+        return None
+
+    def apply(si):
+        if si.dpdu is None:
+            return si
+        du = jnp.float32(5e-4)
+        ns = si.ns
+        ns_new = ns
+        for mat_idx, rec in recs:
+            disp = eval_texture(rec, si, False)
+            si_u = si._replace(uv=si.uv + jnp.asarray([5e-4, 0.0], jnp.float32),
+                               p=si.p + du * si.dpdu)
+            si_v = si._replace(uv=si.uv + jnp.asarray([0.0, 5e-4], jnp.float32),
+                               p=si.p + du * si.dpdv)
+            ud = eval_texture(rec, si_u, False)
+            vd = eval_texture(rec, si_v, False)
+            dpdu2 = si.dpdu + ((ud - disp) / du)[:, None] * ns
+            dpdv2 = si.dpdv + ((vd - disp) / du)[:, None] * ns
+            n2 = jnp.cross(dpdu2, dpdv2)
+            n2 = n2 / jnp.maximum(
+                jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-12)
+            # keep the original orientation (Faceforward in Bump)
+            flip = jnp.sum(n2 * ns, axis=-1) < 0
+            n2 = jnp.where(flip[:, None], -n2, n2)
+            m = (si.material_id == mat_idx) & si.valid
+            ns_new = jnp.where(m[:, None], n2, ns_new)
+        ss = si.ss
+        if ss is not None:
+            s_perp = ss - jnp.sum(ss * ns_new, axis=-1, keepdims=True) * ns_new
+            ss = s_perp / jnp.maximum(
+                jnp.linalg.norm(s_perp, axis=-1, keepdims=True), 1e-12)
+        return si._replace(ns=ns_new, ss=ss)
+
+    return apply
+
+
+class TexEval:
+    """Per-wavefront texture callback bundle: __call__ produces the
+    fetch_lobes overrides; .bump (optional) perturbs shading normals."""
+
+    def __init__(self, overrides_fn, bump_fn):
+        self._fn = overrides_fn
+        self.bump = bump_fn
+
+    def __call__(self, si):
+        return self._fn(si) if self._fn is not None else None
+
+
 def make_texture_eval(mt, mt_table_dev):
     """Build the per-wavefront texture-override callback for fetch_lobes.
 
     mt: MaterialTable (host).  Returns None when no material has textured
-    slots (the common case costs nothing)."""
+    slots or bump maps (the common case costs nothing)."""
+    bump = make_bump_eval(mt)
     if not mt.textured:
-        return None
+        return TexEval(None, bump) if bump is not None else None
 
     from tpurt.render.materials_build import (
         C_KD0, C_KR0, C_KS0, C_KT0, C_ROUGH, C_SIGMA,
@@ -357,4 +420,4 @@ def make_texture_eval(mt, mt_table_dev):
                                         overrides[slot])
         return overrides
 
-    return evaluate
+    return TexEval(evaluate, bump)
