@@ -43,13 +43,21 @@ SLOT_KIND = 126
 
 
 def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
-                     tri_v2: np.ndarray) -> Tuple[np.ndarray, int]:
+                     tri_v2: np.ndarray, tri_e0: np.ndarray = None,
+                     tri_e1: np.ndarray = None, tri_e2: np.ndarray = None
+                     ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Collapse ``bvh`` (binary, 1-prim leaves over triangles already in
     leaf order) into the packed wide table.
 
     Returns (table (M, 128) f32 padded to a power-of-two row count,
-    max wide-tree depth) — the depth sizes the device traversal stack.
+    delta_table_or_None, max wide-tree depth) — the depth sizes the
+    device traversal stack.  When end-transform verts are given (motion
+    blur), delta_table mirrors the leaf layout with per-slot vertex
+    DELTAS (end - start; pads 0): the traversal lerps leaf verts by the
+    ray's time with one extra gather, while interior boxes — built over
+    motion-union bounds by the caller — need no delta.
     """
+    motion = tri_e0 is not None
     m = bvh.n_nodes
     n_prims = bvh.n_prims
     right = bvh.right_child
@@ -101,6 +109,7 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
     while cap < mw:
         cap *= 2
     tab = np.zeros((cap, REC), np.float32)
+    tab_delta = np.zeros((cap, REC), np.float32) if motion else None
     # Unreferenced pad rows and missing children use NaN boxes: every
     # slab-test comparison on NaN is false, so they can never be hit
     # (+/-inf boxes would false-hit rays whose direction is negative on
@@ -123,6 +132,12 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
             rec[108:120] = prim.view(np.float32)
             rec[SLOT_KIND] = 1.0
             tab[row] = rec
+            if motion:
+                dv = np.zeros((9, LEAF_K), np.float32)
+                dv[0, :n], dv[1, :n], dv[2, :n] = (tri_e0[sl] - tri_v0[sl]).T
+                dv[3, :n], dv[4, :n], dv[5, :n] = (tri_e1[sl] - tri_v1[sl]).T
+                dv[6, :n], dv[7, :n], dv[8, :n] = (tri_e2[sl] - tri_v2[sl]).T
+                tab_delta[row, 0:108] = dv.reshape(-1)
         else:
             _, children, child_rows = r
             rec = np.zeros(REC, np.float32)
@@ -138,4 +153,4 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
             rec[48:56] = cref.view(np.float32)
             rec[SLOT_KIND] = 0.0
             tab[row] = rec
-    return tab, max_depth + 1
+    return tab, tab_delta, max_depth + 1

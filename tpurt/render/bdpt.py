@@ -272,7 +272,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     s_max_v = max_depth + 1  # light vertices
     strategy_pmf = lt.power_pmf  # bdpt default lightsamplestrategy "power"
 
-    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, _t = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
     cam_o, cam_fwd = _camera_frame(camera)
 

@@ -82,6 +82,13 @@ class GeometryArrays:
     # media interface per prim (-1 = vacuum)
     medium_inside: np.ndarray = None  # (P,) i32
     medium_outside: np.ndarray = None  # (P,) i32
+    # animated meshes (TransformedPrimitive analog): end-transform verts
+    # and normals; equal to the start arrays for static prims
+    tri_e0: np.ndarray = None  # (P, 3)
+    tri_e1: np.ndarray = None
+    tri_e2: np.ndarray = None
+    vert_ne: np.ndarray = None  # (V, 3)
+    has_motion: bool = False
 
     @property
     def n_prims(self) -> int:
@@ -131,12 +138,14 @@ def flatten_geometry(
     if medium_index is None:
         medium_index = lambda name: -1
     tri_v0, tri_v1, tri_v2, tri_vi = [], [], [], []
+    tri_e0, tri_e1, tri_e2 = [], [], []  # end-transform verts (motion)
     prim_type, mat_id, al_id, flags, quad_id = [], [], [], [], []
     med_in, med_out = [], []
-    vert_n, vert_uv, vert_s = [], [], []
+    vert_n, vert_uv, vert_s, vert_ne = [], [], [], []
     quads_w2o, quads_o2w, quads_params = [], [], []
     blo, bhi = [], []
     vert_base = 0
+    has_motion = False
 
     for prim in prims:
         m = material_index(prim.material)
@@ -163,16 +172,42 @@ def flatten_geometry(
             tri_v2.append(v2)
             tri_vi.append(I + vert_base)
             n_tri = len(I)
+            a = arealight_index(prim, None)
+            # animated mesh: end-transform verts; bounds = motion union
+            se = prim.shape_end
+            if isinstance(se, TriangleMeshRecord):
+                has_motion = True
+                Ve = se.vertices
+                e0, e1, e2 = Ve[I[:, 0]], Ve[I[:, 1]], Ve[I[:, 2]]
+                ne = (se.normals if se.normals is not None
+                      else np.zeros_like(Ve))
+                if a >= 0:
+                    import logging
+
+                    logging.getLogger("tpurt.render").warning(
+                        "area light on an animated shape samples the "
+                        "start position only")
+            else:
+                e0, e1, e2 = v0, v1, v2
+                ne = (shape.normals if shape.normals is not None
+                      else np.zeros_like(V))
+            tri_e0.append(e0)
+            tri_e1.append(e1)
+            tri_e2.append(e2)
+            vert_ne.append(ne)
             prim_type.append(np.full(n_tri, PT_TRIANGLE, np.int32))
             mat_id.append(np.full(n_tri, m, np.int32))
-            a = arealight_index(prim, None)
             al_id.append(np.full(n_tri, a, np.int32))
             flags.append(np.full(n_tri, f, np.int32))
             quad_id.append(np.full(n_tri, -1, np.int32))
             med_in.append(np.full(n_tri, mi_in, np.int32))
             med_out.append(np.full(n_tri, mi_out, np.int32))
-            blo.append(np.minimum(np.minimum(v0, v1), v2))
-            bhi.append(np.maximum(np.maximum(v0, v1), v2))
+            lo0 = np.minimum(np.minimum(v0, v1), v2)
+            hi0 = np.maximum(np.maximum(v0, v1), v2)
+            lo1 = np.minimum(np.minimum(e0, e1), e2)
+            hi1 = np.maximum(np.maximum(e0, e1), e2)
+            blo.append(np.minimum(lo0, lo1))
+            bhi.append(np.maximum(hi0, hi1))
             vert_n.append(shape.normals if shape.normals is not None
                           else np.zeros_like(V))
             vert_uv.append(shape.uvs if shape.uvs is not None
@@ -203,6 +238,9 @@ def flatten_geometry(
             tri_v0.append(np.full((1, 3), np.nan, np.float32))
             tri_v1.append(np.full((1, 3), np.nan, np.float32))
             tri_v2.append(np.full((1, 3), np.nan, np.float32))
+            tri_e0.append(np.full((1, 3), np.nan, np.float32))
+            tri_e1.append(np.full((1, 3), np.nan, np.float32))
+            tri_e2.append(np.full((1, 3), np.nan, np.float32))
             tri_vi.append(np.zeros((1, 3), np.int64))
             qlo, qhi = quadric_bounds(shape)
             blo.append(qlo[None])
@@ -221,10 +259,11 @@ def flatten_geometry(
         quad_id.append(np.array([-1], np.int32))
         med_in.append(np.array([-1], np.int32))
         med_out.append(np.array([-1], np.int32))
-        for t in (tri_v0, tri_v1, tri_v2):
+        for t in (tri_v0, tri_v1, tri_v2, tri_e0, tri_e1, tri_e2):
             t.append(np.full((1, 3), np.nan, np.float32))
         tri_vi.append(np.zeros((1, 3), np.int64))
         vert_n.append(np.zeros((1, 3), np.float32))
+        vert_ne.append(np.zeros((1, 3), np.float32))
         vert_uv.append(np.zeros((1, 2), np.float32))
         vert_s.append(np.zeros((1, 3), np.float32))
         blo.append(np.zeros((1, 3)))
@@ -242,6 +281,9 @@ def flatten_geometry(
     tri_v0 = cat(tri_v0, np.float32, (0, 3))
     tri_v1 = cat(tri_v1, np.float32, (0, 3))
     tri_v2 = cat(tri_v2, np.float32, (0, 3))
+    tri_e0 = cat(tri_e0, np.float32, (0, 3))
+    tri_e1 = cat(tri_e1, np.float32, (0, 3))
+    tri_e2 = cat(tri_e2, np.float32, (0, 3))
     tri_vi = cat(tri_vi, np.int32, (0, 3))
     blo = cat(blo, np.float64, (0, 3))
     bhi = cat(bhi, np.float64, (0, 3))
@@ -275,6 +317,9 @@ def flatten_geometry(
         tri_v0 = np.concatenate([tri_v0, np.full((1, 3), np.nan, np.float32)])
         tri_v1 = np.concatenate([tri_v1, np.full((1, 3), np.nan, np.float32)])
         tri_v2 = np.concatenate([tri_v2, np.full((1, 3), np.nan, np.float32)])
+        tri_e0 = np.concatenate([tri_e0, np.full((1, 3), np.nan, np.float32)])
+        tri_e1 = np.concatenate([tri_e1, np.full((1, 3), np.nan, np.float32)])
+        tri_e2 = np.concatenate([tri_e2, np.full((1, 3), np.nan, np.float32)])
         tri_vi = np.concatenate([tri_vi, np.zeros((1, 3), np.int32)])
         blo = np.concatenate([blo, np.zeros((1, 3))])
         bhi = np.concatenate([bhi, np.zeros((1, 3))])
@@ -304,6 +349,8 @@ def flatten_geometry(
             else np.zeros((1, 2), np.float32))
     v_s = (cat(vert_s, np.float32, (0, 3)) if vert_s
            else np.zeros((1, 3), np.float32))
+    v_ne = (cat(vert_ne, np.float32, (0, 3)) if vert_ne
+            else np.zeros((1, 3), np.float32))
     v_bucket = _bucket(len(v_n))
     # pad quadric tables with identity entries so gathers in the
     # (select-executed) quadric branch never index a zero-sized axis
@@ -336,6 +383,11 @@ def flatten_geometry(
         vert_n=pad_rows(v_n, v_bucket),
         vert_uv=pad_rows(v_uv, v_bucket),
         vert_s=pad_rows(v_s, v_bucket),
+        vert_ne=pad_rows(v_ne, v_bucket),
+        tri_e0=pad_rows(tri_e0[perm], p_bucket, np.nan),
+        tri_e1=pad_rows(tri_e1[perm], p_bucket, np.nan),
+        tri_e2=pad_rows(tri_e2[perm], p_bucket, np.nan),
+        has_motion=has_motion,
         medium_inside=pad_rows(med_in[perm], p_bucket, -1),
         medium_outside=pad_rows(med_out[perm], p_bucket, -1),
         quad_id=pad_rows(quad_idx[perm], p_bucket, -1),

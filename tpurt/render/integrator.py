@@ -244,7 +244,7 @@ def _fourier_f_pdf_multi(scene: SceneData, tix, wo_l, wi_l):
 
 
 def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
-         strategy: str, alive, hair_ctx=None, fourier_ctx=None):
+         strategy: str, alive, hair_ctx=None, fourier_ctx=None, time=None):
     """Next-event estimation: one light sample with MIS weighting
     (UniformSampleOneLight + the light half of EstimateDirect)."""
     lt = scene.lights
@@ -280,7 +280,8 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
     t_max = jnp.where(usable, dist * (1.0 - SHADOW_EPS) - 2e-3
                       * jnp.maximum(1.0, jnp.max(jnp.abs(ls.p_light), axis=-1)),
                       0.0)
-    occluded = intersect_any(scene.geo, o_sh, ls.wi, jnp.maximum(t_max, 0.0))
+    occluded = intersect_any(scene.geo, o_sh, ls.wi, jnp.maximum(t_max, 0.0),
+                             time=time)
 
     w = jnp.where(ls.is_delta, 1.0,
                   power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
@@ -479,7 +480,7 @@ def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
                         sampler.dim(px, py, sidx, 4, sctx)], axis=-1)
     o, d, ray_w = camera.generate_rays(p_film, p_lens, time)
     p_film_crop = p_film - jnp.asarray(crop_xy, jnp.float32)
-    return p_film, p_film_crop, p_lens, o, d, ray_w, sctx
+    return p_film, p_film_crop, p_lens, o, d, ray_w, sctx, time
 
 
 def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
@@ -493,7 +494,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     px, py: (N,) global pixel coords; sidx: (N,) sample numbers.
     """
     n = px.shape[0]
-    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, l_time = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
 
     inf_L, _ = _infinite_L(scene.lights)
@@ -507,10 +508,10 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
          n0, p0, n1, p1) = carry
 
         t_max = jnp.where(alive, INF, 0.0)
-        hit = intersect_closest(scene.geo, o, d, t_max)
+        hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
         si = compute_interaction(scene.geo, hit, o, d,
                                  tangents=scene.has_tangents,
-                                 dpduv=scene.has_bump)
+                                 dpduv=scene.has_bump, time=l_time)
         if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
             si = texture_eval.bump(si)
 
@@ -572,7 +573,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1, sctx),
                              sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)], axis=-1)
         Ld = _nee(scene, si, lobes, u_choice, u_light, cfg.light_strategy,
-                  alive & has_smooth, hair_ctx, fourier_ctx)
+                  alive & has_smooth, hair_ctx, fourier_ctx, time=l_time)
         L = L + beta * Ld
 
         # ---- BSDF sampling ----
@@ -689,7 +690,7 @@ def ao_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 cfg: IntegratorConfig, crop_xy=(0, 0), texture_eval=None):
     """AOIntegrator analog (integrators/ao.cpp): cosine-weighted visibility."""
     n = px.shape[0]
-    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, l_time = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
     hit = intersect_closest(scene.geo, o, d, INF)
     si = compute_interaction(scene.geo, hit, o, d)
@@ -971,7 +972,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                              crop_xy, texture_eval)
 
     n = px.shape[0]
-    p_film, p_film_crop, p_lens, o, d, ray_w, sctx = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, l_time = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
 
     inf_L, _ = _infinite_L(scene.lights)
@@ -1016,7 +1017,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                            lane, bounce, usable)
         else:
             occluded = intersect_any(scene.geo, o_sh, ls.wi,
-                                     jnp.maximum(t_max, 0.0))
+                                     jnp.maximum(t_max, 0.0), time=l_time)
             tr = _medium_tr(scene, med, dist, o_sh, ls.wi, lane, bounce)
         w = jnp.where(ls.is_delta, 1.0,
                       power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
@@ -1027,9 +1028,9 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         (o, d, beta, L, alive, specular, prev_pdf, prev_p, med) = carry
 
         t_max = jnp.where(alive, INF, 0.0)
-        hit = intersect_closest(scene.geo, o, d, t_max)
+        hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
         si = compute_interaction(scene.geo, hit, o, d,
-                                 dpduv=scene.has_bump)
+                                 dpduv=scene.has_bump, time=l_time)
         if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
             si = texture_eval.bump(si)
         t_surf = jnp.where(si.valid, hit.t, INF)

@@ -52,7 +52,8 @@ def _gather3(arr, idx):
 
 def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
                         tangents: bool = False,
-                        dpduv: bool = False) -> SurfaceInteraction:
+                        dpduv: bool = False,
+                        time=None) -> SurfaceInteraction:
     """Build shading data for each lane from its Hit.  Invalid lanes get
     benign values (ns=+z) and valid=False.  With tangents=True (static;
     scenes whose meshes carry shading tangents, e.g. tessellated curves)
@@ -68,10 +69,15 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     ptype = geo.prim_type[prim]
     is_tri = ptype == PT_TRIANGLE
 
-    # --- triangle attributes ---
+    # --- triangle attributes (lerped to the ray time for motion blur) ---
     v0 = geo.tri_v0[prim]
     v1 = geo.tri_v1[prim]
     v2 = geo.tri_v2[prim]
+    motion = time is not None and geo.tri_dv0 is not None
+    if motion:
+        v0 = v0 + time[:, None] * geo.tri_dv0[prim]
+        v1 = v1 + time[:, None] * geo.tri_dv1[prim]
+        v2 = v2 + time[:, None] * geo.tri_dv2[prim]
     b0 = hit.b0
     b1 = hit.b1
     b2 = 1.0 - b0 - b1
@@ -83,6 +89,10 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     n0 = geo.vert_n[vi[:, 0]]
     n1 = geo.vert_n[vi[:, 1]]
     n2 = geo.vert_n[vi[:, 2]]
+    if motion:
+        n0 = n0 + time[:, None] * geo.vert_dn[vi[:, 0]]
+        n1 = n1 + time[:, None] * geo.vert_dn[vi[:, 1]]
+        n2 = n2 + time[:, None] * geo.vert_dn[vi[:, 2]]
     ns_interp = b0[:, None] * n0 + b1[:, None] * n1 + b2[:, None] * n2
     ns_len = jnp.linalg.norm(ns_interp, axis=-1, keepdims=True)
     ns_ok = has_n & (ns_len[:, 0] > F32_EPS)

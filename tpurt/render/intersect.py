@@ -85,6 +85,14 @@ class DeviceGeometry(NamedTuple):
     # media interface per prim (-1 = vacuum)
     medium_inside: jnp.ndarray = None
     medium_outside: jnp.ndarray = None
+    # motion blur (animated meshes): per-leaf vertex deltas mirrored onto
+    # the wide-node layout, plus per-prim deltas for shading; None for
+    # static scenes (the check is a static pytree-structure property)
+    wnodes_delta: jnp.ndarray = None
+    tri_dv0: jnp.ndarray = None
+    tri_dv1: jnp.ndarray = None
+    tri_dv2: jnp.ndarray = None
+    vert_dn: jnp.ndarray = None
 
     n_tris: int = 0
     n_quads: int = 0
@@ -96,7 +104,13 @@ class DeviceGeometry(NamedTuple):
 
         f = jnp.asarray
         assert (g.bvh.n_prims <= 1).all(), "collapse expects 1-prim leaves"
-        wnodes, wdepth = build_wide_table(g.bvh, g.tri_v0, g.tri_v1, g.tri_v2)
+        if g.has_motion:
+            wnodes, wdelta, wdepth = build_wide_table(
+                g.bvh, g.tri_v0, g.tri_v1, g.tri_v2,
+                g.tri_e0, g.tri_e1, g.tri_e2)
+        else:
+            wnodes, wdelta, wdepth = build_wide_table(
+                g.bvh, g.tri_v0, g.tri_v1, g.tri_v2)
         # worst-case stack residency: (W-1) pushes per interior level
         need = max(8, (wdepth - 1) * (WIDTH - 1) + 2)
         sdepth = 8
@@ -125,6 +139,11 @@ class DeviceGeometry(NamedTuple):
                             else np.full(p, -1, np.int32)),
             medium_outside=f(g.medium_outside if g.medium_outside is not None
                              else np.full(p, -1, np.int32)),
+            wnodes_delta=f(wdelta) if wdelta is not None else None,
+            tri_dv0=f(g.tri_e0 - g.tri_v0) if g.has_motion else None,
+            tri_dv1=f(g.tri_e1 - g.tri_v1) if g.has_motion else None,
+            tri_dv2=f(g.tri_e2 - g.tri_v2) if g.has_motion else None,
+            vert_dn=f(g.vert_ne - g.vert_n) if g.has_motion else None,
         )
 
 
@@ -436,16 +455,20 @@ _SORT8 = (
 )
 
 
-def _tri_bundle_test(o, d, t_max, rec):
+def _tri_bundle_test(o, d, t_max, rec, drec=None, time=None):
     """Watertight test of the LEAF_K triangles fused in a leaf record.
     o, d: (N, 3); t_max: (N,); rec: (N, 128).  Returns (hit, t, b0, b1)
-    each (N, LEAF_K); NaN vertex pads never hit.
+    each (N, LEAF_K); NaN vertex pads never hit.  With drec/time (motion
+    blur) the vertices are lerped to the ray's time first.
 
     The dimension permutation is done with elementwise selects on column
     slices — take_along_axis over the minor axis scalarizes into
     cross-lane shuffles on TPU (measured ~15x traversal slowdown)."""
     K = LEAF_K
     v = [rec[:, i * K:(i + 1) * K] for i in range(9)]  # v0x..v2z, (N, K)
+    if drec is not None:
+        v = [vi + time[:, None] * drec[:, i * K:(i + 1) * K]
+             for i, vi in enumerate(v)]
     ax, ay, az = jnp.abs(d[:, 0]), jnp.abs(d[:, 1]), jnp.abs(d[:, 2])
     use2 = ((az >= ax) & (az >= ay))[:, None]  # kz=2 -> (x,y,z)
     use1 = (~use2) & ((ay >= ax))[:, None]     # kz=1 -> (z,x,y)
@@ -521,7 +544,8 @@ PHASE1_STEPS = 4
 COMPACT_FACTOR = 16
 
 
-def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool):
+def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
+                   time=None):
     """Build the traversal (cond, body) closures over a fixed ray set.
     State: (cur, sp, stack, t_best, prim_best, b0_best, b1_best) — all
     sized to o's lane count, so the same closures serve the full-width
@@ -536,6 +560,7 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool):
     indexing scalarizes on TPU)."""
     S = geo.wstack_depth
     nodes = geo.wnodes
+    nodes_delta = geo.wnodes_delta
     iota_s = jnp.arange(S, dtype=jnp.int32)[None, :]
     iota_k = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :]
 
@@ -549,7 +574,11 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool):
         is_leaf = rec[:, SLOT_KIND] > 0
 
         # --- leaf: test the fused triangle bundle, keep the closest ---
-        h, t, b0, b1 = _tri_bundle_test(o, d, t_best, rec)
+        if nodes_delta is not None and time is not None:
+            drec = jnp.take(nodes_delta, jnp.maximum(cur, 0), axis=0)
+            h, t, b0, b1 = _tri_bundle_test(o, d, t_best, rec, drec, time)
+        else:
+            h, t, b0, b1 = _tri_bundle_test(o, d, t_best, rec)
         tk = jnp.where(h, t, INF)
         t_min = jnp.min(tk, axis=1)
         kbest = jnp.argmin(tk, axis=1)
@@ -600,7 +629,8 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool):
     return cond, body
 
 
-def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
+def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
+                   time=None):
     """Wide-BVH traversal over (N,) ray lanes: PHASE1_STEPS lockstep
     steps at full width, then straggler compaction (gather the surviving
     lanes into a narrow wavefront, finish, scatter back)."""
@@ -614,7 +644,7 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
              t_max, jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
              jnp.zeros(n, jnp.float32))
 
-    cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit)
+    cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit, time)
 
     c = n // COMPACT_FACTOR
     if c < 1024:
@@ -635,7 +665,10 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool):
         # lane 0's own (identical) result, so duplicates are benign
         sub_rays = tuple(jnp.take(a, idxc, axis=0) for a in (o, d, inv_d))
         sub = tuple(jnp.take(a, idxc, axis=0) for a in state)
-        sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, any_hit)
+        sub_time = (jnp.take(time, idxc, axis=0) if time is not None
+                    else None)
+        sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, any_hit,
+                                            sub_time)
         sub = jax.lax.while_loop(sub_cond, sub_body, sub)
         return tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
 
@@ -675,17 +708,19 @@ def _quadric_pass(geo: DeviceGeometry, o, d, t, prim, b0, b1):
     return jax.lax.fori_loop(0, geo.n_quads, test_row, (t, prim, b0, b1))
 
 
-def intersect_closest(geo: DeviceGeometry, o, d, t_max) -> Hit:
+def intersect_closest(geo: DeviceGeometry, o, d, t_max, time=None) -> Hit:
     """Closest-hit intersection for a wavefront of rays.
-    o, d: (N, 3); t_max: scalar or (N,).  Returns Hit of (N,) arrays."""
+    o, d: (N, 3); t_max: scalar or (N,).  time: per-lane shutter time for
+    motion-blurred scenes (ignored for static geometry)."""
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
-    t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit=False)
+    t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit=False,
+                                     time=time)
     if geo.n_quads:
         t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1)
     return Hit(t=t, prim=jnp.where(jnp.isfinite(t), prim, -1), b0=b0, b1=b1)
 
 
-def intersect_any(geo: DeviceGeometry, o, d, t_max) -> jnp.ndarray:
+def intersect_any(geo: DeviceGeometry, o, d, t_max, time=None) -> jnp.ndarray:
     """Shadow-ray predicate: does anything lie along the ray before t_max?"""
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     occ = jnp.zeros(o.shape[:1], bool)
@@ -697,5 +732,6 @@ def intersect_any(geo: DeviceGeometry, o, d, t_max) -> jnp.ndarray:
         occ = (pq >= 0) & (tq < t_max)
         # already-occluded lanes skip the tree walk (t_max = 0)
         t_max = jnp.where(occ, 0.0, t_max)
-    _, prim, _, _ = _traverse_wide(geo, o, d, t_max, any_hit=True)
+    _, prim, _, _ = _traverse_wide(geo, o, d, t_max, any_hit=True,
+                                   time=time)
     return occ | (prim >= 0)

@@ -121,7 +121,7 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
     the visible point (first diffuse vertex, or glossy at the last
     bounce; sppm.cpp:203-214), plus one MIS emission-probe bounce."""
     n = px.shape[0]
-    _, _, _, o, d, ray_w, sctx = _camera_setup(smplr, camera, px, py, sidx,
+    _, _, _, o, d, ray_w, sctx, _t = _camera_setup(smplr, camera, px, py, sidx,
                                                (0, 0))
     inf_L, _ = _infinite_L(scene.lights)
     has_inf = scene.lights.has_infinite

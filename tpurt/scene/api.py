@@ -411,14 +411,31 @@ class PbrtAPI:
 
     def shape(self, name: str, params: ParamSet) -> None:
         self._verify_world("Shape")
-        if self.cur_transform.is_animated():
-            log.warning("animated shape transforms use the start transform only (v1)")
         obj2world = self.cur_transform.t[0]
 
         shapes = make_shapes(name, obj2world, self.graphics.reverse_orientation,
                              params)
         if not shapes:
             return
+        # animated transforms: tessellate the same shape under the END
+        # transform too (TransformedPrimitive analog; deterministic
+        # tessellation keeps the topology identical)
+        shapes_end = [None] * len(shapes)
+        if self.cur_transform.is_animated():
+            from tpurt.scene.records import TriangleMeshRecord
+
+            end = make_shapes(name, self.cur_transform.t[1],
+                              self.graphics.reverse_orientation, params)
+            if (len(end) == len(shapes)
+                    and all(isinstance(a, TriangleMeshRecord)
+                            and isinstance(b, TriangleMeshRecord)
+                            and len(a.vertices) == len(b.vertices)
+                            for a, b in zip(shapes, end))):
+                shapes_end = end
+            else:
+                log.warning('animated "%s": only triangle-mesh shapes '
+                            'support motion; using the start transform',
+                            name)
         mat = self._material_for_shape(params)
         params.report_unused(f'in Shape "{name}"')
 
@@ -444,8 +461,9 @@ class PbrtAPI:
                 transform_swaps_handedness=obj2world.swaps_handedness(),
                 medium_inside=self.graphics.current_inside_medium,
                 medium_outside=self.graphics.current_outside_medium,
+                shape_end=se,
             )
-            for s in shapes
+            for s, se in zip(shapes, shapes_end)
         ]
         if self.current_instance is not None:
             if area is not None:

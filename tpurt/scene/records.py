@@ -111,6 +111,9 @@ class PrimitiveRecord:
     transform_swaps_handedness: bool = False
     medium_inside: str = ""
     medium_outside: str = ""
+    # animated transforms (TransformedPrimitive): the same shape under
+    # the END transform; None for static prims
+    shape_end: Any = None
 
 
 
