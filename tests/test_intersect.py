@@ -234,3 +234,49 @@ def test_bvh_build_structure():
             assert (lo[prims] >= bvh.bounds_lo[i] - 1e-4).all()
             assert (hi[prims] <= bvh.bounds_hi[i] + 1e-4).all()
     assert bvh.max_depth() < 64
+
+
+def test_hyperboloid_renders_and_matches_implicit():
+    """Hyperboloid quadric (shapes/hyperboloid.cpp): device hits satisfy
+    the implicit equation ah(x^2+y^2) - ch z^2 = 1 and the silhouette is
+    visible."""
+    import numpy as np
+
+    from tpurt.render.driver import build_job
+    from tpurt.render.intersect import intersect_closest
+    from tpurt.scene import load_scene_string
+
+    scene = """
+    Film "image" "integer xresolution" [8] "integer yresolution" [8]
+    Camera "perspective" "float fov" [45]
+    WorldBegin
+    Material "matte" "color Kd" [.5 .5 .5]
+    Translate 0 0 4
+    Rotate 90 1 0 0
+    Shape "hyperboloid" "point p1" [1 0 -1] "point p2" [1.5 0 1]
+    WorldEnd
+    """
+    import jax.numpy as jnp
+
+    job = build_job(load_scene_string(scene))
+    geo = job.scene.geo
+    n = 256
+    rng = np.random.default_rng(8)
+    o = np.tile([[0.0, 0.0, 0.0]], (n, 1)).astype(np.float32)
+    dirs = np.stack([rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+                     np.ones(n)], -1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    hit = intersect_closest(geo, jnp.asarray(o), jnp.asarray(dirs.astype(np.float32)),
+                            jnp.full(n, np.inf, jnp.float32))
+    prim = np.asarray(hit.prim)
+    t = np.asarray(hit.t)
+    got = prim >= 0
+    assert got.sum() > 20, got.sum()
+    # verify the implicit equation in OBJECT space for hit lanes
+    qi = int(np.asarray(geo.quad_id)[prim[got][0]])
+    w2o = np.asarray(geo.quad_w2o)[qi]
+    ah, ch = np.asarray(geo.quad_params)[qi][6:8]
+    p_w = o[got] + t[got][:, None] * dirs[got]
+    p_o = (w2o[:3, :3] @ p_w.T).T + w2o[:3, 3]
+    f = ah * (p_o[:, 0] ** 2 + p_o[:, 1] ** 2) - ch * p_o[:, 2] ** 2
+    np.testing.assert_allclose(f, 1.0, atol=5e-3)

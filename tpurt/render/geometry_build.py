@@ -72,7 +72,8 @@ class GeometryArrays:
     quad_id: np.ndarray  # (P,) i32 index into quadric tables (-1 for tris)
     quad_w2o: np.ndarray  # (Q, 4, 4) f32
     quad_o2w: np.ndarray  # (Q, 4, 4) f32
-    quad_params: np.ndarray  # (Q, 8) f32: radius zmin zmax phimax height inner_r zmax_theta pad
+    quad_params: np.ndarray  # (Q, 16) f32: radius zmin zmax phimax height
+    # inner_r ah ch p1(xyz) p2(xyz) pad pad (slots 6+ are hyperboloid-only)
     # world bounds
     world_lo: np.ndarray
     world_hi: np.ndarray
@@ -223,10 +224,37 @@ def flatten_geometry(
             zmin, zmax = min(shape.z_min, shape.z_max), max(shape.z_min, shape.z_max)
             if shape.kind == "sphere":
                 zmin, zmax = np.clip([zmin, zmax], -r, r)
-            params = np.array([
-                r, zmin, zmax, np.deg2rad(np.clip(shape.phi_max, 0, 360)),
-                shape.height, shape.inner_radius, 0.0, 0.0,
-            ], np.float32)
+            params = np.zeros(16, np.float32)
+            params[3] = np.deg2rad(np.clip(shape.phi_max, 0, 360))
+            params[4] = shape.height
+            params[5] = shape.inner_radius
+            if shape.kind == "hyperboloid":
+                # implicit coefficients ah, ch (hyperboloid.cpp:55-67)
+                p1 = np.asarray(shape.p1, np.float64)
+                p2 = np.asarray(shape.p2, np.float64)
+                if p2[2] == 0.0:
+                    p1, p2 = p2, p1
+                pp = p1.copy()
+                ah = np.inf
+                for _ in range(64):
+                    pp = pp + 2.0 * (p2 - p1)
+                    xy1 = pp[0] ** 2 + pp[1] ** 2
+                    xy2 = p2[0] ** 2 + p2[1] ** 2
+                    den = 1 - (xy2 * pp[2] ** 2) / (xy1 * p2[2] ** 2)
+                    ah = ((1.0 / xy1 - (pp[2] ** 2) / (xy1 * p2[2] ** 2))
+                          / den if den != 0 else np.inf)
+                    if np.isfinite(ah):
+                        break
+                ch = (ah * xy2 - 1) / (p2[2] ** 2)
+                r = max(np.hypot(p1[0], p1[1]), np.hypot(p2[0], p2[1]))
+                zmin, zmax = min(p1[2], p2[2]), max(p1[2], p2[2])
+                params[6] = ah
+                params[7] = ch
+                params[8:11] = p1
+                params[11:14] = p2
+            params[0] = r
+            params[1] = zmin
+            params[2] = zmax
             quads_params.append(params)
             prim_type.append(np.array([_QUADRIC_CODES[shape.kind]], np.int32))
             mat_id.append(np.array([m], np.int32))
@@ -359,7 +387,7 @@ def flatten_geometry(
     q_o2w = (np.stack(quads_o2w) if quads_o2w
              else np.eye(4, dtype=np.float32)[None])
     q_par = (np.stack(quads_params) if quads_params
-             else np.ones((1, 8), np.float32))
+             else np.ones((1, 16), np.float32))
     q_bucket = _bucket(len(q_w2o), lo=8)
     m_bucket = _bucket(bvh.n_nodes)
     # pad BVH with unreachable leaf nodes (nothing points at them)

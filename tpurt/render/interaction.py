@@ -153,11 +153,16 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     k_par = zmax / jnp.maximum(radius * radius, F32_EPS)
     grad_par = jnp.stack([2 * k_par * p_obj[:, 0], 2 * k_par * p_obj[:, 1],
                           -jnp.ones_like(radius)], axis=-1)
-    ptype_q = ptype - 1  # 0 sphere, 1 cyl, 2 disk, 3 cone, 4 paraboloid
+    # hyperboloid: grad of ah(x^2+y^2) - ch z^2 - 1
+    ah_h, ch_h = params[:, 6], params[:, 7]
+    grad_hyp = jnp.stack([2 * ah_h * p_obj[:, 0], 2 * ah_h * p_obj[:, 1],
+                          -2 * ch_h * p_obj[:, 2]], axis=-1)
+    ptype_q = ptype - 1  # 0 sphere 1 cyl 2 disk 3 cone 4 parab 5 hyperboloid
     grad = jnp.where((ptype_q == 0)[:, None], grad_sphere,
            jnp.where((ptype_q == 1)[:, None], grad_cyl,
            jnp.where((ptype_q == 2)[:, None], grad_disk,
-           jnp.where((ptype_q == 3)[:, None], grad_cone, grad_par))))
+           jnp.where((ptype_q == 3)[:, None], grad_cone,
+           jnp.where((ptype_q == 4)[:, None], grad_par, grad_hyp)))))
     ng_quad = normalize(xn(w2o, grad))
     uv_quad = jnp.stack([hit.b0, hit.b1], axis=-1)
 

@@ -402,13 +402,46 @@ def ray_quadric(o, d, t_max, kind, w2o, params):
         v = (p[2] - zmin) / jnp.maximum(zmax - zmin, 1e-12)
         return hit, jnp.where(hit, t, INF), phi / phimax, v
 
+    def hyperboloid_case(_):
+        # ah (x^2+y^2) - ch z^2 = 1 (hyperboloid.cpp:89-93), phi measured
+        # against the z-interpolated profile point (:107-111)
+        ah, ch = params[6], params[7]
+        hp1 = params[8:11]
+        hp2 = params[11:14]
+        a = ah * (od[0] ** 2 + od[1] ** 2) - ch * od[2] ** 2
+        b = 2.0 * (ah * (od[0] * oo[0] + od[1] * oo[1]) - ch * od[2] * oo[2])
+        c = ah * (oo[0] ** 2 + oo[1] ** 2) - ch * oo[2] ** 2 - 1.0
+        has, t0, t1 = _quadratic(jnp.where(a != 0, a, 1e-20), b, c)
+
+        def test(t):
+            p = oo + t * od
+            vv = (p[2] - hp1[2]) / jnp.where(
+                jnp.abs(hp2[2] - hp1[2]) > 1e-12, hp2[2] - hp1[2], 1e-12)
+            pr = (1 - vv) * hp1 + vv * hp2
+            phi = jnp.arctan2(pr[0] * p[1] - p[0] * pr[1],
+                              p[0] * pr[0] + p[1] * pr[1])
+            phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+            ok = ((t > 1e-7) & (t < t_max) & (p[2] >= zmin) & (p[2] <= zmax)
+                  & (phi <= phimax))
+            return ok, p, phi, vv
+
+        ok0, p0, phi0, v0 = test(t0)
+        ok1, p1, phi1, v1 = test(t1)
+        use1 = ~ok0 & ok1
+        hit = has & (ok0 | ok1)
+        t = jnp.where(use1, t1, t0)
+        phi = jnp.where(use1, phi1, phi0)
+        v = jnp.where(use1, v1, v0)
+        return hit, jnp.where(hit, t, INF), phi / phimax, v
+
     def miss_case(_):
         return jnp.bool_(False), INF, jnp.float32(0), jnp.float32(0)
 
-    idx = jnp.clip(kind - PT_SPHERE, 0, 4)
+    idx = jnp.clip(kind - PT_SPHERE, 0, 5)
     return jax.lax.switch(
         idx,
-        [sphere_case, cylinder_case, disk_case, cone_case, paraboloid_case],
+        [sphere_case, cylinder_case, disk_case, cone_case, paraboloid_case,
+         hyperboloid_case],
         None,
     )
 
