@@ -135,6 +135,34 @@ def test_sigma_a_from_concentration():
                                rtol=1e-6)
 
 
+def test_hair_shades_as_matte_in_volpath():
+    """Integrators without the dedicated hair path (volpath) fall back to
+    the gray lobe mixture — hair must not render black there."""
+    from tpurt.render.driver import render
+    from tpurt.scene import load_scene_string
+
+    scene = """
+    Film "image" "integer xresolution" [24] "integer yresolution" [24]
+    Sampler "random" "integer pixelsamples" [4]
+    Integrator "volpath" "integer maxdepth" [2]
+    MakeNamedMedium "thin" "string type" "homogeneous"
+      "rgb sigma_a" [0.001 0.001 0.001] "rgb sigma_s" [0 0 0]
+    MediumInterface "" "thin"
+    Camera "perspective" "float fov" [45]
+    WorldBegin
+    LightSource "distant" "color L" [3 3 3] "point from" [0 5 0] "point to" [0 0 4]
+    Material "hair"
+    Translate 0 0 4
+    Shape "curve" "string type" "flat"
+      "point P" [-1 -0.5 0  -0.3 0.5 0  0.3 -0.5 0  1 0.5 0]
+      "float width0" [0.5] "float width1" [0.5]
+    WorldEnd
+    """
+    img, _ = render(load_scene_string(scene), progress=False)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01, img.max()
+
+
 def test_hair_render_smoke():
     """End-to-end: curves with the hair material render finite, non-black
     (materials/hair.cpp via the curve tessellation path)."""

@@ -185,6 +185,41 @@ def test_grid_tr_matches_quadrature():
     np.testing.assert_allclose(1.0 - np.asarray(scat).mean(), want, rtol=0.05)
 
 
+def test_grid_scatter_distance_distribution():
+    """Delta tracking must return the FIRST real-collision distance, not
+    keep advancing after it: for a uniform grid the scattered distances
+    follow the truncated exponential (regression for the post-update
+    done-gate bug that drifted t toward the box exit)."""
+    import jax.numpy as jnp
+
+    from tpurt.render.driver import build_job
+    from tpurt.render.integrator import _grid_sample_medium
+
+    sigma = 1.0
+    density = np.ones((2, 2, 2), np.float32)
+    sd = load_scene_string(_grid_scene_string(
+        density, (-1, -1, 0), (1, 1, 2), sigma, 0.0))
+    scene = build_job(sd).scene
+    n = 40_000
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    med = jnp.zeros(n, jnp.int32)
+    o = jnp.tile(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 1))
+    scat, t, _w = _grid_sample_medium(scene, med, lane, jnp.uint32(0), o, d,
+                                      jnp.full(n, 10.0, jnp.float32),
+                                      salt=0x77)
+    scat, t = np.asarray(scat), np.asarray(t)
+    # slab spans ray t in [1, 3]; interior (away from trilinear edge
+    # falloff) the collision pdf is sigma*exp(-sigma*(t-1))
+    ts = t[scat] - 1.0
+    inner = ts[(ts > 0.25) & (ts < 1.6)]
+    assert len(inner) > 5000
+    # conditional mean of Exp(1) truncated to [0.25, 1.6] is ~0.80
+    np.testing.assert_allclose(inner.mean(), 0.806, atol=0.05)
+    # and nothing piles up at the exit face
+    assert (ts > 1.9).mean() < 0.05
+
+
 def test_grid_absorbing_render_attenuates():
     """End-to-end: emitter seen through a uniform-density grid volume
     matches Beer-Lambert (the grid analog of the homogeneous fog test)."""

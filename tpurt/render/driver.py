@@ -34,6 +34,7 @@ RADIANCE_FNS["bdpt"] = bdpt_radiance
 from tpurt.render.intersect import DeviceGeometry
 from tpurt.render.lights import build_light_table
 from tpurt.render.materials_build import (
+    MAT_NONE,
     MaterialIndexer,
     build_material_table,
 )
@@ -215,7 +216,7 @@ def build_job(sd: SceneDescription, quick: bool = False,
         has_null_boundaries=bool(
             ((geo_h.material_id >= 0)
              & (np.asarray(mt.kinds)[np.clip(geo_h.material_id, 0,
-                                             len(mt.kinds) - 1)] == 0)
+                                             len(mt.kinds) - 1)] == MAT_NONE)
              & ((geo_h.medium_inside >= 0)
                 | (geo_h.medium_outside >= 0))).any()),
         has_bump=any(

@@ -343,7 +343,7 @@ BSS_DIMS = 8  # extra sampler dims per bounce when the scene has BSSRDFs
 
 def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
                 specular, prev_pdf, prev_p, is_spec, is_trans,
-                sampler, px, py, sidx, sctx, d0, cfg):
+                sampler, px, py, sidx, sctx, d0, cfg, time=None):
     """The path integrator's subsurface hop (path.cpp:153-174): after a
     transmission sample on a BSSRDF material, importance-sample an exit
     point with Sample_Sp's three-axis probe scheme, weight by Sp/pdf, do
@@ -393,9 +393,10 @@ def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
     base = (si.p + r[:, None] * (vx * jnp.cos(phi)[:, None]
                                  + vy * jnp.sin(phi)[:, None])
             - 0.5 * ell[:, None] * vz)
-    hit = intersect_closest(scene.geo, base, vz, jnp.where(ok, ell, 0.0))
+    hit = intersect_closest(scene.geo, base, vz, jnp.where(ok, ell, 0.0),
+                            time=time)
     pi_si = compute_interaction(scene.geo, hit, base, vz,
-                                tangents=scene.has_tangents)
+                                tangents=scene.has_tangents, time=time)
     ok = ok & pi_si.valid & (pi_si.material_id == si.material_id)
 
     # Pdf_Sp: all three axes x three channels (bssrdf.cpp:327-348)
@@ -433,7 +434,8 @@ def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
     t_sh = jnp.where(usable, dist_l * (1.0 - SHADOW_EPS) - 2e-3
                      * jnp.maximum(1.0, jnp.max(jnp.abs(ls.p_light), axis=-1)),
                      0.0)
-    occ = intersect_any(scene.geo, o_sh, ls.wi, jnp.maximum(t_sh, 0.0))
+    occ = intersect_any(scene.geo, o_sh, ls.wi, jnp.maximum(t_sh, 0.0),
+                        time=time)
     sc_pdf = jnp.maximum(cos_wi, 0.0) / np.pi
     w_mis = jnp.where(ls.is_delta, 1.0,
                       power_heuristic(1.0, ls.pdf, 1.0, sc_pdf))
@@ -637,7 +639,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             (o, d, beta, L, alive, specular, prev_pdf, prev_p) = _bssrdf_hop(
                 scene, si, lobes, t, b, o, d, beta, L, alive, specular,
                 prev_pdf, prev_p, is_spec, is_trans,
-                sampler, px, py, sidx, sctx, d0, cfg)
+                sampler, px, py, sidx, sctx, d0, cfg, time=l_time)
 
         # ---- Russian roulette (path.cpp: bounces > 3) ----
         u_rr = sampler.dim_dyn(px, py, sidx, d0 + 6, sctx)
@@ -842,9 +844,10 @@ def _grid_sample_medium(scene: SceneData, med, lane, bounce, o, d, t_surf,
         dens = _grid_density_at(scene, med_c, p)
         real = dens * inv_maxd > u2
         scattered = scattered | (~done & ~exited & real)
+        # freeze t for lanes that were ALREADY done (a scattered lane's
+        # collision distance must not keep advancing) and for exits
+        t = jnp.where(done | exited, t, t_new)
         done = done | exited | real
-        t = jnp.where(done & ~exited, jnp.minimum(t_new, t1),
-                      jnp.where(done, t, t_new))
         return t, done, scattered
 
     t, done, scattered = jax.lax.fori_loop(
@@ -908,7 +911,7 @@ _SHADOW_WALK_STEPS = 4
 
 
 def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
-                    usable):
+                    usable, time=None):
     """VisibilityTester::Tr (core/light.cpp:47-63): march the shadow
     segment through null-material interface boundaries, accumulating each
     sub-segment's medium transmittance; any real-material hit occludes.
@@ -924,7 +927,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
     rem = jnp.maximum(dist, 0.0)
     for k in range(_SHADOW_WALK_STEPS):
         t_max = jnp.where(done, 0.0, rem)
-        hit = intersect_closest(scene.geo, o_cur, d, t_max)
+        hit = intersect_closest(scene.geo, o_cur, d, t_max, time=time)
         hv = hit.prim >= 0
         prim_c = jnp.maximum(hit.prim, 0)
         # a "real" material blocks; Material "none" rows exist in the
@@ -940,7 +943,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
                             bounce * _SHADOW_WALK_STEPS + k)
         tr = tr * jnp.where(done[:, None], 1.0, seg_tr)
         occ = occ | blocker
-        si_k = compute_interaction(scene.geo, hit, o_cur, d)
+        si_k = compute_interaction(scene.geo, hit, o_cur, d, time=time)
         entering = dot(d, si_k.ng) < 0
         med_next = jnp.where(entering, scene.geo.medium_inside[prim_c],
                              scene.geo.medium_outside[prim_c])
@@ -1014,7 +1017,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         if scene.has_null_boundaries:
             occluded, tr = _shadow_tr_walk(scene, o_sh, ls.wi,
                                            jnp.maximum(t_max, 0.0), med,
-                                           lane, bounce, usable)
+                                           lane, bounce, usable, time=l_time)
         else:
             occluded = intersect_any(scene.geo, o_sh, ls.wi,
                                      jnp.maximum(t_max, 0.0), time=l_time)

@@ -230,6 +230,14 @@ def build_material_table(materials: List[Optional[MaterialRecord]]) -> MaterialT
             table[i, C_FRESNEL] = FRESNEL_DISNEY
         else:
             table[i, C_FRESNEL] = FRESNEL_DIELECTRIC
+        if kind in (MAT_HAIR, MAT_FOURIER):
+            # integrators without a dedicated hair/fourier path (volpath,
+            # bdpt, mlt, sppm) shade these rows through the lobe mixture:
+            # give them the old matte-gray fallback so they are not black
+            # (path/direct REPLACE f/pdf for these lanes, so the fallback
+            # lobe never double-counts there)
+            table[i, C_KD0:C_KD0 + 3] = 0.5
+
         if kind == MAT_HAIR:
             # resolve sigma_a per CreateHairMaterial precedence
             # (hair.cpp:151-166); textured hair params fall back to their
@@ -480,8 +488,12 @@ def _fetch_lobes_one(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
         return jnp.where((kind == code)[:, None], val, other)
 
     # map material kinds onto lobe slots
+    # hair/fourier expose their gray fallback Kd here so integrators
+    # without the dedicated paths (volpath/bdpt/mlt/sppm) shade them as
+    # matte; path/direct REPLACE f/pdf for those lanes, no double count
     lobe_kd = jnp.where(((kind == MAT_MATTE) | (kind == MAT_PLASTIC)
-                         | (kind == MAT_UBER) | (kind == MAT_SUBSTRATE))
+                         | (kind == MAT_UBER) | (kind == MAT_SUBSTRATE)
+                         | (kind == MAT_HAIR) | (kind == MAT_FOURIER))
                         [:, None], kd, z3)
     lobe_ks = jnp.where(((kind == MAT_PLASTIC) | (kind == MAT_UBER)
                          | (kind == MAT_SUBSTRATE))[:, None], ks, z3)

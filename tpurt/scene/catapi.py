@@ -19,22 +19,6 @@ from tpurt.scene.paramset import ParamSet
 _TOPLY_THRESHOLD = 500
 
 
-def _fmt_value(v) -> str:
-    if isinstance(v, bool):
-        return '"true"' if v else '"false"'
-    if isinstance(v, str):
-        if v in ("true", "false"):
-            return f'"{v}"'
-        try:
-            float(v)
-            return v
-        except ValueError:
-            return f'"{v}"'
-    if isinstance(v, float) and v == int(v):
-        return str(int(v))
-    return repr(v) if not isinstance(v, float) else "%g" % v
-
-
 def _fmt_num(v) -> str:
     try:
         f = float(v)
