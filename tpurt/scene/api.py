@@ -223,6 +223,10 @@ class PbrtAPI:
 
     def accelerator(self, name: str, params: ParamSet) -> None:
         self._verify_options("Accelerator")
+        if name not in ("bvh", ""):
+            # the reference offers bvh + kdtree (api.cpp:771-784); on TPU
+            # every scene traverses the wide BVH (gather-count optimal)
+            log.info('accelerator "%s" maps to the wide BVH on TPU', name)
         self.render.accelerator_name = name
         self.render.accelerator_params = params
 
