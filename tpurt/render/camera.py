@@ -86,6 +86,10 @@ class Camera(NamedTuple):
     time0: float = 0.0
     time1: float = 1.0
     animated: bool = False
+    # isotropic ray-footprint model for texture MIP selection:
+    # world-space filter width at distance t ~= fp_base + t * fp_slope
+    fp_base: float = 0.0
+    fp_slope: float = 0.0
 
     def _interp_c2w(self, time):
         """Per-lane T-lerp / quaternion-slerp / S-lerp composition
@@ -368,11 +372,28 @@ def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
     else:
         raise ValueError(f'camera "{name}" unknown')
 
+    r2c_np = _raster_to_screen_to_camera(cam_to_screen, sw, res_x, res_y)
+
+    def _thru(px, py):
+        v = r2c_np.astype(np.float64) @ np.array([px, py, 0.0, 1.0])
+        return v[:3] / (v[3] if abs(v[3]) > 1e-12 else 1.0)
+
+    fp_base = fp_slope = 0.0
+    pa = _thru(res_x / 2, res_y / 2)
+    pb = _thru(res_x / 2 + 1, res_y / 2 + 1)
+    if name == "perspective":
+        d0 = pa / max(np.linalg.norm(pa), 1e-12)
+        d1 = pb / max(np.linalg.norm(pb), 1e-12)
+        fp_slope = float(np.arccos(np.clip(d0 @ d1, -1, 1)) / np.sqrt(2))
+    elif name == "orthographic":
+        fp_base = float(np.linalg.norm((pb - pa)[:2]) / np.sqrt(2))
+    elif name == "environment":
+        fp_slope = float(np.pi / res_y)
+
     return Camera(
         kind=name,
         camera_to_world=jnp.asarray(camera_to_world.m.astype(np.float32)),
-        raster_to_camera=jnp.asarray(
-            _raster_to_screen_to_camera(cam_to_screen, sw, res_x, res_y)),
+        raster_to_camera=jnp.asarray(r2c_np),
         lens_radius=lens_radius,
         focal_distance=focal_distance,
         shutter_open=shutter_open,
@@ -391,6 +412,8 @@ def make_camera(name: str, ps: ParamSet, camera_to_world: xf.Transform,
         time0=float(transform_times[0]),
         time1=float(transform_times[1]),
         animated=animated,
+        fp_base=fp_base,
+        fp_slope=fp_slope,
     )
 
 

@@ -100,6 +100,24 @@ def make_integrator_config(sd: SceneDescription,
     return IntegratorConfig(name="path")
 
 
+def _any_imagemap(records) -> bool:
+    """True when any material's texture DAG contains an imagemap (then
+    interactions carry MIP filter widths)."""
+    from tpurt.scene.records import TextureRecord
+
+    def walk(v):
+        if isinstance(v, TextureRecord):
+            if v.name == "imagemap":
+                return True
+            return any(walk(x) for x in v.params.values())
+        if isinstance(v, tuple) and len(v) == 2:
+            return walk(v[1])
+        return False
+
+    return any(r is not None and any(walk(s) for s in r.slots.values())
+               for r in records)
+
+
 def build_job(sd: SceneDescription, quick: bool = False,
               crop_override=None) -> RenderJob:
     cfgl = get_config()
@@ -222,6 +240,7 @@ def build_job(sd: SceneDescription, quick: bool = False,
         has_bump=any(
             r is not None and isinstance(r.slots.get("bumpmap"), tuple)
             and r.slots["bumpmap"][0] == "texture" for r in mt.records),
+        has_texfilter=_any_imagemap(mt.records),
         med_sigma_t=jnp.asarray(sig_t),
         med_sigma_s=jnp.asarray(sig_s),
         med_g=jnp.asarray(g_arr),

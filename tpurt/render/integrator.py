@@ -120,6 +120,8 @@ class SceneData(NamedTuple):
     has_null_boundaries: bool = False
     # any material carries a bump texture -> interactions compute dpdu/dpdv
     has_bump: bool = False
+    # any imagemap texture -> footprint-based MIP filtering
+    has_texfilter: bool = False
 
 
 from tpurt.pytrees import register_static_pytree  # noqa: E402
@@ -466,6 +468,19 @@ def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
     return o, d, beta, L, alive, specular, prev_pdf, prev_p
 
 
+def _tex_footprint(si, hit_t, camera):
+    """Attach uv-space MIP filter widths from the isotropic ray-footprint
+    model (world width ~= fp_base + t*fp_slope; the reference propagates
+    exact ray differentials — camera.cpp GenerateRayDifferential — this
+    uses the per-segment cone approximation, documented)."""
+    w_world = camera.fp_base + jnp.where(si.valid, hit_t, 0.0) * camera.fp_slope
+    return si._replace(
+        tex_wu=w_world / jnp.maximum(
+            jnp.linalg.norm(si.dpdu, axis=-1), 1e-9),
+        tex_wv=w_world / jnp.maximum(
+            jnp.linalg.norm(si.dpdv, axis=-1), 1e-9))
+
+
 def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
     # one lane context per wavefront: hoists the sampler's per-lane index
     # computation (for halton, the offsets[] gather) out of every dim call
@@ -513,7 +528,10 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
         si = compute_interaction(scene.geo, hit, o, d,
                                  tangents=scene.has_tangents,
-                                 dpduv=scene.has_bump, time=l_time)
+                                 dpduv=scene.has_bump or scene.has_texfilter,
+                                 time=l_time)
+        if scene.has_texfilter:
+            si = _tex_footprint(si, hit.t, camera)
         if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
             si = texture_eval.bump(si)
 
@@ -1033,7 +1051,10 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         t_max = jnp.where(alive, INF, 0.0)
         hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
         si = compute_interaction(scene.geo, hit, o, d,
-                                 dpduv=scene.has_bump, time=l_time)
+                                 dpduv=scene.has_bump or scene.has_texfilter,
+                                 time=l_time)
+        if scene.has_texfilter:
+            si = _tex_footprint(si, hit.t, camera)
         if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
             si = texture_eval.bump(si)
         t_surf = jnp.where(si.valid, hit.t, INF)

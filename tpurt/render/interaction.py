@@ -41,9 +41,12 @@ class SurfaceInteraction(NamedTuple):
     # tangents (curves/hair); shading then aligns frames to it
     ss: jnp.ndarray = None  # (N,3) or None
     # uv-parameterization derivatives (triangle.cpp:160-190); None unless
-    # the scene needs them (bump mapping)
+    # the scene needs them (bump mapping / texture filtering)
     dpdu: jnp.ndarray = None  # (N,3)
     dpdv: jnp.ndarray = None  # (N,3)
+    # uv-space ray-footprint widths for MIP selection (None = top level)
+    tex_wu: jnp.ndarray = None  # (N,)
+    tex_wv: jnp.ndarray = None  # (N,)
 
 
 def _gather3(arr, idx):

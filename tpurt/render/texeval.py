@@ -127,6 +127,73 @@ def _load_image_pyramid(filename: str, gamma: bool):
     return levels
 
 
+@lru_cache(maxsize=64)
+def _load_image_pyramid_flat(filename: str, gamma: bool):
+    """Pyramid packed into one flat (D,3) array + static per-level
+    (offset, w, h) — a per-lane MIP lookup is then one gather per tap."""
+    levels = _load_image_pyramid(filename, gamma)
+    offs, ws, hs, parts = [], [], [], []
+    off = 0
+    for lv in levels:
+        h, w = lv.shape[:2]
+        offs.append(off)
+        ws.append(w)
+        hs.append(h)
+        parts.append(lv.reshape(-1, 3))
+        off += h * w
+    return (np.concatenate(parts).astype(np.float32),
+            np.asarray(offs, np.int32), np.asarray(ws, np.int32),
+            np.asarray(hs, np.int32))
+
+
+def _trilinear_sample(filename: str, gamma: bool, u, v, width, wrap: str):
+    """MIPMap::Lookup(st, width) trilinear (mipmap.h:Lookup): pick the
+    level whose texel spacing matches the uv-space filter width and blend
+    the two nearest levels.  width: (N,) per-lane."""
+    flat_np, offs_np, ws_np, hs_np = _load_image_pyramid_flat(filename, gamma)
+    flat = jnp.asarray(flat_np)
+    offs = jnp.asarray(offs_np)
+    ws = jnp.asarray(ws_np)
+    hs = jnp.asarray(hs_np)
+    n_levels = len(offs_np)
+    lvl = (n_levels - 1) + jnp.log2(jnp.maximum(width, 1e-8))
+    lvl = jnp.clip(lvl, 0.0, n_levels - 1)
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    dl = lvl - l0.astype(jnp.float32)
+
+    def sample_level(li):
+        w_l = ws[li]
+        h_l = hs[li]
+        off = offs[li]
+        x = u * w_l.astype(jnp.float32) - 0.5
+        y = v * h_l.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+
+        def wrapc(i, nn):
+            if wrap == "repeat":
+                return jnp.mod(i, nn)
+            return jnp.clip(i, 0, nn - 1)
+
+        def fetch(xi, yi):
+            idx = off + wrapc(yi, h_l) * w_l + wrapc(xi, w_l)
+            val = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+            if wrap == "black":
+                ok = (xi >= 0) & (xi < w_l) & (yi >= 0) & (yi < h_l)
+                val = jnp.where(ok[:, None], val, 0.0)
+            return val
+
+        top = fetch(x0, y0) * (1 - fx) + fetch(x0 + 1, y0) * fx
+        bot = fetch(x0, y0 + 1) * (1 - fx) + fetch(x0 + 1, y0 + 1) * fx
+        return top * (1 - fy) + bot * fy
+
+    s0 = sample_level(l0)
+    s1 = sample_level(jnp.minimum(l0 + 1, n_levels - 1))
+    return s0 * (1 - dl)[:, None] + s1 * dl[:, None]
+
+
 def _apply_mapping2d(mapping: Dict, si):
     """TextureMapping2D::Map (texture.h:51-133)."""
     typ = mapping.get("type", "uv")
@@ -289,7 +356,18 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
             log.error("imagemap %s unreadable: %s", fname, e)
             return as_out(jnp.zeros((n,), jnp.float32))
         u, v = _apply_mapping2d(prm["mapping"], si)
-        rgb = _bilinear_sample(pyr[0], u, v, prm.get("wrap", "repeat"))
+        wrap = prm.get("wrap", "repeat")
+        if getattr(si, "tex_wu", None) is not None:
+            # trilinear MIP filtering from the ray-footprint width;
+            # mapping scales stretch the footprint in uv space
+            mp = prm["mapping"]
+            su = abs(mp.get("uscale", 1.0)) if mp.get("type", "uv") == "uv" else 1.0
+            sv = abs(mp.get("vscale", 1.0)) if mp.get("type", "uv") == "uv" else 1.0
+            width = jnp.maximum(si.tex_wu * su, si.tex_wv * sv)
+            rgb = _trilinear_sample(fname, prm.get("gamma", False), u, v,
+                                    width, wrap)
+        else:
+            rgb = _bilinear_sample(pyr[0], u, v, wrap)
         rgb = rgb * prm.get("scale", 1.0)
         return as_out(rgb)
     if name == "fbm":
