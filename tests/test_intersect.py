@@ -280,3 +280,65 @@ def test_hyperboloid_renders_and_matches_implicit():
     p_o = (w2o[:3, :3] @ p_w.T).T + w2o[:3, 3]
     f = ah * (p_o[:, 0] ** 2 + p_o[:, 1] ** 2) - ch * p_o[:, 2] ** 2
     np.testing.assert_allclose(f, 1.0, atol=5e-3)
+
+
+def test_all_quadrics_reintersection():
+    """Shadow-acne sweep over every quadric type (shapes.cpp:154-544):
+    rays re-spawned from offset hit points must not re-hit the same
+    surface at tiny t."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from tpurt.render.driver import build_job
+    from tpurt.render.interaction import compute_interaction, offset_ray_origin
+    from tpurt.render.intersect import intersect_closest
+    from tpurt.render.sampling_warps import build_onb, to_world
+    from tpurt.scene import load_scene_string
+
+    shapes = {
+        "sphere": 'Shape "sphere" "float radius" [1]',
+        "cylinder": 'Shape "cylinder" "float radius" [1] "float zmin" [-1] "float zmax" [1]',
+        "disk": 'Shape "disk" "float radius" [1.5]',
+        "cone": 'Shape "cone" "float radius" [1] "float height" [1.5]',
+        "paraboloid": 'Shape "paraboloid" "float radius" [1] "float zmax" [1]',
+        "hyperboloid": 'Shape "hyperboloid" "point p1" [1 0 -1] "point p2" [1.4 0 1]',
+    }
+    rng = np.random.default_rng(12)
+    for name, decl in shapes.items():
+        scene = f"""
+        Film "image" "integer xresolution" [4] "integer yresolution" [4]
+        Camera "perspective"
+        WorldBegin
+        Material "matte" "color Kd" [.5 .5 .5]
+        Translate 0 0 4
+        Rotate 60 1 0.3 0
+        {decl}
+        WorldEnd
+        """
+        geo = build_job(load_scene_string(scene)).scene.geo
+        n = 512
+        o = jnp.zeros((n, 3), jnp.float32)
+        dirs = np.stack([rng.uniform(-0.45, 0.45, n),
+                         rng.uniform(-0.45, 0.45, n), np.ones(n)], -1)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        d = jnp.asarray(dirs.astype(np.float32))
+        hit = intersect_closest(geo, o, d, jnp.full(n, np.inf, jnp.float32))
+        got = np.asarray(hit.prim) >= 0
+        assert got.sum() > 50, (name, got.sum())
+        si = compute_interaction(geo, hit, o, d)
+        # bounce in a random hemisphere direction around the normal
+        t_, b_ = build_onb(si.ng)
+        u1 = rng.uniform(0.05, 0.95, n)
+        u2 = rng.uniform(0, 1, n)
+        z = np.sqrt(u1)
+        r = np.sqrt(1 - u1)
+        local = jnp.asarray(np.stack([r * np.cos(2 * np.pi * u2),
+                                      r * np.sin(2 * np.pi * u2), z],
+                                     -1).astype(np.float32))
+        w = to_world(t_, b_, si.ng, local)
+        o2 = offset_ray_origin(si.p, si.ng, w)
+        hit2 = intersect_closest(geo, o2, w, jnp.full(n, np.inf, jnp.float32))
+        t2 = np.asarray(hit2.t)
+        self_hit = got & np.isfinite(t2) & (t2 < 1e-3)
+        assert self_hit.sum() == 0, (name, int(self_hit.sum()))
