@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Generate the NaN-guarded RPF measurement harness from the reference's
+custom/rpf.cpp (read-only; never modified in place).
+
+The stock reference hard-exits inside its own RPF filter on its own demo
+scene (scenes/sample.pbrt): `PRIME ERROR. Prime:-nan` from the NaN check
+at rpf.cpp:702-705.  Two genuine bugs in the reference cause this:
+
+1. Blind 0/0 divisions in ComputeCFWeights (rpf.cpp:464-471): on a
+   degenerate pixel whose samples are all identical (e.g. pure background
+   at low spp) every mutual-information term is 0, so
+   W_r_ck = D_r_ck / (D_r_ck + D_p_ck) = 0/0 = NaN, which propagates into
+   W_r_c -> sigma_c^2 -> every bilateral weight.
+2. An out-of-bounds read: `W_c_fk[i] = D_f_ck[i] / ...` indexes the
+   3-element color array D_f_ck with feature index i in [0,12)
+   (rpf.cpp:464), reading adjacent stack memory (UB) into Beta_k.
+
+This script applies the same two fixes tpurt's filter uses
+(tpurt/rpf/filter.py:_cf_weights): tiny-denominator guards, and a proper
+per-feature dependency D_c_fk[k] = sum_c MI(color_c, feature_k).  The
+result is written to the given output path and compiled as pbrt-patched,
+used ONLY to quantify what the reference's RPF does when it survives.
+"""
+import sys
+
+
+def main(src_path: str, dst_path: str) -> None:
+    src = open(src_path).read()
+    n0 = len(src)
+    src = src.replace(
+        '#include "custom/rpf.h"',
+        '#include "custom/rpf.h"\n#include <algorithm>', 1)
+    src = src.replace(
+        """      // For each pair color x feature compute mutual information
+      for (int j = 0; j < SD_N_FEATURES; ++j) {
+        D_f_ck[i] += MutualInformation(colors_data[i], features_data[j]);
+      }""",
+        """      // For each pair color x feature compute mutual information
+      for (int j = 0; j < SD_N_FEATURES; ++j) {
+        double mi_cf = MutualInformation(colors_data[i], features_data[j]);
+        D_f_ck[i] += mi_cf;
+        D_c_fk_fix[j] += mi_cf;  // per-feature sum (OOB-read fix)
+      }""")
+    src = src.replace(
+        """    for (int i = 0; i < SD_N_COLOR; ++i) {
+      // For each pair color x random compute mutual information""",
+        """    SampleF D_c_fk_fix;
+    for (int i = 0; i < SD_N_FEATURES; ++i) D_c_fk_fix[i] = 0;
+    for (int i = 0; i < SD_N_COLOR; ++i) {
+      // For each pair color x random compute mutual information""")
+    src = src.replace(
+        "W_c_fk[i] = D_f_ck[i] / (D_f_c + D_r_c + D_p_c);",
+        "W_c_fk[i] = D_c_fk_fix[i] / "
+        "std::max(D_f_c + D_r_c + D_p_c, 1e-12);")
+    src = src.replace(
+        "W_r_fk[i] = D_r_fk[i] / (D_r_fk[i] + D_p_fk[i]);",
+        "W_r_fk[i] = D_r_fk[i] / std::max(D_r_fk[i] + D_p_fk[i], 1e-12);")
+    src = src.replace(
+        "W_r_ck[i] = D_r_ck[i] / (D_r_ck[i] + D_p_ck[i]);",
+        "W_r_ck[i] = D_r_ck[i] / std::max(D_r_ck[i] + D_p_ck[i], 1e-12);")
+    assert src.count("D_c_fk_fix") == 4, "patch anchors not found"
+    assert src.count("std::max(D_") == 3, "division guards not applied"
+    assert len(src) > n0
+    open(dst_path, "w").write(src)
+    print(f"patched rpf.cpp -> {dst_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -7,8 +7,9 @@ Sample.  Like the reference (api.cpp:1330-1400), every emissive primitive
 becomes its OWN area light (one DiffuseAreaLight per triangle/sphere).
 
 All sampling is masked-select over light types — no virtual dispatch.
-The infinite light currently supports constant radiance (environment-map
-importance sampling is a follow-up; records keep the mapname).
+The infinite light supports constant radiance and environment maps with
+2D-CDF importance sampling (`env_li`/`env_le`/`env_pdf`), matching
+lights/infinite.cpp:118-188.
 """
 
 from __future__ import annotations

@@ -563,7 +563,7 @@ def make_sobol(spp: int, res_x: int, res_y: int) -> SobolSampler:
     from tpurt.sampling import sobol as sb
 
     m = max(int(np.ceil(np.log2(max(res_x, res_y, 1)))), 0)
-    mats = sb.generate_sobol_matrices()
+    mats = sb.get_sobol_matrices()
     inv_cols, fmap_cols = sb.build_interval_to_index(m, mats)
     return SobolSampler(spp=spp, m=m, mats=jnp.asarray(mats),
                         inv_cols=jnp.asarray(inv_cols),

