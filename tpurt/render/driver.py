@@ -260,7 +260,7 @@ def build_job(sd: SceneDescription, quick: bool = False,
                      crop_override=crop_override)
     res_x, res_y = film.full_x, film.full_y
     sampler = make_sampler(sd.sampler_name, sd.sampler_params, res_x, res_y,
-                           quick=quick)
+                           quick=quick, sample_bounds=film.sample_bounds())
     camera = make_camera(sd.camera_name, sd.camera_params, sd.camera_to_world,
                          res_x, res_y, diagonal_m=film.diagonal_m,
                          camera_to_world_end=sd.camera_to_world_end,

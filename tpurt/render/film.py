@@ -46,6 +46,17 @@ class Film(NamedTuple):
     def height(self) -> int:
         return self.crop[3] - self.crop[2]
 
+    def sample_bounds(self) -> Tuple[int, int, int, int]:
+        """Film::GetSampleBounds (film.cpp:80-86): the crop pixel bounds
+        expanded by the filter radius — (x0, x1, y0, y1).  Samplers must
+        be built from THESE bounds (halton.cpp:74/sobol.cpp ctor), which
+        matters under crop windows: halton base scales and the sobol
+        pow2 tiling derive from the cropped extent, not the full film."""
+        rx, ry = self.filter.radius
+        x0, x1, y0, y1 = self.crop
+        return (int(np.floor(x0 + 0.5 - rx)), int(np.ceil(x1 - 0.5 + rx)),
+                int(np.floor(y0 + 0.5 - ry)), int(np.ceil(y1 - 0.5 + ry)))
+
     def initial_state(self) -> FilmState:
         h, w = self.height, self.width
         return FilmState(
@@ -157,10 +168,15 @@ def make_film(ps: ParamSet, filt: Filter, quick: bool = False,
     else:
         cx0, cx1, cy0, cy1 = 0.0, 1.0, 0.0, 1.0
     # pbrt crop pixel bounds (film.cpp ctor): ceil(res * c0), ceil(res * c1)
-    x0 = int(np.ceil(xres * cx0))
-    x1 = max(x0 + 1, int(np.ceil(xres * cx1)))
-    y0 = int(np.ceil(yres * cy0))
-    y1 = max(y0 + 1, int(np.ceil(yres * cy1)))
+    # — computed in FLOAT (f32) there, which matters: 0.45f*700 rounds just
+    # below 315 while the f64 product lands just above, shifting the bound.
+    def _cb(res, c):
+        return int(np.ceil(np.float32(res) * np.float32(c)))
+
+    x0 = _cb(xres, cx0)
+    x1 = max(x0 + 1, _cb(xres, cx1))
+    y0 = _cb(yres, cy0)
+    y1 = max(y0 + 1, _cb(yres, cy1))
     return Film(
         full_x=xres,
         full_y=yres,

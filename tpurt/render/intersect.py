@@ -251,19 +251,39 @@ def _xform_vector(m, v):
     ])
 
 
+def _veltkamp_split(x):
+    """Exact f32 hi/lo split (Dekker): x == hi + lo, hi has <=12 mantissa
+    bits.  Pure f32 ops, safe under XLA (no reassociation of these)."""
+    c = jnp.float32(4097.0) * x  # 2^12 + 1
+    hi = c - (c - x)
+    return hi, x - hi
+
+
+def _two_prod(x, y):
+    """(p, e) with p = fl(x*y) and x*y == p + e exactly (Dekker)."""
+    p = x * y
+    xh, xl = _veltkamp_split(x)
+    yh, yl = _veltkamp_split(y)
+    e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    return p, e
+
+
+def _disc_compensated(a, b, c):
+    """b^2 - 4ac evaluated in double-float (~48-bit) precision — the f32
+    analog of the reference's double-precision discriminant
+    (efloat.h:270, pbrt.h:421), so grazing hit/miss decisions match the
+    C++ binary instead of flipping at sphere/cylinder silhouettes."""
+    p1, e1 = _two_prod(b, b)
+    p2, e2 = _two_prod(4.0 * a, c)  # 4*a is exact in binary fp
+    s = p1 - p2
+    bb = s - p1  # Knuth two-sum error term for p1 + (-p2)
+    err = (p1 - (s - bb)) + ((-p2) - bb)
+    return s + (err + (e1 - e2))
+
+
 def _quadratic(a, b, c):
     """Numerically stable quadratic; returns (has_roots, t0, t1), t0<=t1."""
-    disc = b * b - 4.0 * a * c
-    return _roots_from_disc(a, b, disc)
-
-
-def _quadratic_radial(a, b, r, v_perp_sq):
-    """Quadratic for |o + t d|^2 = r^2 style circle/sphere solves, with the
-    cancellation-free discriminant 4a(r-l)(r+l) where l is the distance of
-    the origin's perpendicular foot from the center (the f32-robust form;
-    the reference gets robustness from EFloat doubles instead, efloat.h:48)."""
-    l = jnp.sqrt(jnp.maximum(v_perp_sq, 0.0))
-    disc = 4.0 * a * (r - l) * (r + l)
+    disc = _disc_compensated(a, b, c)
     return _roots_from_disc(a, b, disc)
 
 
@@ -299,8 +319,8 @@ def ray_quadric(o, d, t_max, kind, w2o, params):
     def sphere_case(_):
         a = _dot3(od, od)
         b = 2.0 * _dot3(oo, od)
-        v = oo - (b / (2.0 * a)) * od  # perpendicular foot from center
-        has, t0, t1 = _quadratic_radial(a, b, radius, _dot3(v, v))
+        c = _dot3(oo, oo) - radius * radius
+        has, t0, t1 = _quadratic(a, b, c)
 
         def test(t):
             p = oo + t * od
@@ -332,9 +352,8 @@ def ray_quadric(o, d, t_max, kind, w2o, params):
         a = od[0] * od[0] + od[1] * od[1]
         a = jnp.where(a == 0, 1e-20, a)
         b = 2.0 * (oo[0] * od[0] + oo[1] * od[1])
-        vx = oo[0] - (b / (2.0 * a)) * od[0]
-        vy = oo[1] - (b / (2.0 * a)) * od[1]
-        has, t0, t1 = _quadratic_radial(a, b, radius, vx * vx + vy * vy)
+        c = oo[0] * oo[0] + oo[1] * oo[1] - radius * radius
+        has, t0, t1 = _quadratic(a, b, c)
         ok0, p0, phi0 = clip_phi_z(t0)
         ok1, p1, phi1 = clip_phi_z(t1)
         use1 = ~ok0 & ok1

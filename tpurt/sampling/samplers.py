@@ -290,8 +290,16 @@ class HaltonSampler(NamedTuple):
 
 def make_halton(spp: int, res_x: int, res_y: int,
                 sample_at_center: bool = False,
-                scramble: str = "affine") -> HaltonSampler:
-    geom = ld.halton_geometry(res_x, res_y)
+                scramble: str = "affine",
+                sample_bounds=None) -> HaltonSampler:
+    # base scales/stride derive from the SAMPLE bounds extent
+    # (halton.cpp:74: res = sampleBounds.pMax - pMin), which differs from
+    # the full film under a crop window; pixel offsets stay keyed by the
+    # absolute raster pixel (halton.cpp:97 Mod(currentPixel, 128)).
+    if sample_bounds is None:
+        sample_bounds = (0, res_x, 0, res_y)
+    sx0, sx1, sy0, sy1 = sample_bounds
+    geom = ld.halton_geometry(sx1 - sx0, sy1 - sy0)
     perms = ld.compute_radical_inverse_permutations()
     py, px = np.meshgrid(np.arange(res_y), np.arange(res_x), indexing="ij")
     offsets = ld.halton_pixel_offsets(geom, px.ravel(), py.ravel())
@@ -495,10 +503,12 @@ class ZeroTwoSequenceSampler(NamedTuple):
 
 class SobolSampler(NamedTuple):
     spp: int  # power of two (sobol.cpp rounds up)
-    m: int  # log2 of the pow2 pixel tiling resolution
+    m: int  # log2 of the pow2 tiling of the sample-bounds extent
     mats: jnp.ndarray  # (D, 32) uint32 direction vectors
     inv_cols: jnp.ndarray  # (2m,) uint32 — interval-to-index solve
     fmap_cols: jnp.ndarray  # (F,) uint32
+    smin_x: int = 0  # sample-bounds origin (sobol.cpp indexes pixels
+    smin_y: int = 0  # relative to sampleBounds.pMin)
 
     name: str = "sobol"
 
@@ -513,8 +523,8 @@ class SobolSampler(NamedTuple):
         if self.m == 0:
             return f
         m, lm = self.m, 2 * self.m
-        pxu = px.astype(jnp.uint32)
-        pyu = py.astype(jnp.uint32)
+        pxu = (px - self.smin_x).astype(jnp.uint32)
+        pyu = (py - self.smin_y).astype(jnp.uint32)
         y = jnp.zeros_like(pxu)
         for q in range(m):
             y = (y | (((pxu >> q) & 1) << q)
@@ -547,9 +557,11 @@ class SobolSampler(NamedTuple):
         idx = ctx if ctx is not None else self.index(px, py, sidx)
         s = self._eval(idx, self.mats[d])
         if isinstance(d, int) and d in (0, 1):
+            # s*resolution + sampleBounds.pMin - pixel (sobol.cpp:54-56)
             res = jnp.float32(1 << self.m)
+            smin = jnp.float32(self.smin_x if d == 0 else self.smin_y)
             pix = (px if d == 0 else py).astype(jnp.float32)
-            return jnp.clip(s * res - pix, 0.0, ONE_MINUS_EPS)
+            return jnp.clip(s * res + smin - pix, 0.0, ONE_MINUS_EPS)
         return s
 
     dim_dyn = dim
@@ -559,15 +571,22 @@ class SobolSampler(NamedTuple):
                 self.dim(px, py, sidx, 1, ctx))
 
 
-def make_sobol(spp: int, res_x: int, res_y: int) -> SobolSampler:
+def make_sobol(spp: int, res_x: int, res_y: int,
+               sample_bounds=None) -> SobolSampler:
     from tpurt.sampling import sobol as sb
 
-    m = max(int(np.ceil(np.log2(max(res_x, res_y, 1)))), 0)
+    # pow2 tiling covers the SAMPLE bounds extent and pixels are indexed
+    # relative to its origin (sobol.cpp GetIndexForSample/SampleDimension)
+    if sample_bounds is None:
+        sample_bounds = (0, res_x, 0, res_y)
+    sx0, sx1, sy0, sy1 = sample_bounds
+    m = max(int(np.ceil(np.log2(max(sx1 - sx0, sy1 - sy0, 1)))), 0)
     mats = sb.get_sobol_matrices()
     inv_cols, fmap_cols = sb.build_interval_to_index(m, mats)
     return SobolSampler(spp=spp, m=m, mats=jnp.asarray(mats),
                         inv_cols=jnp.asarray(inv_cols),
-                        fmap_cols=jnp.asarray(fmap_cols))
+                        fmap_cols=jnp.asarray(fmap_cols),
+                        smin_x=sx0, smin_y=sy0)
 
 
 # ---------------------------------------------------------------------------
@@ -650,15 +669,25 @@ register_static_pytree(SobolSampler, ["mats", "inv_cols", "fmap_cols"])
 register_static_pytree(MaxMinDistSampler, [])
 
 
-def make_sampler(name: str, params, res_x: int, res_y: int, quick: bool = False):
+def make_sampler(name: str, params, res_x: int, res_y: int,
+                 quick: bool = False, sample_bounds=None):
     """CreateSampler dispatch (api.cpp MakeSampler :817-837) with reference
-    defaults."""
+    defaults.  sample_bounds = Film::GetSampleBounds as (x0, x1, y0, y1);
+    halton/sobol geometry depends on it under crop windows."""
     if name == "halton":
         spp = params.find_one_int("pixelsamples", 16)
         if quick:
             spp = 1
+        # TPURT_HALTON_SCRAMBLE=pbrt selects the bit-exact reference
+        # digit-permutation tables (slower: one table gather per digit);
+        # the default affine scramble is statistically equivalent.
+        import os as _os
+
+        scramble = _os.environ.get("TPURT_HALTON_SCRAMBLE", "affine")
         return make_halton(spp, res_x, res_y,
-                           params.find_one_bool("samplepixelcenter", False))
+                           params.find_one_bool("samplepixelcenter", False),
+                           scramble=scramble,
+                           sample_bounds=sample_bounds)
     if name == "random":
         spp = params.find_one_int("pixelsamples", 4)
         return RandomSampler(spp=1 if quick else spp, seed=0, res_x=res_x)
@@ -678,7 +707,8 @@ def make_sampler(name: str, params, res_x: int, res_y: int, quick: bool = False)
         if pow2 != spp:
             log.warning("sampler %s: rounding %d samples to pow2 %d", name, spp, pow2)
         if name == "sobol":
-            return make_sobol(pow2, res_x, res_y)
+            return make_sobol(pow2, res_x, res_y,
+                              sample_bounds=sample_bounds)
         if name == "maxmindist":
             return make_maxmin(pow2, res_x)
         return ZeroTwoSequenceSampler(spp=pow2, seed=0, res_x=res_x)
