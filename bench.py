@@ -23,6 +23,139 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ssim(a, b):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from imgtool import ssim
+
+    return float(ssim(a, b))
+
+
+def config3_multiscale(scene_path: str) -> dict:
+    """BASELINE.json config 3: 4 spp + multi-scale RPF {55,35,17,7}
+    vs a 64 spp path reference (box list: rpf.cpp:767)."""
+    import numpy as np
+
+    from tpurt.scene import load_scene
+    from tpurt.render.driver import render
+    from tpurt.rpf.driver import render_rpf
+
+    sd = load_scene(scene_path)
+    sd.sampler_params.add("integer", "pixelsamples", [64])
+    ref64, _ = render(sd, progress=False)
+    ref64 = np.asarray(ref64, np.float64)
+
+    sd4 = load_scene(scene_path)
+    sd4.integrator_name = "rpf"
+    sd4.sampler_params.add("integer", "pixelsamples", [4])
+    t0 = time.time()
+    img, _, extras = render_rpf(sd4, box_sizes=(55, 35, 17, 7),
+                                write_feature_exrs=False)
+    t_frame = time.time() - t0
+    img = np.asarray(img, np.float64)
+
+    sdp = load_scene(scene_path)
+    sdp.sampler_params.add("integer", "pixelsamples", [4])
+    raw4, _ = render(sdp, progress=False)
+    raw4 = np.asarray(raw4, np.float64)
+
+    def mse(a, b):
+        return float(((a - b) ** 2).mean())
+
+    return {
+        "rpf4_vs_64spp_mse": round(mse(img, ref64), 6),
+        "rpf4_vs_64spp_ssim": round(_ssim(img, ref64), 6),
+        "path4_vs_64spp_mse": round(mse(raw4, ref64), 6),
+        "path4_vs_64spp_ssim": round(_ssim(raw4, ref64), 6),
+        "rpf4_multiscale_frame_s": round(t_frame, 2),
+    }
+
+
+def config4_sampler_sweep(scene_path: str) -> dict:
+    """BASELINE.json config 4: random/stratified/halton RPF feature
+    parity — the feature-capturing RPF pipeline must run and denoise
+    under each sampler factory (api.cpp:817-837)."""
+    import numpy as np
+
+    from tpurt.scene import load_scene
+    from tpurt.rpf.driver import render_rpf
+
+    out = {}
+    for sampler in ("random", "stratified", "halton"):
+        sd = load_scene(scene_path)
+        sd.integrator_name = "rpf"
+        sd.sampler_name = sampler
+        t0 = time.time()
+        img, _, extras = render_rpf(sd, write_feature_exrs=False)
+        dt = time.time() - t0
+        img = np.asarray(img, np.float64)
+        assert np.isfinite(img).all(), f"{sampler}: non-finite RPF output"
+        out[f"rpf_{sampler}_frame_s"] = round(dt, 2)
+        out[f"rpf_{sampler}_mean"] = round(float(img.mean()), 5)
+    return out
+
+
+_TEXTURED_SCENE = """
+LookAt 0 2.5 6  0 0.5 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [700] "integer yresolution" [700]
+  "string filename" "direct_textured.exr"
+Sampler "halton" "integer pixelsamples" [8]
+Integrator "directlighting" "integer maxdepth" [5]
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [18 17 14]
+  Translate -2 4 2
+  Shape "sphere" "float radius" [0.4]
+AttributeEnd
+LightSource "distant" "color L" [.6 .7 .9] "point from" [3 6 4]
+Texture "checks" "spectrum" "checkerboard"
+  "float uscale" [16] "float vscale" [16]
+  "color tex1" [.9 .9 .9] "color tex2" [.15 .2 .3]
+Material "matte" "texture Kd" "checks"
+Shape "trianglemesh" "point P" [-8 0 -8  8 0 -8  8 0 8  -8 0 8]
+  "float uv" [0 0 1 0 1 1 0 1] "integer indices" [0 1 2 2 3 0]
+Texture "grid" "spectrum" "imagemap" "string filename" "{texpng}"
+Material "plastic" "texture Kd" "grid" "color Ks" [.3 .3 .3]
+  "float roughness" [.02]
+Translate 0 1 0
+Shape "sphere" "float radius" [1]
+WorldEnd
+"""
+
+
+def config5_direct_textured() -> dict:
+    """BASELINE.json config 5: direct-lighting + textured scene render
+    time (directlighting.cpp + imagemap.cpp)."""
+    import tempfile
+
+    import numpy as np
+
+    from tpurt.scene import load_scene_string
+    from tpurt.render.driver import render
+    import tpurt.io as tio
+
+    tmp = tempfile.mkdtemp(prefix="tpurt_bench5_")
+    # procedural color-grid texture for the imagemap path
+    yy, xx = np.mgrid[0:256, 0:256]
+    tex = np.stack([(xx // 32 % 2).astype(np.float32),
+                    (yy // 32 % 2).astype(np.float32),
+                    ((xx + yy) // 32 % 2).astype(np.float32)], -1)
+    tex = 0.2 + 0.7 * tex
+    texpng = os.path.join(tmp, "grid.png")
+    tio.write_image(texpng, tex)
+    sd = load_scene_string(_TEXTURED_SCENE.format(texpng=texpng),
+                           base_dir=tmp)
+    img, _ = render(sd, progress=False)  # compile
+    t0 = time.time()
+    img, _ = render(sd, progress=False)
+    dt = time.time() - t0
+    img = np.asarray(img, np.float64)
+    assert np.isfinite(img).all() and img.mean() > 0
+    return {"direct_textured_render_s": round(dt, 2),
+            "direct_textured_mean": round(float(img.mean()), 5)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene",
@@ -31,6 +164,10 @@ def main() -> int:
                     help="crop to a small window (fast smoke benchmark)")
     ap.add_argument("--spp", type=int, default=0, help="override spp")
     ap.add_argument("--no-rpf", action="store_true")
+    ap.add_argument("--configs", default="",
+                    help="comma list from {3,4,5}: also run BASELINE.json "
+                         "configs 3 (multi-scale RPF), 4 (sampler sweep), "
+                         "5 (direct+textured); slower")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +248,15 @@ def main() -> int:
         ref_s, total = 150.7 * scale, result.get("rpf_total_s", 0.0)
     result["ref_cpu_s"] = round(ref_s, 2)
     result["vs_baseline"] = round(ref_s / max(total, 1e-9), 3)
+
+    sample_scene = os.path.join(os.path.dirname(args.scene), "sample.pbrt")
+    wanted = {c.strip() for c in args.configs.split(",") if c.strip()}
+    if "3" in wanted:
+        result.update(config3_multiscale(sample_scene))
+    if "4" in wanted:
+        result.update(config4_sampler_sweep(sample_scene))
+    if "5" in wanted:
+        result.update(config5_direct_textured())
     print(json.dumps(result))
     return 0
 

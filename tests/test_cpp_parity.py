@@ -146,3 +146,61 @@ def test_killeroo_crop_matches_cpp_binary(tmp_path, monkeypatch):
     assert rel < 3e-2, f"killeroo crop: MSE {mse:.3e} rel {rel:.3e}"
     mean_rel = abs(float(img.mean()) - float(ref.mean())) / float(ref.mean())
     assert mean_rel < 0.01, f"killeroo crop mean off by {mean_rel:.2%}"
+
+
+_TWO_SHEET = """
+LookAt 0 0 6  0 0 0  0 1 0
+Camera "perspective" "float fov" [50]
+Film "image" "integer xresolution" [48] "integer yresolution" [48]
+  "string filename" "{out}"
+Sampler "halton" "integer pixelsamples" [8]
+Integrator "path" "integer maxdepth" [5]
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [30 30 30]
+  Translate 0 4 2
+  Shape "sphere" "float radius" [0.7]
+AttributeEnd
+Material "subsurface" "string name" "Skin1" "float scale" [2]
+# two concentric same-material sheets: BSSRDF probe chords cross 4
+# surfaces, exercising the closest-hit-vs-uniform-chord-choice deviation
+Shape "sphere" "float radius" [1.2]
+Shape "sphere" "float radius" [0.7]
+Material "matte" "color Kd" [.4 .4 .4]
+Translate 0 -1.6 0
+Shape "trianglemesh" "point P" [-6 0 -6  6 0 -6  6 0 6  -6 0 6]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def test_two_sheet_bssrdf_probe_bound(tmp_path):
+    """Bounds the documented Sample_Sp probe deviation (tpurt keeps the
+    CLOSEST same-material probe hit; bssrdf.cpp:297-325 chooses uniformly
+    among all chord hits) on a two-sheet geometry where it matters most:
+    concentric same-material spheres.  The C++ binary is ground truth;
+    the mean-radiance error must stay within the bound below (also the
+    number to update if the probe is ever fixed)."""
+    import tpurt.io as tio
+    from tpurt.scene import load_scene_string
+    from tpurt.render.driver import render
+
+    tmp = str(tmp_path)
+    out = os.path.join(tmp, "sheets_cpp.exr")
+    scene = os.path.join(tmp, "sheets.pbrt")
+    with open(scene, "w") as f:
+        f.write(_TWO_SHEET.format(out=out))
+    subprocess.run([REF_PBRT, "--quiet", scene], cwd=tmp, check=True,
+                   timeout=900)
+    ref = tio.read_image(out).astype(np.float64)
+
+    sd = load_scene_string(_TWO_SHEET.format(out="x.exr"), base_dir=tmp)
+    img, _ = render(sd, progress=False)
+    img = np.asarray(img, np.float64)
+    mean_rel = abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-9)
+    # MEASURED round 2: 24.5% on this scene, of which ~18% is a baseline
+    # subsurface radiance deficit already present on a SINGLE sheet
+    # (tpurt darker than C++; tracked in docs/ROADMAP.md) and the rest is
+    # the closest-hit probe deviation itself.  The bound pins the
+    # measured state so regressions (and the eventual fix) are visible.
+    assert mean_rel < 0.30, f"two-sheet BSSRDF mean off by {mean_rel:.2%}"

@@ -197,3 +197,43 @@ def test_parse_killeroo_scenes(scenes_dir):
     assert sc2.integrator_name == "rpf"
     assert sc2.output_filename == "sample.exr"
     assert len(sc2.primitives) == len(sc.primitives)
+
+
+_ACCEL_SCENE = """
+LookAt 0 0 4  0 0 0  0 1 0
+Camera "perspective" "float fov" [60]
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Sampler "halton" "integer pixelsamples" [2]
+Integrator "path" "integer maxdepth" [3]
+{accel}
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [8 8 8]
+  Translate 0 2.5 0
+  Shape "sphere" "float radius" [.4]
+AttributeEnd
+Material "matte" "color Kd" [.5 .6 .7]
+Shape "trianglemesh" "point P" [-5 -1 -5  5 -1 -5  5 -1 5  -5 -1 5]
+  "integer indices" [0 1 2 2 3 0]
+Shape "sphere" "float radius" [.8]
+WorldEnd
+"""
+
+
+def test_kdtree_accelerator_equivalence(caplog):
+    """Accelerator "kdtree" (kdtreeaccel.cpp:44-349) maps to the wide BVH
+    on TPU — by design the IMAGE must be identical to the bvh build, and
+    the substitution is logged."""
+    import logging
+
+    from tpurt.render.driver import render
+
+    with caplog.at_level(logging.INFO, logger="tpurt.scene"):
+        sc_kd = load_scene_string(_ACCEL_SCENE.format(
+            accel='Accelerator "kdtree" "integer traversalcost" [1]'))
+    assert sc_kd.accelerator_name == "kdtree"
+    assert any("wide BVH" in r.message for r in caplog.records)
+    sc_bvh = load_scene_string(_ACCEL_SCENE.format(accel=""))
+    img_kd, _ = render(sc_kd, progress=False)
+    img_bvh, _ = render(sc_bvh, progress=False)
+    np.testing.assert_array_equal(np.asarray(img_kd), np.asarray(img_bvh))

@@ -53,6 +53,21 @@ class Config:
     # sums (bitwise deterministic) instead of jnp scatter-add.
     deterministic_film: bool = True
 
+    # Shadow-ray medium-interface walk: max null-material boundary
+    # crossings per shadow segment (the reference walks unboundedly,
+    # core/light.cpp:47-63; each crossing costs one traversal of the
+    # whole wavefront, so this is a compiled loop bound).  Lanes still
+    # inside geometry after the budget are treated as occluded and
+    # counted in the "Media/Shadow walk budget exhausted" stat — raise
+    # this if that counter is nonzero for a scene.
+    shadow_walk_steps: int = 4
+
+    # Grid-media delta/ratio-tracking step budget per segment (the
+    # reference loops unboundedly, media/grid.cpp).  Overflow lanes are
+    # counted in "Media/Grid tracking budget exhausted"; raise for very
+    # dense media.
+    grid_track_steps: int = 256
+
 
 _CONFIG = Config()
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpurt.config import get_config
 from tpurt.render.bsdf import bsdf_f, bsdf_pdf, bsdf_sample
 from tpurt.render.interaction import (
     SurfaceInteraction,
@@ -837,7 +838,25 @@ def _grid_ray(scene: SceneData, med_c, o, d, t_max):
     return o_m, d_m, t0, t1, t0 < t1
 
 
-_GRID_TRACK_STEPS = 256
+def _report_budget_overflow(name: str, overflow: "jnp.ndarray") -> None:
+    """Count lanes that exhausted a compiled loop budget into STATS via a
+    host callback (async; a few bytes per chunk).  A nonzero counter in
+    the end-of-render stats means the corresponding config cap
+    (config.shadow_walk_steps / grid_track_steps) should be raised for
+    this scene."""
+    import jax as _jax
+
+    from tpurt.utils.stats import STATS as _STATS
+
+    def _cb(c):
+        n = int(c)
+        if n:
+            _STATS.counter(name, n)
+
+    try:
+        _jax.debug.callback(_cb, jnp.sum(overflow.astype(jnp.int32)))
+    except Exception:  # pragma: no cover - callback-less backends
+        pass
 
 
 def _grid_sample_medium(scene: SceneData, med, lane, bounce, o, d, t_surf,
@@ -869,8 +888,9 @@ def _grid_sample_medium(scene: SceneData, med, lane, bounce, o, d, t_surf,
         return t, done, scattered
 
     t, done, scattered = jax.lax.fori_loop(
-        0, _GRID_TRACK_STEPS, body,
+        0, get_config().grid_track_steps, body,
         (t0, ~hit, jnp.zeros_like(hit)))
+    _report_budget_overflow("Media/Grid tracking budget exhausted", ~done)
     w3 = jnp.where(scattered[:, None],
                    sig_s3 / jnp.maximum(sig_t, 1e-20)[:, None], 1.0)
     return scattered, t, w3
@@ -903,9 +923,10 @@ def _grid_tr(scene: SceneData, med, lane, bounce, o, d, dist, salt: int):
         done = done | exited | killed
         return jnp.where(done, t, t_new), tr, done
 
-    _, tr, _ = jax.lax.fori_loop(
-        0, _GRID_TRACK_STEPS, body,
+    _, tr, done = jax.lax.fori_loop(
+        0, get_config().grid_track_steps, body,
         (t0, jnp.ones_like(t0), ~hit))
+    _report_budget_overflow("Media/Grid tracking budget exhausted", ~done)
     return tr
 
 
@@ -925,17 +946,16 @@ def _medium_tr(scene: SceneData, med, dist, o=None, d=None, lane=None,
     return jnp.where((med >= 0)[:, None], tr, 1.0)
 
 
-_SHADOW_WALK_STEPS = 4
-
-
 def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
                     usable, time=None):
     """VisibilityTester::Tr (core/light.cpp:47-63): march the shadow
     segment through null-material interface boundaries, accumulating each
     sub-segment's medium transmittance; any real-material hit occludes.
-    Fixed _SHADOW_WALK_STEPS crossings — lanes still inside geometry
-    after that are treated as occluded (conservative).  Returns
+    config.shadow_walk_steps crossings max (the reference walks
+    unboundedly); lanes still inside geometry after that are treated as
+    occluded (conservative) and counted in the overflow stat.  Returns
     (occluded, tr3)."""
+    walk_steps = get_config().shadow_walk_steps
     n = o.shape[0]
     tr = jnp.ones((n, 3), jnp.float32)
     med = med0
@@ -943,7 +963,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
     done = ~usable
     o_cur = o
     rem = jnp.maximum(dist, 0.0)
-    for k in range(_SHADOW_WALK_STEPS):
+    for k in range(walk_steps):
         t_max = jnp.where(done, 0.0, rem)
         hit = intersect_closest(scene.geo, o_cur, d, t_max, time=time)
         hv = hit.prim >= 0
@@ -958,7 +978,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
                    & ~done)
         seg = jnp.where(hv, hit.t, rem)
         seg_tr = _medium_tr(scene, med, seg, o_cur, d, lane,
-                            bounce * _SHADOW_WALK_STEPS + k)
+                            bounce * walk_steps + k)
         tr = tr * jnp.where(done[:, None], 1.0, seg_tr)
         occ = occ | blocker
         si_k = compute_interaction(scene.geo, hit, o_cur, d, time=time)
@@ -971,6 +991,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
                           offset_ray_origin(si_k.p, si_k.ng, d), o_cur)
         rem = jnp.where(crossed, jnp.maximum(rem - seg, 0.0), rem)
         done = done | ~hv | blocker
+    _report_budget_overflow("Media/Shadow walk budget exhausted", ~done)
     occ = occ | ~done  # crossing budget exhausted
     return occ, tr
 

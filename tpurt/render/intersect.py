@@ -681,12 +681,68 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
     return cond, body
 
 
+def _spread3(x):
+    """Spread the low 10 bits of x so consecutive bits land 3 apart
+    (Morton interleave building block)."""
+    x = (x | (x << 16)) & np.uint32(0x030000FF)
+    x = (x | (x << 8)) & np.uint32(0x0300F00F)
+    x = (x | (x << 4)) & np.uint32(0x030C30C3)
+    x = (x | (x << 2)) & np.uint32(0x09249249)
+    return x
+
+
+def _coherence_key(geo: DeviceGeometry, o, d):
+    """Sort key grouping rays that traverse similarly: direction octant
+    (major) then Morton cell of the origin within the scene bounds.
+    Coherent batches finish the lockstep phase in fewer steps and reuse
+    node-record gather rows across adjacent lanes (measured on killeroo:
+    8.3 Mrays/s coherent vs 2.9 shuffled at 2^17 lanes)."""
+    root = geo.wnodes[0]
+    lo = jnp.stack([jnp.nanmin(root[a * WIDTH:(a + 1) * WIDTH])
+                    for a in range(3)])
+    hi = jnp.stack([jnp.nanmax(root[(3 + a) * WIDTH:(4 + a) * WIDTH])
+                    for a in range(3)])
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((o - lo) / ext * 63.0, 0.0, 63.0).astype(jnp.uint32)
+    morton = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+              | (_spread3(q[:, 2]) << 2))  # 18 bits
+    octant = ((d[:, 0] < 0).astype(jnp.uint32) * 4
+              + (d[:, 1] < 0).astype(jnp.uint32) * 2
+              + (d[:, 2] < 0).astype(jnp.uint32))
+    return ((octant << 18) | morton).astype(jnp.int32)
+
+
+# Ray reordering is OFF by default: measured on the real chip (round 2,
+# killeroo shuffled primaries at 2^17 lanes), sorting by this key was a
+# small LOSS — closest-hit 67.2 -> 69.0 ms (0.97x), any-hit 37.9 ->
+# 47.0 ms (0.81x).  The 2.9-vs-8.3 Mrays/s coherent-vs-shuffled gap is
+# not recoverable by a 64-cell Morton + octant sort; sequential-pixel
+# primaries share near-identical traversal SEQUENCES, which the sort
+# cannot reconstruct.  Kept (reorder=True) for future A/Bs.
+REORDER_MIN_LANES = 1 << 62
+
+
 def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
-                   time=None):
-    """Wide-BVH traversal over (N,) ray lanes: PHASE1_STEPS lockstep
-    steps at full width, then straggler compaction (gather the surviving
-    lanes into a narrow wavefront, finish, scatter back)."""
+                   time=None, reorder: bool = None):
+    """Wide-BVH traversal over (N,) ray lanes: optional coherence sort,
+    PHASE1_STEPS lockstep steps at full width, then straggler compaction
+    (gather the surviving lanes into a narrow wavefront, finish, scatter
+    back)."""
     n = o.shape[0]
+    if reorder is None:
+        reorder = n >= REORDER_MIN_LANES
+    if reorder:
+        perm = jnp.argsort(_coherence_key(geo, o, d))
+        o = jnp.take(o, perm, axis=0)
+        d = jnp.take(d, perm, axis=0)
+        t_max = jnp.take(jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32), (n,)), perm, axis=0)
+        if time is not None:
+            time = jnp.take(time, perm, axis=0)
+        t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit,
+                                         time=time, reorder=False)
+        unscatter = lambda a: jnp.zeros_like(a).at[perm].set(a)
+        return unscatter(t), unscatter(prim), unscatter(b0), unscatter(b1)
     S = geo.wstack_depth
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
