@@ -35,11 +35,21 @@ import numpy as np
 
 from tpurt.geom.bvh import LinearBVH
 
-WIDTH = 8       # children per interior node
-LEAF_K = 12     # triangles per leaf bundle
-REC = 128       # f32 slots per record
+import os as _os
 
-SLOT_KIND = 126
+# Record geometry.  The default 8-wide/12-leaf/128-slot layout is the
+# measured sweet spot; TPURT_BVH_WIDTH=16 selects a 16-wide/24-leaf
+# /256-slot layout (1 KB gathered rows) for A/B experiments.
+# MEASURED (round 2, killeroo 2^17 shuffled lanes, one v5e chip):
+#   width 8 : closest 67.3 ms (1.95 Mrays/s), any-hit 37.9 ms
+#   width 16: closest 72.8 ms (1.80 Mrays/s), any-hit 44.7 ms
+# 1 KB rows do NOT stay flat in gather cost; fewer steps did not pay for
+# the wider row.  8-wide stays the default.
+WIDTH = int(_os.environ.get("TPURT_BVH_WIDTH", "8"))
+LEAF_K = {8: 12, 16: 24}[WIDTH]   # triangles per leaf bundle
+REC = {8: 128, 16: 256}[WIDTH]    # f32 slots per record
+
+SLOT_KIND = REC - 2
 
 
 def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
@@ -114,7 +124,7 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
     # slab-test comparison on NaN is false, so they can never be hit
     # (+/-inf boxes would false-hit rays whose direction is negative on
     # all axes: min/max slab arithmetic yields t_near=-inf, t_far=+inf).
-    tab[:, 0:48] = np.nan
+    tab[:, 0:6 * WIDTH] = np.nan
 
     for row, r in enumerate(rows):
         if r[0] == "leaf":
@@ -128,8 +138,8 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
             verts[3, :n], verts[4, :n], verts[5, :n] = tri_v1[sl].T
             verts[6, :n], verts[7, :n], verts[8, :n] = tri_v2[sl].T
             prim[:n] = np.arange(lo, lo + n, dtype=np.int32)
-            rec[0:108] = verts.reshape(-1)
-            rec[108:120] = prim.view(np.float32)
+            rec[0:9 * LEAF_K] = verts.reshape(-1)
+            rec[9 * LEAF_K:10 * LEAF_K] = prim.view(np.float32)
             rec[SLOT_KIND] = 1.0
             tab[row] = rec
             if motion:
@@ -137,7 +147,7 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
                 dv[0, :n], dv[1, :n], dv[2, :n] = (tri_e0[sl] - tri_v0[sl]).T
                 dv[3, :n], dv[4, :n], dv[5, :n] = (tri_e1[sl] - tri_v1[sl]).T
                 dv[6, :n], dv[7, :n], dv[8, :n] = (tri_e2[sl] - tri_v2[sl]).T
-                tab_delta[row, 0:108] = dv.reshape(-1)
+                tab_delta[row, 0:9 * LEAF_K] = dv.reshape(-1)
         else:
             _, children, child_rows = r
             rec = np.zeros(REC, np.float32)
@@ -148,9 +158,9 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
                 lo[:, k] = bvh.bounds_lo[c]
                 hi[:, k] = bvh.bounds_hi[c]
                 cref[k] = cr
-            rec[0:24] = lo.reshape(-1)
-            rec[24:48] = hi.reshape(-1)
-            rec[48:56] = cref.view(np.float32)
+            rec[0:3 * WIDTH] = lo.reshape(-1)
+            rec[3 * WIDTH:6 * WIDTH] = hi.reshape(-1)
+            rec[6 * WIDTH:7 * WIDTH] = cref.view(np.float32)
             rec[SLOT_KIND] = 0.0
             tab[row] = rec
     return tab, tab_delta, max_depth + 1

@@ -496,15 +496,24 @@ def _intersect_prim(geo: DeviceGeometry, pi, o, d, t_max):
 
 from tpurt.geom.wbvh import LEAF_K, SLOT_KIND, WIDTH  # noqa: E402
 
-# Batcher odd-even merge sorting network for 8 elements (19 comparators).
-_SORT8 = (
-    (0, 1), (2, 3), (4, 5), (6, 7),
-    (0, 2), (1, 3), (4, 6), (5, 7),
-    (1, 2), (5, 6),
-    (0, 4), (1, 5), (2, 6), (3, 7),
-    (2, 4), (3, 5),
-    (1, 2), (3, 4), (5, 6),
-)
+def _batcher_network(n: int):
+    """Batcher odd-even merge sorting network for n = 2^k elements
+    (19 comparators at n=8, 63 at n=16)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
+_SORT8 = _batcher_network(WIDTH)
 
 
 def _tri_bundle_test(o, d, t_max, rec, drec=None, time=None):
@@ -622,7 +631,7 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
     def body(state):
         cur, sp, stack, t_best, prim_best, b0_best, b1_best = state
         live = cur >= 0
-        rec = jnp.take(nodes, jnp.maximum(cur, 0), axis=0)  # (N, 128)
+        rec = jnp.take(nodes, jnp.maximum(cur, 0), axis=0)  # (N, REC)
         is_leaf = rec[:, SLOT_KIND] > 0
 
         # --- leaf: test the fused triangle bundle, keep the closest ---
@@ -635,7 +644,8 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
         t_min = jnp.min(tk, axis=1)
         kbest = jnp.argmin(tk, axis=1)
         ohk = iota_k == kbest[:, None]
-        prim_rows = jax.lax.bitcast_convert_type(rec[:, 108:120], jnp.int32)
+        prim_rows = jax.lax.bitcast_convert_type(
+            rec[:, 9 * LEAF_K:10 * LEAF_K], jnp.int32)
         better = live & is_leaf & (t_min < t_best)
         t_best = jnp.where(better, t_min, t_best)
         prim_best = jnp.where(
@@ -647,7 +657,8 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
 
         # --- interior: box tests + near-first ordering ---
         hit8, t_near = _box8_test(rec, o, inv_d, t_best)
-        meta = jax.lax.bitcast_convert_type(rec[:, 48:56], jnp.int32)
+        meta = jax.lax.bitcast_convert_type(
+            rec[:, 6 * WIDTH:7 * WIDTH], jnp.int32)
         keys = [jnp.where(hit8[:, k], t_near[:, k], INF) for k in range(WIDTH)]
         vals = [meta[:, k] for k in range(WIDTH)]
         for i, j in _SORT8:
