@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpurt.render.bsdf import LobeParams, bsdf_f, bsdf_pdf, bsdf_sample, zero_lobes
+from tpurt.render.bsdf import bsdf_f, bsdf_pdf
 from tpurt.render.camera import camera_pdf_we, camera_sample_wi, _camera_frame
 from tpurt.render.integrator import (
     SceneData,
@@ -40,6 +40,10 @@ from tpurt.render.integrator import (
     _escape_radiance,
     _infinite_L,
     IntegratorConfig,
+    make_shade_ctx,
+    shade_f,
+    shade_sample,
+    zero_shade_ctx,
 )
 from tpurt.render.interaction import compute_interaction, offset_ray_origin
 from tpurt.render.intersect import intersect_any, intersect_closest
@@ -53,7 +57,6 @@ from tpurt.render.lights import (
     sample_le,
     sample_li,
 )
-from tpurt.render.materials_build import fetch_lobes
 from tpurt.render.sampling_warps import build_onb, dot, normalize, to_local
 
 INF = jnp.float32(np.inf)
@@ -73,7 +76,8 @@ class VertexSoA(NamedTuple):
     valid: jnp.ndarray    # (D,N)
     escaped: jnp.ndarray  # (D,N) camera ray escaped to infinite lights
     lrow: jnp.ndarray     # (D,N) light-table row (-1 none)
-    lobes: LobeParams     # (D,N,...)
+    shade: Any            # ShadeCtx, every leaf (D,N,...) — full material
+                          # context incl. hair/fourier (no gray fallback)
 
 
 def _v(V: VertexSoA, i: int):
@@ -98,16 +102,12 @@ def _convert_density(pdf_dir, from_p, to_p, to_ng, to_escaped=None):
     return jnp.where(to_escaped, pdf_dir, area)
 
 
-def _bsdf_dir(lobes, ns, w_out, w_in, want_pdf=False):
+def _bsdf_dir(scene, shade, ns, w_out, w_in, want_pdf=False):
     """Evaluate f (and optionally pdf) at a surface vertex for world
-    directions w_out (toward the previous vertex) and w_in."""
-    t, b = build_onb(ns)
-    wo_l = to_local(t, b, ns, w_out)
-    wi_l = to_local(t, b, ns, w_in)
-    f = bsdf_f(lobes, wo_l, wi_l)
-    if not want_pdf:
-        return f
-    return f, bsdf_pdf(lobes, wo_l, wi_l)
+    directions w_out (toward the previous vertex) and w_in — through the
+    FULL material context (lobe mixture + hair + fourier), like the
+    reference's Vertex::f over ComputeScatteringFunctions output."""
+    return shade_f(scene, shade, ns, w_out, w_in, want_pdf=want_pdf)
 
 
 def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
@@ -122,16 +122,15 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
         o, d, beta, pdf_dir, alive, prev_p = carry
         t_max = jnp.where(alive, INF, 0.0)
         hit = intersect_closest(scene.geo, o, d, t_max)
-        si = compute_interaction(scene.geo, hit, o, d)
+        si = compute_interaction(scene.geo, hit, o, d,
+                                 tangents=scene.has_tangents)
 
         escaped = alive & ~si.valid if has_inf else jnp.zeros(n, bool)
         vvalid = alive & si.valid
         pdf_fwd = _convert_density(pdf_dir, prev_p, si.p, si.ng)
         pdf_fwd = jnp.where(escaped, pdf_dir, pdf_fwd)
 
-        overrides = texture_eval(si) if texture_eval is not None else None
-        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides, scene.mt_mix)
+        shade = make_shade_ctx(scene, si, texture_eval)
         lrow = jnp.where(vvalid,
                          scene.lights.prim_to_light[jnp.maximum(si.prim, 0)],
                          -1)
@@ -141,15 +140,12 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
         u_lobe = sampler.dim_dyn(px, py, sidx, d0, sctx)
         u1 = sampler.dim_dyn(px, py, sidx, d0 + 1, sctx)
         u2 = sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)
-        t_, b_ = build_onb(si.ns)
-        wo_l = to_local(t_, b_, si.ns, si.wo)
-        wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe,
-                                                      u1, u2)
-        wi = (wi_l[:, 0:1] * t_ + wi_l[:, 1:2] * b_
-              + wi_l[:, 2:3] * si.ns)
+        wi, f, pdf, is_spec, is_trans = shade_sample(
+            scene, shade, si.ns, si.wo, u_lobe, u1, u2)
         # reverse pdf toward the previous vertex; emitted as solid-angle
         # (the caller converts with the previous vertex's own normal)
-        pdf_rev_dir = bsdf_pdf(lobes, wi_l, wo_l)
+        _, pdf_rev_dir = shade_f(scene, shade, si.ns, wi, si.wo,
+                                 want_pdf=True)
         prev_rev_dir = jnp.where(is_spec, 0.0, pdf_rev_dir)
 
         ok = vvalid & (pdf > 0) & jnp.any(f > 0, axis=-1)
@@ -175,7 +171,7 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
             valid=vvalid,
             escaped=escaped,
             lrow=lrow,
-            lobes=lobes,
+            shade=shade,
             prev_rev_dir=prev_rev_dir,
             prev_rev_from=si.p,
         )
@@ -198,9 +194,9 @@ def _assemble(v0: dict, walk: dict, n_steps: int) -> VertexSoA:
     for k in ("p", "ng", "ns", "beta", "pdf_fwd", "delta", "valid",
               "escaped", "lrow"):
         fields[k] = cat(v0[k], walk[k])
-    fields["lobes"] = jax.tree_util.tree_map(
+    fields["shade"] = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a[None], b], axis=0),
-        v0["lobes"], walk["lobes"])
+        v0["shade"], walk["shade"])
 
     # pdf_rev[i] comes from step i+1's emission (reverse pdf toward i)
     p = fields["p"]
@@ -278,7 +274,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
     # ---- camera subpath ----
     _, cam_pdf_dir = camera_pdf_we(camera, d)
-    zl = zero_lobes(n)
+    zsh = zero_shade_ctx(scene, n)
     ones3 = jnp.ones((n, 3), jnp.float32)
     cam_v0 = dict(
         p=jnp.broadcast_to(cam_o[None, :], (n, 3)),
@@ -286,7 +282,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         ns=jnp.broadcast_to(cam_fwd[None, :], (n, 3)),
         beta=ones3, pdf_fwd=jnp.ones(n), delta=jnp.zeros(n, bool),
         valid=jnp.ones(n, bool), escaped=jnp.zeros(n, bool),
-        lrow=jnp.full(n, -1, jnp.int32), lobes=zl)
+        lrow=jnp.full(n, -1, jnp.int32), shade=zsh)
     cam_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
                             sctx, o, d, ones3 * ray_w[:, None],
                             cam_pdf_dir, jnp.ones(n, bool),
@@ -308,7 +304,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         beta=le.le / jnp.maximum(le.pdf_pos * lpmf, 1e-20)[:, None],
         pdf_fwd=le.pdf_pos * lpmf, delta=jnp.zeros(n, bool),
         valid=l_valid, escaped=jnp.zeros(n, bool),
-        lrow=lidx, lobes=zl)
+        lrow=lidx, shade=zsh)
     beta0 = (le.le * (jnp.abs(dot(le.n, le.d))
                       / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
                                     1e-20))[:, None])
@@ -444,7 +440,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                         [jnp.full(n, 0.5), jnp.full(n, 0.5)], -1))
                 qsm = _v(LIT, s - 2)
                 w_to_prev, _ = _dir_to(qs.p, qsm.p)
-                f_qs = _bsdf_dir(qs.lobes, qs.ns, w_to_prev, wi)
+                f_qs = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev, wi)
                 # importance-transport shading-normal correction
                 num = jnp.abs(dot(w_to_prev, qs.ns) * dot(wi, qs.ng))
                 den = jnp.abs(dot(w_to_prev, qs.ng) * dot(wi, qs.ns))
@@ -465,7 +461,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                           p_lens_w, qs.p, qs.ng)
                 qsm_rev = None
                 if s > 1:
-                    f2, pdf2 = _bsdf_dir(qs.lobes, qs.ns, wi, w_to_prev,
+                    f2, pdf2 = _bsdf_dir(scene, qs.shade, qs.ns, wi, w_to_prev,
                                          want_pdf=True)
                     qsm_rev = _convert_density(pdf2, qs.p, qsm.p, qsm.ng)
                 w = mis_weight_dbg(s, 1, None, qs, None, None, qs_rev, qsm_rev)
@@ -489,7 +485,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 ls = sample_li(lt, lidx2, pt.p,
                                jnp.stack([ua, ub], axis=-1))
                 w_to_prev, _ = _dir_to(pt.p, ptm.p)
-                f_pt = _bsdf_dir(pt.lobes, pt.ns, w_to_prev, ls.wi)
+                f_pt = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev, ls.wi)
                 contrib = (pt.beta * f_pt * ls.li
                            * (jnp.abs(dot(ls.wi, pt.ns))
                               / jnp.maximum(ls.pdf * pmf2, 1e-20))[:, None])
@@ -515,11 +511,11 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 pt_rev = _pdf_light(lt, lidx2, jnp.zeros(n, bool),
                                     ls.p_light, n_l, pt.p, pt.ng, world_r)
                 # ptm.pdfRev: bsdf at pt toward ptm given incoming wi
-                _, pdf_ptm = _bsdf_dir(pt.lobes, pt.ns, ls.wi, w_to_prev,
+                _, pdf_ptm = _bsdf_dir(scene, pt.shade, pt.ns, ls.wi, w_to_prev,
                                        want_pdf=True)
                 ptm_rev = _convert_density(pdf_ptm, pt.p, ptm.p, ptm.ng)
                 # qs.pdfRev: pt generating the light point
-                _, pdf_qs = _bsdf_dir(pt.lobes, pt.ns, w_to_prev, ls.wi,
+                _, pdf_qs = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev, ls.wi,
                                       want_pdf=True)
                 qs_rev = _convert_density(pdf_qs, pt.p, ls.p_light, n_l)
                 qs_delta_light = ls.is_delta
@@ -536,8 +532,8 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             w_c, d2_c = _dir_to(pt.p, qs.p)  # camera vertex -> light vertex
             w_to_prev_c, _ = _dir_to(pt.p, ptm.p)
             w_to_prev_l, _ = _dir_to(qs.p, qsm.p)
-            f_pt = _bsdf_dir(pt.lobes, pt.ns, w_to_prev_c, w_c)
-            f_qs = _bsdf_dir(qs.lobes, qs.ns, w_to_prev_l, -w_c)
+            f_pt = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev_c, w_c)
+            f_qs = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev_l, -w_c)
             g = (jnp.abs(dot(pt.ns, w_c)) * jnp.abs(dot(qs.ns, w_c))
                  / d2_c)
             contrib = qs.beta * f_qs * f_pt * pt.beta * g[:, None]
@@ -550,16 +546,16 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                           dist * (1 - SHADOW_EPS), 0.0))
             usable &= ~occ
             # endpoint pdf overrides
-            _, pdf_a = _bsdf_dir(qs.lobes, qs.ns, w_to_prev_l, -w_c,
+            _, pdf_a = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev_l, -w_c,
                                  want_pdf=True)
             pt_rev = _convert_density(pdf_a, qs.p, pt.p, pt.ng)
-            _, pdf_b = _bsdf_dir(pt.lobes, pt.ns, w_c, w_to_prev_c,
+            _, pdf_b = _bsdf_dir(scene, pt.shade, pt.ns, w_c, w_to_prev_c,
                                  want_pdf=True)
             ptm_rev = _convert_density(pdf_b, pt.p, ptm.p, ptm.ng)
-            _, pdf_c = _bsdf_dir(pt.lobes, pt.ns, w_to_prev_c, w_c,
+            _, pdf_c = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev_c, w_c,
                                  want_pdf=True)
             qs_rev = _convert_density(pdf_c, pt.p, qs.p, qs.ng)
-            _, pdf_d = _bsdf_dir(qs.lobes, qs.ns, -w_c, w_to_prev_l,
+            _, pdf_d = _bsdf_dir(scene, qs.shade, qs.ns, -w_c, w_to_prev_l,
                                  want_pdf=True)
             qsm_rev = _convert_density(pdf_d, qs.p, qsm.p, qsm.ng)
             w = mis_weight_dbg(s, t, pt, qs, pt_rev, ptm_rev, qs_rev, qsm_rev)

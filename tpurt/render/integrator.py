@@ -246,6 +246,135 @@ def _fourier_f_pdf_multi(scene: SceneData, tix, wo_l, wi_l):
     return f, pdf
 
 
+class ShadeCtx(NamedTuple):
+    """Full surface-shading context of a vertex: the masked lobe mixture
+    PLUS the hair/fourier special-material contexts and the shading frame
+    (hair azimuth needs the fiber-aligned frame — an arbitrary
+    build_onb(ns) frame would rotate the fiber).  The optional members
+    are None STATICALLY for scenes without the material, so e.g. non-hair
+    scenes compile none of the hair model.  This is what the reference's
+    ComputeScatteringFunctions hands every integrator (interaction.cpp;
+    hair.cpp:527, fourier.cpp) — bdpt/sppm/mlt shade through this instead
+    of a gray-matte stand-in."""
+
+    lobes: Any
+    t: jnp.ndarray  # (N, 3) shading tangent
+    b: jnp.ndarray  # (N, 3) shading bitangent
+    is_hair: Optional[jnp.ndarray] = None
+    hair: Optional[Any] = None  # HairParams
+    is_fourier: Optional[jnp.ndarray] = None
+    fourier_tix: Optional[jnp.ndarray] = None
+
+
+def make_shade_ctx(scene: SceneData, si: SurfaceInteraction,
+                   texture_eval=None) -> ShadeCtx:
+    overrides = texture_eval(si) if texture_eval is not None else None
+    lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
+                        si.material_id, overrides, scene.mt_mix)
+    t, b = _shading_frame(si)
+    hc = _hair_ctx(scene, si)
+    fc = _fourier_ctx(scene, si)
+    return ShadeCtx(
+        lobes=lobes, t=t, b=b,
+        is_hair=None if hc is None else hc[0],
+        hair=None if hc is None else hc[1],
+        is_fourier=None if fc is None else fc[0],
+        fourier_tix=None if fc is None else fc[1])
+
+
+def zero_shade_ctx(scene: SceneData, n: int) -> ShadeCtx:
+    """All-dark context with the same pytree STRUCTURE as
+    make_shade_ctx's output for this scene (endpoint vertices in scans
+    must match the walk vertices' structure).  Every leaf is a DISTINCT
+    buffer: callers donate states containing this tree, and XLA rejects
+    donating one buffer twice."""
+    from tpurt.render.bsdf import zero_lobes
+
+    t = jnp.zeros((n, 3), jnp.float32).at[:, 0].set(1.0)
+    b = jnp.zeros((n, 3), jnp.float32).at[:, 1].set(1.0)
+    hc = fc = None
+    if scene.has_hair:
+        from tpurt.render.hair import HairParams
+
+        z = jnp.zeros(n, jnp.float32)
+        hc = (jnp.zeros(n, bool),
+              HairParams(h=z, eta=z + 1.55, sigma_a=jnp.zeros((n, 3)),
+                         beta_m=z + 0.3, beta_n=z + 0.3, alpha=z))
+    if scene.has_fourier:
+        fc = (jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32))
+    ctx = ShadeCtx(
+        lobes=zero_lobes(n), t=t, b=b,
+        is_hair=None if hc is None else hc[0],
+        hair=None if hc is None else hc[1],
+        is_fourier=None if fc is None else fc[0],
+        fourier_tix=None if fc is None else fc[1])
+    # zero_lobes shares its zero buffers across fields; materialize each
+    # leaf separately (the +0 forces a fresh buffer per leaf)
+    return jax.tree_util.tree_map(lambda a: a + 0, ctx)
+
+
+def shade_f(scene: SceneData, ctx: ShadeCtx, ns, w_out, w_in,
+            want_pdf: bool = False):
+    """BSDF value (and optionally pdf) for world directions at a vertex,
+    blending hair/fourier lanes (no cosine factor)."""
+    wo_l = to_local(ctx.t, ctx.b, ns, w_out)
+    wi_l = to_local(ctx.t, ctx.b, ns, w_in)
+    f = bsdf_f(ctx.lobes, wo_l, wi_l)
+    pdf = bsdf_pdf(ctx.lobes, wo_l, wi_l) if want_pdf else None
+    if ctx.is_hair is not None:
+        from tpurt.render.hair import hair_f, hair_pdf
+
+        f = jnp.where(ctx.is_hair[:, None], hair_f(ctx.hair, wo_l, wi_l), f)
+        if want_pdf:
+            pdf = jnp.where(ctx.is_hair, hair_pdf(ctx.hair, wo_l, wi_l), pdf)
+    if ctx.is_fourier is not None:
+        ff, fpdf = _fourier_f_pdf_multi(scene, ctx.fourier_tix, wo_l, wi_l)
+        f = jnp.where(ctx.is_fourier[:, None], ff, f)
+        if want_pdf:
+            pdf = jnp.where(ctx.is_fourier, fpdf, pdf)
+    return (f, pdf) if want_pdf else f
+
+
+def shade_sample(scene: SceneData, ctx: ShadeCtx, ns, w_out,
+                 u_lobe, u1, u2):
+    """Sample a continuation direction at a vertex, blending hair/fourier
+    lanes exactly as path_radiance does.  Returns
+    (wi_world, f, pdf, is_spec, is_trans)."""
+    wo_l = to_local(ctx.t, ctx.b, ns, w_out)
+    wi_l, f, pdf, is_spec, is_trans = bsdf_sample(ctx.lobes, wo_l,
+                                                  u_lobe, u1, u2)
+    if ctx.is_hair is not None:
+        from tpurt.render.hair import hair_sample
+
+        wi_h, f_h, pdf_h = hair_sample(ctx.hair, wo_l, u1, u2)
+        wi_l = jnp.where(ctx.is_hair[:, None], wi_h, wi_l)
+        f = jnp.where(ctx.is_hair[:, None], f_h, f)
+        pdf = jnp.where(ctx.is_hair, pdf_h, pdf)
+        is_spec = is_spec & ~ctx.is_hair
+        is_trans = is_trans & ~ctx.is_hair
+    if ctx.is_fourier is not None:
+        from tpurt.render.fourier import fourier_sample
+
+        is_f = ctx.is_fourier
+        wi_f = jnp.zeros_like(wi_l)
+        f_f = jnp.zeros_like(f)
+        pdf_f = jnp.zeros_like(pdf)
+        for k, tbl in enumerate(scene.fr_tables):
+            mk = ctx.fourier_tix == k
+            wi_k, fk, pk = fourier_sample(tbl, scene.fr_etas[k], wo_l,
+                                          u1, u2)
+            wi_f = jnp.where(mk[:, None], wi_k, wi_f)
+            f_f = jnp.where(mk[:, None], fk, f_f)
+            pdf_f = jnp.where(mk, pk, pdf_f)
+        wi_l = jnp.where(is_f[:, None], wi_f, wi_l)
+        f = jnp.where(is_f[:, None], f_f, f)
+        pdf = jnp.where(is_f, pdf_f, pdf)
+        is_spec = is_spec & ~is_f
+        is_trans = jnp.where(is_f, wi_l[:, 2] * wo_l[:, 2] < 0, is_trans)
+    wi = to_world(ctx.t, ctx.b, ns, wi_l)
+    return wi, f, pdf, is_spec, is_trans
+
+
 def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
          strategy: str, alive, hair_ctx=None, fourier_ctx=None, time=None):
     """Next-event estimation: one light sample with MIS weighting
@@ -1024,18 +1153,16 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     v0 = px.astype(jnp.float32) * 0.0
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
 
-    def nee_from(scene, si, lobes, u_choice, u_light, alive, med, is_medium,
+    def nee_from(scene, si, shade, u_choice, u_light, alive, med, is_medium,
                  g_med, bounce):
         """NEE supporting both surface and in-medium vertices."""
         lt = scene.lights
         lidx, pmf = choose_light(lt, u_choice, cfg.light_strategy, p=si.p)
         ls = sample_li(lt, lidx, si.p, u_light)
-        # surface f / pdf
-        t, b = build_onb(si.ns)
-        wo_l = to_local(t, b, si.ns, si.wo)
-        wi_l = to_local(t, b, si.ns, ls.wi)
-        f_surf = bsdf_f(lobes, wo_l, wi_l) * jnp.abs(dot(ls.wi, si.ns))[:, None]
-        pdf_surf = bsdf_pdf(lobes, wo_l, wi_l)
+        # surface f / pdf through the full material context (hair/fourier)
+        f_surf, pdf_surf = shade_f(scene, shade, si.ns, si.wo, ls.wi,
+                                   want_pdf=True)
+        f_surf = f_surf * jnp.abs(dot(ls.wi, si.ns))[:, None]
         # medium phase f / pdf (f == pdf for a normalized phase function)
         cos_t = dot(-si.wo, ls.wi)  # si.wo = -ray.d -> propagation = -wo
         ph = _hg_phase(cos_t, g_med)
@@ -1072,6 +1199,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         t_max = jnp.where(alive, INF, 0.0)
         hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
         si = compute_interaction(scene.geo, hit, o, d,
+                                 tangents=scene.has_tangents,
                                  dpduv=scene.has_bump or scene.has_texfilter,
                                  time=l_time)
         if scene.has_texfilter:
@@ -1145,10 +1273,12 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             wo=jnp.where(sampled_med[:, None], -d, si.wo),
         )
 
-        overrides = texture_eval(si) if texture_eval is not None else None
-        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides, scene.mt_mix)
-        any_lobe = jnp.any(lobes.active, axis=-1)
+        shade = make_shade_ctx(scene, si, texture_eval)
+        any_lobe = jnp.any(shade.lobes.active, axis=-1)
+        if shade.is_hair is not None:
+            any_lobe = any_lobe | shade.is_hair
+        if shade.is_fourier is not None:
+            any_lobe = any_lobe | shade.is_fourier
         # null-material boundary: pass through + switch media
         null_boundary = (alive & si.valid & ~sampled_med & ~any_lobe
                          & ((scene.geo.medium_inside[jnp.maximum(si.prim, 0)]
@@ -1167,7 +1297,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         u_choice = sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)
         u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 3, sctx),
                              sampler.dim_dyn(px, py, sidx, d0 + 4, sctx)], axis=-1)
-        Ld = nee_from(scene, si_eff, lobes, u_choice, u_light, alive_shade,
+        Ld = nee_from(scene, si_eff, shade, u_choice, u_light, alive_shade,
                       med, sampled_med, g_med, bounce)
         L = L + beta * Ld
 
@@ -1175,11 +1305,8 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 5, sctx)
         u1 = sampler.dim_dyn(px, py, sidx, d0 + 6, sctx)
         u2 = sampler.dim_dyn(px, py, sidx, d0 + 7, sctx)
-        t, b = build_onb(si.ns)
-        wo_l = to_local(t, b, si.ns, si.wo)
-        wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe,
-                                                      u1, u2)
-        wi_surf = to_world(t, b, si.ns, wi_l)
+        wi_surf, f, pdf, is_spec, is_trans = shade_sample(
+            scene, shade, si.ns, si.wo, u_lobe, u1, u2)
         wi_med, _ph = _hg_sample(d, g_med, u1, u2)
         wi = jnp.where(sampled_med[:, None], wi_med, wi_surf)
 

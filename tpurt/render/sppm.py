@@ -52,18 +52,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurt.config import get_config
-from tpurt.render.bsdf import LobeParams, bsdf_f, bsdf_sample, zero_lobes
+
 from tpurt.render.film import FilmState
 from tpurt.render.integrator import (CAMERA_DIMS, DIMS_PER_BOUNCE, INF,
                                      SceneData, _camera_setup, _choice_pmf_at,
                                      _emitted, _escape_pdf, _escape_radiance,
-                                     _infinite_L, _nee)
+                                     _infinite_L, _nee, make_shade_ctx,
+                                     shade_f, shade_sample, zero_shade_ctx)
 from tpurt.render.interaction import compute_interaction, offset_ray_origin
 from tpurt.render.intersect import intersect_closest
 from tpurt.render.lights import choose_light, pdf_li_from_hit, sample_le
-from tpurt.render.materials_build import fetch_lobes
-from tpurt.render.sampling_warps import (build_onb, dot, power_heuristic,
-                                         to_local, to_world)
+from tpurt.render.sampling_warps import dot, power_heuristic
 from tpurt.sampling import lowdiscrepancy as ld
 from tpurt.sampling.samplers import (ONE_MINUS_EPS, _digits_needed,
                                      _radical_inverse, make_halton)
@@ -94,21 +93,25 @@ class SPPMPixels(NamedTuple):
     vp_wo: jnp.ndarray     # (P,3) world-space
     vp_ns: jnp.ndarray     # (P,3) shading normal (local BSDF frame)
     vp_beta: jnp.ndarray   # (P,3)
-    vp_lobes: LobeParams   # each (P,) / (P,3)
+    vp_shade: object       # ShadeCtx, each leaf (P, ...) — full material
+                           # context incl. hair/fourier
 
 
-def _init_pixels(n_pix: int, initial_radius: float) -> SPPMPixels:
+def _init_pixels(n_pix: int, initial_radius: float,
+                 scene: SceneData = None) -> SPPMPixels:
     # distinct buffers per field: the state is donated into the jitted
-    # passes, and XLA rejects donating one buffer twice
+    # passes, and XLA rejects donating one buffer twice.  scene supplies
+    # the static material-context structure (hair/fourier present or
+    # not); None means neither.
+    if scene is None:
+        scene = type("_NoMat", (), {"has_hair": False,
+                                    "has_fourier": False})()
     z3 = lambda: jnp.zeros((n_pix, 3), jnp.float32)
     z1 = lambda: jnp.zeros((n_pix,), jnp.float32)
-    lob = zero_lobes(1)
-    lobes = jax.tree_util.tree_map(
-        lambda a: jnp.tile(a, (n_pix,) + (1,) * (a.ndim - 1)), lob)
     return SPPMPixels(
         radius=z1() + initial_radius, Ld=z3(), N=z1(), tau=z3(), Phi=z3(),
         M=z1(), vp_valid=jnp.zeros((n_pix,), bool), vp_p=z3(), vp_wo=z3(),
-        vp_ns=z3(), vp_beta=z3(), vp_lobes=lobes)
+        vp_ns=z3(), vp_beta=z3(), vp_shade=zero_shade_ctx(scene, n_pix))
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +129,7 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
     inf_L, _ = _infinite_L(scene.lights)
     has_inf = scene.lights.has_infinite
 
-    zl = zero_lobes(n)
+    zsh = zero_shade_ctx(scene, n)
     v0 = px.astype(jnp.float32) * 0.0
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
 
@@ -165,16 +168,23 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
         # probe lanes accumulated their emission above and stop here
         alive = alive & si.valid & ~probe & (bounce < max_depth)
 
-        overrides = texture_eval(si) if texture_eval is not None else None
-        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides, scene.mt_mix)
-        act = lobes.active
-        alive = alive & jnp.any(act, axis=-1)
+        shade = make_shade_ctx(scene, si, texture_eval)
+        act = shade.lobes.active
+        any_lobe = jnp.any(act, axis=-1)
+        is_diffuse = act[:, 0]
+        is_glossy = act[:, 1]
+        # hair/fourier count as glossy components (HairBSDF/FourierBSDF
+        # are BSDF_GLOSSY in the reference)
+        if shade.is_hair is not None:
+            any_lobe = any_lobe | shade.is_hair
+            is_glossy = is_glossy | shade.is_hair
+        if shade.is_fourier is not None:
+            any_lobe = any_lobe | shade.is_fourier
+            is_glossy = is_glossy | shade.is_fourier
+        alive = alive & any_lobe
 
         # visible-point storage rule (sppm.cpp:203-214): first diffuse
         # vertex, or glossy at the final camera bounce
-        is_diffuse = act[:, 0]
-        is_glossy = act[:, 1]
         store = alive & ~vp_taken & (is_diffuse
                                      | (is_glossy & (bounce == max_depth - 1)))
         s3 = store[:, None]
@@ -184,10 +194,10 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
             wo=jnp.where(s3, si.wo, vp['wo']),
             ns=jnp.where(s3, si.ns, vp['ns']),
             beta=jnp.where(s3, beta, vp['beta']),
-            lobes=jax.tree_util.tree_map(
+            shade=jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
                     s3 if new.ndim == 2 else store, new, old),
-                lobes, vp['lobes']),
+                shade, vp['shade']),
         )
         vp_taken = vp_taken | store
 
@@ -198,18 +208,21 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
                              smplr.dim_dyn(px, py, sidx, d0 + 2, sctx)],
                             axis=-1)
         has_smooth = is_diffuse | is_glossy
-        Ld = Ld + beta * _nee(scene, si, lobes, u_choice, u_light,
-                              "uniform", alive & has_smooth)
+        hair_ctx = (None if shade.is_hair is None
+                    else (shade.is_hair, shade.hair))
+        fourier_ctx = (None if shade.is_fourier is None
+                       else (shade.is_fourier, shade.fourier_tix))
+        Ld = Ld + beta * _nee(scene, si, shade.lobes, u_choice, u_light,
+                              "uniform", alive & has_smooth,
+                              hair_ctx=hair_ctx, fourier_ctx=fourier_ctx)
 
         # BSDF continuation; stored lanes continue exactly one more bounce
         # as the MIS emission probe
         u_lobe = smplr.dim_dyn(px, py, sidx, d0 + 3, sctx)
         u1 = smplr.dim_dyn(px, py, sidx, d0 + 4, sctx)
         u2 = smplr.dim_dyn(px, py, sidx, d0 + 5, sctx)
-        t, b = build_onb(si.ns)
-        wo_l = to_local(t, b, si.ns, si.wo)
-        wi_l, f, pdf, is_spec, _ = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
-        wi = to_world(t, b, si.ns, wi_l)
+        wi, f, pdf, is_spec, _ = shade_sample(scene, shade, si.ns, si.wo,
+                                              u_lobe, u1, u2)
         ok = alive & (pdf > 0) & jnp.any(f > 0, axis=-1)
         beta = jnp.where(ok[:, None],
                          beta * f * (jnp.abs(dot(wi, si.ns))
@@ -236,7 +249,7 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
         return (o, d, beta, Ld, alive, specular, prev_pdf, prev_p,
                 vp_taken, probe, vp), None
 
-    vp0 = dict(valid=px != px, p=v03, wo=v03, ns=v03, beta=v03, lobes=zl)
+    vp0 = dict(valid=px != px, p=v03, wo=v03, ns=v03, beta=v03, shade=zsh)
     init = (o, d, v03 + ray_w[:, None], v03, (px == px) & mask,
             px != px, v0 + 1.0, o, px != px, px != px, vp0)
     carry, _ = jax.lax.scan(bounce_body, init,
@@ -364,19 +377,15 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
         valid = alive & si.valid
         rec = dict(p=si.p, wi=-d, beta=beta, valid=valid & (b > 0))
 
-        overrides = texture_eval(si) if texture_eval is not None else None
-        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides, scene.mt_mix)
+        shade = make_shade_ctx(scene, si, texture_eval)
         d0 = 6 + 4 * b
         u_lobe = _ri_dyn(hidx, primes_dev[d0], n_digits)
         u1 = _ri_dyn(hidx, primes_dev[d0 + 1], n_digits)
         u2 = _ri_dyn(hidx, primes_dev[d0 + 2], n_digits)
         u_rr = _ri_dyn(hidx, primes_dev[d0 + 3], n_digits)
 
-        t_, b_ = build_onb(si.ns)
-        wo_l = to_local(t_, b_, si.ns, si.wo)
-        wi_l, f, pdf, _, _ = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
-        wi = to_world(t_, b_, si.ns, wi_l)
+        wi, f, pdf, _, _ = shade_sample(scene, shade, si.ns, si.wo,
+                                        u_lobe, u1, u2)
         ok = valid & (pdf > 0) & jnp.any(f > 0, axis=-1)
         bnew = beta * f * (jnp.abs(dot(wi, si.ns))
                            / jnp.maximum(pdf, 1e-20))[:, None]
@@ -421,11 +430,8 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
         r = pix.radius[vpc]
         ok = ok & (d2 <= r * r) & pix.vp_valid[vpc]
         ns = pix.vp_ns[vpc]
-        t_, b_ = build_onb(ns)
-        wo_l = to_local(t_, b_, ns, pix.vp_wo[vpc])
-        wi_l = to_local(t_, b_, ns, wi)
-        lob = jax.tree_util.tree_map(lambda a: a[vpc], pix.vp_lobes)
-        f = bsdf_f(lob, wo_l, wi_l)
+        ctx = jax.tree_util.tree_map(lambda a: a[vpc], pix.vp_shade)
+        f = shade_f(scene, ctx, ns, pix.vp_wo[vpc], wi)
         phi = jnp.where(ok[:, None], beta * f, 0.0)
         # masked lanes target row 0 with a zero payload
         row = jnp.where(ok, vpc, 0)
@@ -516,8 +522,8 @@ def render_sppm(sd, quick: bool = False, crop_override=None,
             vp_wo=set_at(pix.vp_wo, vp['wo']),
             vp_ns=set_at(pix.vp_ns, vp['ns']),
             vp_beta=set_at(pix.vp_beta, vp['beta']),
-            vp_lobes=jax.tree_util.tree_map(
-                lambda full, v: set_at(full, v), pix.vp_lobes, vp['lobes']),
+            vp_shade=jax.tree_util.tree_map(
+                lambda full, v: set_at(full, v), pix.vp_shade, vp['shade']),
         )
 
     grid_fn = jax.jit(partial(_build_grid, hash_size=hash_size))
@@ -532,7 +538,7 @@ def render_sppm(sd, quick: bool = False, crop_override=None,
 
     update_fn = jax.jit(_update_pixels, donate_argnums=(0,))
 
-    pix = _init_pixels(n_pix, init_radius)
+    pix = _init_pixels(n_pix, init_radius, scene=job.scene)
     w = film.width
     reporter = ProgressReporter(2 * n_iters, "Rendering (sppm)")
     t0 = time.time()
