@@ -92,3 +92,56 @@ def test_moving_occluder_shadows_partially():
     # i.e. the last ~24% of the shutter: expect ~76% light (a static
     # blocker at either endpoint would give 0% or 100%)
     assert 0.6 < ratio < 0.92, ratio
+
+
+def test_animated_quadric_streaks():
+    """Animated QUADRICS (round 2): a sphere translated during the
+    shutter must streak like an animated mesh does (TransformedPrimitive
+    over a quadric, core/transform.h:412; device TRS slerp in
+    intersect.interp_quad_transform).  Also: identical endpoints must
+    reproduce the static image."""
+    def sphere_scene(xf):
+        return f"""
+        Film "image" "integer xresolution" [32] "integer yresolution" [32]
+        Sampler "random" "integer pixelsamples" [24]
+        Integrator "path" "integer maxdepth" [2]
+        Camera "perspective" "float fov" [40]
+        WorldBegin
+        LightSource "distant" "color L" [6 6 6]
+          "point from" [0 0 0] "point to" [0 0 1]
+        Material "matte" "color Kd" [.8 .8 .8]
+        AttributeBegin
+          {xf}
+          Translate 0 0 5
+          Shape "sphere" "float radius" [0.5]
+        AttributeEnd
+        WorldEnd
+        """
+
+    img_static, _ = render(load_scene_string(sphere_scene(
+        "Translate -0.6 0 0")), progress=False)
+    img_same, _ = render(load_scene_string(sphere_scene(
+        "ActiveTransform All\n          Translate -0.6 0 0")),
+        progress=False)
+    np.testing.assert_allclose(np.asarray(img_same), np.asarray(img_static),
+                               atol=3e-3)
+
+    moving = sphere_scene("""ActiveTransform StartTime
+          Translate -0.6 0 0
+          ActiveTransform EndTime
+          Translate 0.6 0 0
+          ActiveTransform All""")
+    img_m, _ = render(load_scene_string(moving), progress=False)
+    img_m = np.asarray(img_m)
+    s = np.asarray(img_static)
+    assert np.isfinite(img_m).all()
+    lit = (img_m[..., 0] > 0.02)
+    lit_static = (s[..., 0] > 0.02)
+    # the streak must cover BOTH endpoint positions...
+    left = lit_static
+    right = lit_static[:, ::-1]  # mirrored endpoint (+0.6 is the mirror)
+    assert (lit & left).sum() > 0.5 * left.sum()
+    assert (lit & right).sum() > 0.5 * right.sum()
+    # ...and each endpoint region is dimmer than the static sphere
+    # (each shutter time sees the sphere in only part of the streak)
+    assert img_m[left].mean() < 0.8 * s[left].mean()

@@ -111,7 +111,8 @@ def _bsdf_dir(scene, shade, ns, w_out, w_in, want_pdf=False):
 
 
 def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
-                 o, d, beta0, pdf_dir0, alive0, n_steps, dim_base, mode):
+                 o, d, beta0, pdf_dir0, alive0, n_steps, dim_base, mode,
+                 time=None):
     """Shared camera/light subpath walk.  Returns the (n_steps, N, ...)
     vertex stack plus per-step pdf_rev-of-previous emissions."""
     n = px.shape[0]
@@ -121,9 +122,9 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
     def step(carry, b):
         o, d, beta, pdf_dir, alive, prev_p = carry
         t_max = jnp.where(alive, INF, 0.0)
-        hit = intersect_closest(scene.geo, o, d, t_max)
+        hit = intersect_closest(scene.geo, o, d, t_max, time=time)
         si = compute_interaction(scene.geo, hit, o, d,
-                                 tangents=scene.has_tangents)
+                                 tangents=scene.has_tangents, time=time)
 
         escaped = alive & ~si.valid if has_inf else jnp.zeros(n, bool)
         vvalid = alive & si.valid
@@ -268,7 +269,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     s_max_v = max_depth + 1  # light vertices
     strategy_pmf = lt.power_pmf  # bdpt default lightsamplestrategy "power"
 
-    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, _t = _camera_setup(
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, l_time = _camera_setup(
         sampler, camera, px, py, sidx, crop_xy)
     cam_o, cam_fwd = _camera_frame(camera)
 
@@ -286,7 +287,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     cam_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
                             sctx, o, d, ones3 * ray_w[:, None],
                             cam_pdf_dir, jnp.ones(n, bool),
-                            t_max_v - 1, 5, "radiance")
+                            t_max_v - 1, 5, "radiance", time=l_time)
     CAM = _assemble(cam_v0, cam_walk, t_max_v - 1)
 
     # ---- light subpath ----
@@ -310,9 +311,13 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                     1e-20))[:, None])
     o_l = jnp.where(le.is_delta_pos[:, None] | le.is_infinite[:, None],
                     le.p, offset_ray_origin(le.p, le.n, le.d))
+    # light-subpath rays share the lane's camera-sampled shutter time
+    # (the reference samples a fresh shutter time per light path,
+    # bdpt.cpp GenerateLightSubpath; one time per lane is the wavefront
+    # equivalent — both integrate uniformly over the shutter)
     lit_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
                             sctx, o_l, le.d, beta0, le.pdf_dir, l_valid,
-                            s_max_v - 1, bl + 5, "importance")
+                            s_max_v - 1, bl + 5, "importance", time=l_time)
     LIT = _assemble(lit_v0, lit_walk, s_max_v - 1)
     lit_delta_light = jnp.take(
         (lt.kind != LIGHT_AREA_TRI) & (lt.kind != LIGHT_AREA_SPHERE)
@@ -454,7 +459,8 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 dist = jnp.linalg.norm(p_lens_w - o_sh, axis=-1)
                 occ = intersect_any(scene.geo, o_sh, wi,
                                     jnp.where(usable,
-                                              dist * (1 - SHADOW_EPS), 0.0))
+                                              dist * (1 - SHADOW_EPS), 0.0),
+                                    time=l_time)
                 usable &= ~occ
                 # MIS: camera side has no interior vertices (t=1)
                 qs_rev = _convert_density(camera_pdf_we(camera, -wi)[1],
@@ -543,7 +549,8 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             dist = jnp.linalg.norm(tgt - o_sh, axis=-1)
             occ = intersect_any(scene.geo, o_sh, w_c,
                                 jnp.where(usable,
-                                          dist * (1 - SHADOW_EPS), 0.0))
+                                          dist * (1 - SHADOW_EPS), 0.0),
+                                time=l_time)
             usable &= ~occ
             # endpoint pdf overrides
             _, pdf_a = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev_l, -w_c,

@@ -90,6 +90,12 @@ class GeometryArrays:
     tri_e2: np.ndarray = None
     vert_ne: np.ndarray = None  # (V, 3)
     has_motion: bool = False
+    # animated quadrics (TransformedPrimitive over a quadric): start/end
+    # o2w decomposed as T(3)+quat(4)+S(3x3 row-major 9) = 16 floats per
+    # endpoint; None when no quadric animates
+    quad_trs: np.ndarray = None  # (Q, 2, 16) f32
+    quad_animated: np.ndarray = None  # (Q,) bool
+    has_quad_motion: bool = False
 
     @property
     def n_prims(self) -> int:
@@ -144,6 +150,8 @@ def flatten_geometry(
     med_in, med_out = [], []
     vert_n, vert_uv, vert_s, vert_ne = [], [], [], []
     quads_w2o, quads_o2w, quads_params = [], [], []
+    quads_trs, quads_anim = [], []
+    has_quad_motion = False
     blo, bhi = [], []
     vert_base = 0
     has_motion = False
@@ -220,6 +228,36 @@ def flatten_geometry(
             qi = len(quads_w2o)
             quads_w2o.append(shape.object_to_world.m_inv.astype(np.float32))
             quads_o2w.append(shape.object_to_world.m.astype(np.float32))
+            # animated quadric: decompose both endpoint transforms
+            # (AnimatedTransform::Decompose, transform.cpp:412+); device
+            # interpolation happens per lane at ray time
+            from tpurt.geom.transform import decompose_trs
+
+            se_q = prim.shape_end
+            if (isinstance(se_q, QuadricRecord) and not np.allclose(
+                    se_q.object_to_world.m, shape.object_to_world.m)):
+                has_quad_motion = True
+                quads_anim.append(True)
+                pair = []
+                for tr in (shape.object_to_world.m,
+                           se_q.object_to_world.m):
+                    tt, qq, ss = decompose_trs(tr)
+                    pair.append(np.concatenate(
+                        [tt, qq, ss.reshape(-1)]).astype(np.float32))
+                quads_trs.append(np.stack(pair))
+                if arealight_index(prim, None) >= 0:
+                    import logging
+
+                    logging.getLogger("tpurt.render").warning(
+                        "area light on an animated shape: the reference "
+                        "ignores it (api.cpp:1371); sampling the start "
+                        "position")
+            else:
+                quads_anim.append(False)
+                tt, qq, ss = decompose_trs(shape.object_to_world.m)
+                one = np.concatenate([tt, qq, ss.reshape(-1)]).astype(
+                    np.float32)
+                quads_trs.append(np.stack([one, one]))
             r = shape.radius
             zmin, zmax = min(shape.z_min, shape.z_max), max(shape.z_min, shape.z_max)
             if shape.kind == "sphere":
@@ -389,6 +427,10 @@ def flatten_geometry(
     q_par = (np.stack(quads_params) if quads_params
              else np.ones((1, 16), np.float32))
     q_bucket = _bucket(len(q_w2o), lo=8)
+    q_trs = (np.stack(quads_trs) if quads_trs
+             else np.zeros((0, 2, 16), np.float32))
+    q_anim = (np.asarray(quads_anim, bool) if quads_anim
+              else np.zeros(0, bool))
     m_bucket = _bucket(bvh.n_nodes)
     # pad BVH with unreachable leaf nodes (nothing points at them)
     bvh.bounds_lo = pad_rows(bvh.bounds_lo, m_bucket)
@@ -422,6 +464,10 @@ def flatten_geometry(
         quad_w2o=pad_rows(q_w2o, q_bucket),
         quad_o2w=pad_rows(q_o2w, q_bucket),
         quad_params=pad_rows(q_par, q_bucket, 1.0),
+        quad_trs=pad_rows(q_trs, q_bucket) if has_quad_motion else None,
+        quad_animated=(pad_rows(q_anim, q_bucket)
+                       if has_quad_motion else None),
+        has_quad_motion=has_quad_motion,
         world_lo=(blo.min(axis=0) if len(blo) else np.zeros(3)),
         world_hi=(bhi.max(axis=0) if len(bhi) else np.zeros(3)),
         n_tris=n_tris,

@@ -47,6 +47,12 @@ class SurfaceInteraction(NamedTuple):
     # uv-space ray-footprint widths for MIP selection (None = top level)
     tex_wu: jnp.ndarray = None  # (N,)
     tex_wv: jnp.ndarray = None  # (N,)
+    # uv-space screen-derivative vectors (du/dx, dv/dx) and (du/dy, dv/dy)
+    # from TRUE camera ray differentials (interaction.cpp
+    # ComputeDifferentials); present only on texture-filtering scenes —
+    # imagemap lookups then use anisotropic EWA instead of trilinear
+    tex_dst0: jnp.ndarray = None  # (N,2)
+    tex_dst1: jnp.ndarray = None  # (N,2)
 
 
 def _gather3(arr, idx):
@@ -121,6 +127,13 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     qi = jnp.maximum(geo.quad_id[prim], 0)
     w2o = geo.quad_w2o[qi]
     o2w = geo.quad_o2w[qi]
+    if geo.quad_trs is not None and time is not None:
+        from tpurt.render.intersect import interp_quad_transform
+
+        o2w_t, w2o_t = interp_quad_transform(geo.quad_trs[qi], time)
+        anim = geo.quad_animated[qi][:, None, None]
+        w2o = jnp.where(anim, w2o_t, w2o)
+        o2w = jnp.where(anim, o2w_t, o2w)
     params = geo.quad_params[qi]
 
     def xp(m, pnt):

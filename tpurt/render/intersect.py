@@ -93,6 +93,10 @@ class DeviceGeometry(NamedTuple):
     tri_dv1: jnp.ndarray = None
     tri_dv2: jnp.ndarray = None
     vert_dn: jnp.ndarray = None
+    # animated quadrics: per-quadric endpoint TRS packs + flags (None for
+    # scenes without quadric motion — static pytree property)
+    quad_trs: jnp.ndarray = None  # (Q, 2, 16)
+    quad_animated: jnp.ndarray = None  # (Q,)
 
     n_tris: int = 0
     n_quads: int = 0
@@ -140,6 +144,9 @@ class DeviceGeometry(NamedTuple):
             medium_outside=f(g.medium_outside if g.medium_outside is not None
                              else np.full(p, -1, np.int32)),
             wnodes_delta=f(wdelta) if wdelta is not None else None,
+            quad_trs=(f(g.quad_trs) if g.quad_trs is not None else None),
+            quad_animated=(f(g.quad_animated)
+                           if g.quad_animated is not None else None),
             tri_dv0=f(g.tri_e0 - g.tri_v0) if g.has_motion else None,
             tri_dv1=f(g.tri_e1 - g.tri_v1) if g.has_motion else None,
             tri_dv2=f(g.tri_e2 - g.tri_v2) if g.has_motion else None,
@@ -796,7 +803,56 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
     return t, prim, b0, b1
 
 
-def _quadric_pass(geo: DeviceGeometry, o, d, t, prim, b0, b1):
+def interp_quad_transform(trs_pair, dt):
+    """Interpolate a decomposed TRS endpoint pair at per-lane dt
+    (AnimatedTransform::Interpolate, transform.cpp:467-500) and return
+    (o2w, w2o) as (N, 4, 4) matrices.  trs_pair: (2, 16) shared rows or
+    (N, 2, 16) per-lane rows of [t(3), quat wxyz(4), S(9)]; dt: (N,).
+    dt follows the mesh-motion convention: the shutter time IS the
+    interpolation parameter."""
+    dt = jnp.clip(dt, 0.0, 1.0)
+    if trs_pair.ndim == 2:
+        trs_pair = jnp.broadcast_to(trs_pair,
+                                    (dt.shape[0],) + trs_pair.shape)
+    t0, t1 = trs_pair[:, 0, 0:3], trs_pair[:, 1, 0:3]
+    q0, q1 = trs_pair[:, 0, 3:7], trs_pair[:, 1, 3:7]
+    s0 = trs_pair[:, 0, 7:16].reshape(-1, 3, 3)
+    s1 = trs_pair[:, 1, 7:16].reshape(-1, 3, 3)
+    trans = (1 - dt)[:, None] * t0 + dt[:, None] * t1
+    smat = ((1 - dt)[:, None, None] * s0 + dt[:, None, None] * s1)
+    cos_t = jnp.sum(q0 * q1, axis=-1)
+    q1 = jnp.where(cos_t[:, None] < 0, -q1, q1)
+    cos_t = jnp.abs(cos_t)
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-9)
+    w0 = jnp.where(cos_t > 0.9995, 1 - dt, jnp.sin((1 - dt) * theta) / sin_t)
+    w1 = jnp.where(cos_t > 0.9995, dt, jnp.sin(dt * theta) / sin_t)
+    q = w0[:, None] * q0 + w1[:, None] * q1
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)  # (N, 3, 3)
+    rs = jnp.einsum("nij,njk->nik", r, smat)
+    o2w = jnp.concatenate([rs, trans[:, :, None]], axis=-1)  # (N,3,4)
+    # inverse: x_obj = S^-1 R^T (x - T)
+    s_inv = jnp.linalg.inv(smat)
+    rt = jnp.swapaxes(r, -1, -2)
+    inv_rs = jnp.einsum("nij,njk->nik", s_inv, rt)
+    inv_t = -jnp.einsum("nij,nj->ni", inv_rs, trans)
+    w2o = jnp.concatenate([inv_rs, inv_t[:, :, None]], axis=-1)
+    pad = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                           (o2w.shape[0], 1, 4))
+    return (jnp.concatenate([o2w, pad], axis=1),
+            jnp.concatenate([w2o, pad], axis=1))
+
+
+def _quadric_pass(geo: DeviceGeometry, o, d, t, prim, b0, b1, time=None):
     """Test every quadric primitive against the whole wavefront.
 
     Quadric parameters are STATIC rows (slices, not gathers), each test is
@@ -810,9 +866,20 @@ def _quadric_pass(geo: DeviceGeometry, o, d, t, prim, b0, b1):
         qi = geo.quad_id[n_tris + q]
         w2o = geo.quad_w2o[qi]
         params = geo.quad_params[qi]
-        h, tq, u, v = jax.vmap(
-            lambda oo, dd, tb: ray_quadric(oo, dd, tb, kind, w2o, params)
-        )(o, d, t)
+        if geo.quad_trs is not None and time is not None:
+            _, w2o_t = interp_quad_transform(geo.quad_trs[qi], time)
+            anim = geo.quad_animated[qi]
+            w2o_l = jnp.where(anim, w2o_t,
+                              jnp.broadcast_to(w2o, w2o_t.shape))
+            h, tq, u, v = jax.vmap(
+                lambda oo, dd, tb, ww: ray_quadric(oo, dd, tb, kind, ww,
+                                                   params)
+            )(o, d, t, w2o_l)
+        else:
+            h, tq, u, v = jax.vmap(
+                lambda oo, dd, tb: ray_quadric(oo, dd, tb, kind, w2o,
+                                               params)
+            )(o, d, t)
         better = h & (tq < t)
         return (jnp.where(better, tq, t),
                 jnp.where(better, n_tris + q, prim),
@@ -835,7 +902,8 @@ def intersect_closest(geo: DeviceGeometry, o, d, t_max, time=None) -> Hit:
     t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit=False,
                                      time=time)
     if geo.n_quads:
-        t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1)
+        t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1,
+                                        time=time)
     return Hit(t=t, prim=jnp.where(jnp.isfinite(t), prim, -1), b0=b0, b1=b1)
 
 
@@ -847,7 +915,7 @@ def intersect_any(geo: DeviceGeometry, o, d, t_max, time=None) -> jnp.ndarray:
         inf = jnp.full(o.shape[:1], np.inf, jnp.float32)
         tq, pq, _, _ = _quadric_pass(
             geo, o, d, inf, jnp.full(o.shape[:1], -1, jnp.int32),
-            jnp.zeros(o.shape[:1]), jnp.zeros(o.shape[:1]))
+            jnp.zeros(o.shape[:1]), jnp.zeros(o.shape[:1]), time=time)
         occ = (pq >= 0) & (tq < t_max)
         # already-occluded lanes skip the tree walk (t_max = 0)
         t_max = jnp.where(occ, 0.0, t_max)

@@ -124,8 +124,8 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
     the visible point (first diffuse vertex, or glossy at the last
     bounce; sppm.cpp:203-214), plus one MIS emission-probe bounce."""
     n = px.shape[0]
-    _, _, _, o, d, ray_w, sctx, _t = _camera_setup(smplr, camera, px, py, sidx,
-                                               (0, 0))
+    _, _, _, o, d, ray_w, sctx, l_time = _camera_setup(smplr, camera, px,
+                                                       py, sidx, (0, 0))
     inf_L, _ = _infinite_L(scene.lights)
     has_inf = scene.lights.has_infinite
 
@@ -138,8 +138,9 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
          vp_taken, probe, vp) = carry
 
         t_max = jnp.where(alive, INF, 0.0)
-        hit = intersect_closest(scene.geo, o, d, t_max)
-        si = compute_interaction(scene.geo, hit, o, d)
+        hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
+        si = compute_interaction(scene.geo, hit, o, d,
+                                 tangents=scene.has_tangents, time=l_time)
 
         # emitted light with path-MIS weights (depth0/specular -> 1);
         # sppm accumulates into Ld, not L (sppm.cpp:195-200)
@@ -214,7 +215,8 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
                        else (shade.is_fourier, shade.fourier_tix))
         Ld = Ld + beta * _nee(scene, si, shade.lobes, u_choice, u_light,
                               "uniform", alive & has_smooth,
-                              hair_ctx=hair_ctx, fourier_ctx=fourier_ctx)
+                              hair_ctx=hair_ctx, fourier_ctx=fourier_ctx,
+                              time=l_time)
 
         # BSDF continuation; stored lanes continue exactly one more bounce
         # as the MIS emission probe

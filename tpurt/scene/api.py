@@ -417,8 +417,16 @@ class PbrtAPI:
         self._verify_world("Shape")
         obj2world = self.cur_transform.t[0]
 
+        # flat/ribbon curves tessellate facing the camera (the reference
+        # orients them per ray, curve.cpp:216); the camera world position
+        # is known here because Camera precedes WorldBegin
+        cam_pos = None
+        try:  # camera_to_world is already camera->world (api.cpp:1077)
+            cam_pos = self.camera_to_world.t[0].m[:3, 3]
+        except Exception:
+            cam_pos = None
         shapes = make_shapes(name, obj2world, self.graphics.reverse_orientation,
-                             params)
+                             params, camera_pos=cam_pos)
         if not shapes:
             return
         # animated transforms: tessellate the same shape under the END
@@ -426,19 +434,29 @@ class PbrtAPI:
         # tessellation keeps the topology identical)
         shapes_end = [None] * len(shapes)
         if self.cur_transform.is_animated():
-            from tpurt.scene.records import TriangleMeshRecord
+            from tpurt.scene.records import QuadricRecord, TriangleMeshRecord
+
+            def _motion_pair(a, b):
+                # triangle meshes carry per-vertex deltas; quadrics carry a
+                # decomposed TRS pair interpolated per lane at ray time
+                # (AnimatedTransform, core/transform.h:412)
+                if (isinstance(a, TriangleMeshRecord)
+                        and isinstance(b, TriangleMeshRecord)):
+                    return len(a.vertices) == len(b.vertices)
+                if isinstance(a, QuadricRecord) and isinstance(b, QuadricRecord):
+                    return a.kind == b.kind
+                return False
 
             end = make_shapes(name, self.cur_transform.t[1],
-                              self.graphics.reverse_orientation, params)
+                              self.graphics.reverse_orientation, params,
+                              camera_pos=cam_pos)
             if (len(end) == len(shapes)
-                    and all(isinstance(a, TriangleMeshRecord)
-                            and isinstance(b, TriangleMeshRecord)
-                            and len(a.vertices) == len(b.vertices)
+                    and all(_motion_pair(a, b)
                             for a, b in zip(shapes, end))):
                 shapes_end = end
             else:
-                log.warning('animated "%s": only triangle-mesh shapes '
-                            'support motion; using the start transform',
+                log.warning('animated "%s": only triangle-mesh and quadric '
+                            'shapes support motion; using the start transform',
                             name)
         mat = self._material_for_shape(params)
         params.report_unused(f'in Shape "{name}"')
