@@ -38,7 +38,8 @@ from tpurt.render.interaction import (
     compute_interaction,
     offset_ray_origin,
 )
-from tpurt.render.intersect import DeviceGeometry, intersect_any, intersect_closest
+from tpurt.render.intersect import (DeviceGeometry, Hit, intersect_any,
+                                    intersect_closest)
 from tpurt.render.lights import (
     LIGHT_INFINITE,
     LightTable,
@@ -473,6 +474,9 @@ def _bss_sr_multi(scene, tix, sigma_t, rho3, r):
 BSS_DIMS = 8  # extra sampler dims per bounce when the scene has BSSRDFs
 
 
+_BSS_PROBE_K = 4  # max same-material chain crossings per probe segment
+
+
 def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
                 specular, prev_pdf, prev_p, is_spec, is_trans,
                 sampler, px, py, sidx, sctx, d0, cfg, time=None):
@@ -482,10 +486,11 @@ def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
     one extra NEE through the Sw exit lobe, and continue with a
     cosine-sampled direction.
 
-    Wavefront deviation from the reference (documented): the probe keeps
-    only the CLOSEST same-material intersection along the chord rather
-    than uniformly choosing among all of them (bssrdf.cpp:297-325), so
-    multi-sheet geometry under-counts interior sheets."""
+    The probe marches the FULL chord collecting every same-material
+    crossing (bssrdf.cpp:294-325 IntersectionChain), chooses one
+    uniformly and divides the pdf by nFound — bounded at _BSS_PROBE_K
+    crossings per segment (deeper chains truncate into the
+    'Subsurface/Probe chain budget exhausted' stat)."""
     from tpurt.render.bssrdf import bss_sw
 
     n = beta.shape[0]
@@ -525,8 +530,62 @@ def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
     base = (si.p + r[:, None] * (vx * jnp.cos(phi)[:, None]
                                  + vy * jnp.sin(phi)[:, None])
             - 0.5 * ell[:, None] * vz)
-    hit = intersect_closest(scene.geo, base, vz, jnp.where(ok, ell, 0.0),
-                            time=time)
+
+    # IntersectionChain (bssrdf.cpp:294-325): march the full probe
+    # segment collecting every same-material crossing (non-matching hits
+    # are stepped through), then choose ONE uniformly and divide the pdf
+    # by nFound.  _BSS_PROBE_K bounds the compiled march; deeper chains
+    # are truncated (counted in the overflow stat).
+    u_sel = u1r * 3.0 - ch.astype(jnp.float32)  # pbrt's thrice-remapped u1
+    o_cur = base
+    rem = jnp.where(ok, ell, 0.0)
+    cand_t = []
+    cand_prim = []
+    cand_b0 = []
+    cand_b1 = []
+    cand_ok = []
+    t_off = jnp.zeros(n, jnp.float32)
+    exhausted = jnp.zeros(n, bool)
+    for _k in range(_BSS_PROBE_K):
+        h_k = intersect_closest(scene.geo, o_cur, vz, rem, time=time)
+        valid_k = h_k.prim >= 0
+        mat_k = scene.geo.material_id[jnp.maximum(h_k.prim, 0)]
+        match_k = valid_k & (mat_k == si.material_id)
+        cand_t.append(jnp.where(valid_k, t_off + h_k.t, INF))
+        cand_prim.append(jnp.where(valid_k, h_k.prim, -1))
+        cand_b0.append(h_k.b0)
+        cand_b1.append(h_k.b1)
+        cand_ok.append(match_k)
+        # step past the hit (SpawnRayTo re-spawn; magnitude-relative
+        # epsilon along the probe direction)
+        p_k = o_cur + h_k.t[:, None] * vz
+        eps = 1e-4 * jnp.maximum(1.0, jnp.max(jnp.abs(p_k), axis=-1))
+        o_next = p_k + eps[:, None] * vz
+        adv = jnp.where(valid_k, h_k.t + eps, rem)
+        rem = jnp.maximum(rem - adv, 0.0)
+        t_off = t_off + jnp.where(valid_k, adv, 0.0)
+        o_cur = jnp.where(valid_k[:, None], o_next, o_cur)
+        exhausted = valid_k & (rem > 0)
+    _report_budget_overflow("Subsurface/Probe chain budget exhausted",
+                            exhausted)
+    match_m = jnp.stack(cand_ok, axis=0)  # (K, N)
+    n_found = jnp.sum(match_m, axis=0).astype(jnp.int32)
+    ok = ok & (n_found > 0)
+    sel = jnp.clip((u_sel * n_found.astype(jnp.float32)).astype(jnp.int32),
+                   0, jnp.maximum(n_found - 1, 0))
+    # index of the sel-th matching candidate
+    rank = jnp.cumsum(match_m.astype(jnp.int32), axis=0) - 1
+    pick = match_m & (rank == sel[None, :])  # (K, N) one-hot
+
+    def _sel(stk, fill):
+        v = jnp.stack(stk, axis=0)
+        return jnp.sum(jnp.where(pick, v, 0), axis=0) + jnp.where(
+            jnp.any(pick, axis=0), 0, fill)
+
+    hit = Hit(t=_sel(cand_t, INF),
+              prim=jnp.sum(jnp.where(pick, jnp.stack(cand_prim, 0), 0),
+                           axis=0) + jnp.where(jnp.any(pick, 0), 0, -1),
+              b0=_sel(cand_b0, 0.0), b1=_sel(cand_b1, 0.0))
     pi_si = compute_interaction(scene.geo, hit, base, vz,
                                 tangents=scene.has_tangents, time=time)
     ok = ok & pi_si.valid & (pi_si.material_id == si.material_id)
@@ -544,6 +603,7 @@ def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
             pdf_sp = pdf_sp + (_bss_pdf_sr_multi(
                 scene, tix, sigma_t[:, c], rho3[:, c], rproj[ax])
                 * jnp.abs(nl[:, ax]) * (axp / 3.0))
+    pdf_sp = pdf_sp / jnp.maximum(n_found, 1).astype(jnp.float32)
     dist = jnp.linalg.norm(dvec, axis=-1)
     sp = _bss_sr_multi(scene, tix, sigma_t, rho3, dist)
     ok = ok & (pdf_sp > 0) & jnp.any(sp > 0, axis=-1)
@@ -600,9 +660,9 @@ def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
 
 def _tex_footprint(si, hit_t, camera):
     """Attach uv-space MIP filter widths from the isotropic ray-footprint
-    model (world width ~= fp_base + t*fp_slope; the reference propagates
-    exact ray differentials — camera.cpp GenerateRayDifferential — this
-    uses the per-segment cone approximation, documented)."""
+    model (world width ~= fp_base + t*fp_slope — the per-segment cone
+    approximation used for non-camera bounces; camera hits get TRUE ray
+    differentials via _tex_differentials)."""
     w_world = camera.fp_base + jnp.where(si.valid, hit_t, 0.0) * camera.fp_slope
     return si._replace(
         tex_wu=w_world / jnp.maximum(
