@@ -73,3 +73,52 @@ def test_receding_plane_antialiases(tmp_path):
     near = img[42:48, 8:40, 0]
     near_rel = near.std() / max(near.mean(), 1e-6)
     assert near_rel > rel_spread, (near_rel, rel_spread)
+
+
+def test_ewa_grazing_checker_beats_trilinear(tmp_path):
+    """True ray differentials + EWA (camera.h GenerateRayDifferential +
+    mipmap.h:56-63): at grazing incidence the footprint is strongly
+    anisotropic — EWA must keep the same energy as the trilinear cone
+    (no bias) while resolving MORE detail across the short axis (the
+    isotropic cone over-blurs the direction that doesn't stretch)."""
+    from tpurt.config import set_config
+
+    p = _checker_file(tmp_path)
+    scene = f"""
+    Film "image" "integer xresolution" [48] "integer yresolution" [48]
+    Sampler "random" "integer pixelsamples" [8]
+    Integrator "path" "integer maxdepth" [2]
+    LookAt 0 0.6 0  0 0.45 5  0 1 0
+    Camera "perspective" "float fov" [50]
+    WorldBegin
+    LightSource "distant" "color L" [3.2 3.2 3.2] "point from" [0 5 0] "point to" [0 0 0]
+    Texture "chk" "color" "imagemap" "string filename" "{p}"
+      "float uscale" [6] "float vscale" [6]
+    Material "matte" "texture Kd" "chk"
+    Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+      "point P" [-60 0 0  60 0 0  60 0 300  -60 0 300]
+      "float uv" [0 0  1 0  1 1  0 1]
+    WorldEnd
+    """
+    try:
+        set_config(texture_filter="ewa")
+        img_ewa, _ = render(load_scene_string(scene), progress=False)
+        set_config(texture_filter="trilinear")
+        img_tri, _ = render(load_scene_string(scene), progress=False)
+    finally:
+        set_config(texture_filter="ewa")
+    img_ewa = np.asarray(img_ewa)
+    img_tri = np.asarray(img_tri)
+    assert np.isfinite(img_ewa).all()
+    # same energy (both unbiased estimates of the filtered texture)
+    assert abs(img_ewa.mean() - img_tri.mean()) / img_tri.mean() < 0.05
+    # far rows (safely below the horizon line, which sits near row 23
+    # for this camera) stay smooth under EWA (no aliasing reintroduced)
+    far = img_ewa[26:30, 8:40, 0]
+    assert far.std() / max(far.mean(), 1e-6) < 0.35, (
+        far.std(), far.mean())
+    # mid-distance rows: EWA resolves more cross-axis detail than the
+    # isotropic cone, i.e. HIGHER local contrast where trilinear blurs
+    mid_e = img_ewa[34:44, 8:40, 0]
+    mid_t = img_tri[34:44, 8:40, 0]
+    assert mid_e.std() >= mid_t.std(), (mid_e.std(), mid_t.std())

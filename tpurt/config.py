@@ -62,6 +62,12 @@ class Config:
     # this if that counter is nonzero for a scene.
     shadow_walk_steps: int = 4
 
+    # Imagemap filtering mode: "ewa" attaches true camera-ray
+    # differentials and filters anisotropically (mipmap.h EWA);
+    # "trilinear" keeps the isotropic footprint-cone + trilinear MIP
+    # (round-1 behavior, and the A/B baseline).
+    texture_filter: str = "ewa"
+
     # Grid-media delta/ratio-tracking step budget per segment (the
     # reference loops unboundedly, media/grid.cpp).  Overflow lanes are
     # counted in "Media/Grid tracking budget exhausted"; raise for very

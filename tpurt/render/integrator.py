@@ -671,6 +671,58 @@ def _tex_footprint(si, hit_t, camera):
             jnp.linalg.norm(si.dpdv, axis=-1), 1e-9))
 
 
+def camera_ray_differentials(camera, sampler, p_film, p_lens, l_time, spp):
+    """Camera rays offset one pixel in x and in y (the reference's
+    Camera::GenerateRayDifferential default, camera.cpp:46-66 — the
+    perspective closed form at perspective.cpp:95-135 equals this), with
+    SamplerIntegrator's ScaleDifferentials(1/sqrt(spp)) applied
+    (integrator.cpp:285)."""
+    o, d, _ = camera.generate_rays(p_film, p_lens, l_time)
+    dx = jnp.asarray([1.0, 0.0], jnp.float32)
+    dy = jnp.asarray([0.0, 1.0], jnp.float32)
+    rx_o, rx_d, _ = camera.generate_rays(p_film + dx, p_lens, l_time)
+    ry_o, ry_d, _ = camera.generate_rays(p_film + dy, p_lens, l_time)
+    s = max(0.125, 1.0 / np.sqrt(max(spp, 1)))
+    return (o + (rx_o - o) * s, d + (rx_d - d) * s,
+            o + (ry_o - o) * s, d + (ry_d - d) * s)
+
+
+def _tex_differentials(si, rx_o, rx_d, ry_o, ry_d):
+    """SurfaceInteraction::ComputeDifferentials (interaction.cpp:125-160):
+    intersect the differential rays with the tangent plane at p, then
+    solve [dpdu dpdv] @ (du, dv) = dpd{x,y} for the uv screen
+    derivatives.  Uses the least-squares Gram-matrix solve (the reference
+    drops the axis of largest |n| — same system, this form is
+    better-conditioned for near-diagonal normals).  Returns
+    (dst0, dst1, ok) with dst0 = (du/dx, dv/dx)."""
+    n = si.ng
+    d_plane = dot(n, si.p)
+
+    def plane_hit(ro, rd):
+        denom = dot(n, rd)
+        t = (d_plane - dot(n, ro)) / jnp.where(denom == 0, 1e-9, denom)
+        return ro + t[:, None] * rd, jnp.abs(denom) > 1e-9
+
+    px, okx = plane_hit(rx_o, rx_d)
+    py, oky = plane_hit(ry_o, ry_d)
+    dpdx = px - si.p
+    dpdy = py - si.p
+    g11 = dot(si.dpdu, si.dpdu)
+    g12 = dot(si.dpdu, si.dpdv)
+    g22 = dot(si.dpdv, si.dpdv)
+    det = g11 * g22 - g12 * g12
+    ok = okx & oky & (jnp.abs(det) > 1e-18) & si.valid
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-18, det, 1.0)
+
+    def solve(dp):
+        b1 = dot(dp, si.dpdu)
+        b2 = dot(dp, si.dpdv)
+        return jnp.stack([(g22 * b1 - g12 * b2) * inv_det,
+                          (g11 * b2 - g12 * b1) * inv_det], axis=-1)
+
+    return solve(dpdx), solve(dpdy), ok
+
+
 def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
     # one lane context per wavefront: hoists the sampler's per-lane index
     # computation (for halton, the offsets[] gather) out of every dim call
@@ -710,6 +762,12 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
     z3 = jnp.zeros((n, 3), jnp.float32)
 
+    rx_o = rx_d = ry_o = ry_d = None
+    use_ewa = scene.has_texfilter and get_config().texture_filter == "ewa"
+    if use_ewa:
+        rx_o, rx_d, ry_o, ry_d = camera_ray_differentials(
+            camera, sampler, p_film, p_lens, l_time, sampler.spp)
+
     def bounce_body(carry, bounce):
         (o, d, beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
          n0, p0, n1, p1) = carry
@@ -722,6 +780,19 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                  time=l_time)
         if scene.has_texfilter:
             si = _tex_footprint(si, hit.t, camera)
+        if use_ewa:
+            # camera hits: TRUE ray differentials -> anisotropic EWA
+            # derivative vectors; deeper bounces keep the isotropic cone
+            # (the reference point-samples non-specular indirect lookups;
+            # the cone is a strict quality superset)
+            dd0, dd1, okd = _tex_differentials(si, rx_o, rx_d, ry_o, ry_d)
+            use = ((bounce == 0) & okd)[:, None]
+            zw = jnp.zeros_like(si.tex_wu)
+            si = si._replace(
+                tex_dst0=jnp.where(use, dd0,
+                                   jnp.stack([si.tex_wu, zw], -1)),
+                tex_dst1=jnp.where(use, dd1,
+                                   jnp.stack([zw, si.tex_wv], -1)))
         if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
             si = texture_eval.bump(si)
 
@@ -1213,6 +1284,12 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     v0 = px.astype(jnp.float32) * 0.0
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
 
+    rx_o = rx_d = ry_o = ry_d = None
+    use_ewa = scene.has_texfilter and get_config().texture_filter == "ewa"
+    if use_ewa:
+        rx_o, rx_d, ry_o, ry_d = camera_ray_differentials(
+            camera, sampler, p_film, p_lens, l_time, sampler.spp)
+
     def nee_from(scene, si, shade, u_choice, u_light, alive, med, is_medium,
                  g_med, bounce):
         """NEE supporting both surface and in-medium vertices."""
@@ -1264,6 +1341,19 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                  time=l_time)
         if scene.has_texfilter:
             si = _tex_footprint(si, hit.t, camera)
+        if use_ewa:
+            # camera hits: TRUE ray differentials -> anisotropic EWA
+            # derivative vectors; deeper bounces keep the isotropic cone
+            # (the reference point-samples non-specular indirect lookups;
+            # the cone is a strict quality superset)
+            dd0, dd1, okd = _tex_differentials(si, rx_o, rx_d, ry_o, ry_d)
+            use = ((bounce == 0) & okd)[:, None]
+            zw = jnp.zeros_like(si.tex_wu)
+            si = si._replace(
+                tex_dst0=jnp.where(use, dd0,
+                                   jnp.stack([si.tex_wu, zw], -1)),
+                tex_dst1=jnp.where(use, dd1,
+                                   jnp.stack([zw, si.tex_wv], -1)))
         if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
             si = texture_eval.bump(si)
         t_surf = jnp.where(si.valid, hit.t, INF)

@@ -194,6 +194,111 @@ def _trilinear_sample(filename: str, gamma: bool, u, v, width, wrap: str):
     return s0 * (1 - dl)[:, None] + s1 * dl[:, None]
 
 
+_EWA_MAX_ANISO = 4.0  # mipmap.h default is 8; clamped harder so the
+# static tap window below covers the ellipse (quality degrades gracefully
+# past it — the ellipse is truncated, not mis-weighted)
+_EWA_TAPS = 9  # static (taps x taps) gather window per level
+
+
+def _ewa_level(filename: str, gamma: bool, u, v, dst0, dst1, li, wrap: str):
+    """EWA filter at one MIP level (MIPMap::EWA, mipmap.h): elliptical
+    Gaussian weights over a STATIC tap window centred at (u, v)."""
+    flat_np, offs_np, ws_np, hs_np = _load_image_pyramid_flat(filename, gamma)
+    flat = jnp.asarray(flat_np)
+    offs = jnp.asarray(offs_np)
+    ws = jnp.asarray(ws_np)
+    hs = jnp.asarray(hs_np)
+    w_l = ws[li].astype(jnp.float32)
+    h_l = hs[li].astype(jnp.float32)
+    off = offs[li]
+    wi_i = ws[li]
+    hi_i = hs[li]
+    # to texel coordinates at this level
+    su = u * w_l - 0.5
+    sv = v * h_l - 0.5
+    d0u = dst0[:, 0] * w_l
+    d0v = dst0[:, 1] * h_l
+    d1u = dst1[:, 0] * w_l
+    d1v = dst1[:, 1] * h_l
+    # ellipse coefficients (mipmap.h EWA)
+    A = d0v * d0v + d1v * d1v + 1.0
+    B = -2.0 * (d0u * d0v + d1u * d1v)
+    C = d0u * d0u + d1u * d1u + 1.0
+    inv_f = 1.0 / (A * C - B * B * 0.25)
+    A = A * inv_f
+    B = B * inv_f
+    C = C * inv_f
+
+    iu0 = jnp.round(su).astype(jnp.int32) - _EWA_TAPS // 2
+    iv0 = jnp.round(sv).astype(jnp.int32) - _EWA_TAPS // 2
+    acc = jnp.zeros((u.shape[0], 3), jnp.float32)
+    wsum = jnp.zeros(u.shape[0], jnp.float32)
+    exp_m2 = np.float32(np.exp(-2.0))
+    for dv in range(_EWA_TAPS):
+        for du in range(_EWA_TAPS):
+            ti = iu0 + du
+            tj = iv0 + dv
+            uu = ti.astype(jnp.float32) - su
+            vv = tj.astype(jnp.float32) - sv
+            r2 = A * uu * uu + B * uu * vv + C * vv * vv
+            inside = r2 < 1.0
+            w = jnp.where(inside,
+                          jnp.exp(-2.0 * jnp.minimum(r2, 1.0)) - exp_m2, 0.0)
+            if wrap == "repeat":
+                xi = jnp.mod(ti, wi_i)
+                yi = jnp.mod(tj, hi_i)
+            else:
+                xi = jnp.clip(ti, 0, wi_i - 1)
+                yi = jnp.clip(tj, 0, hi_i - 1)
+            idx = off + yi * wi_i + xi
+            val = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+            if wrap == "black":
+                okb = (ti >= 0) & (ti < wi_i) & (tj >= 0) & (tj < hi_i)
+                w = jnp.where(okb, w, 0.0)
+            acc = acc + w[:, None] * val
+            wsum = wsum + w
+    # degenerate ellipses (sub-texel): fall back to the centre texel
+    ok = wsum > 1e-8
+    if wrap == "repeat":
+        cx = jnp.mod(jnp.round(su).astype(jnp.int32), wi_i)
+        cy = jnp.mod(jnp.round(sv).astype(jnp.int32), hi_i)
+    else:
+        cx = jnp.clip(jnp.round(su).astype(jnp.int32), 0, wi_i - 1)
+        cy = jnp.clip(jnp.round(sv).astype(jnp.int32), 0, hi_i - 1)
+    centre = flat[jnp.clip(off + cy * wi_i + cx, 0, flat.shape[0] - 1)]
+    return jnp.where(ok[:, None], acc / jnp.maximum(wsum, 1e-8)[:, None],
+                     centre)
+
+
+def _ewa_sample(filename: str, gamma: bool, u, v, dst0, dst1, wrap: str):
+    """MIPMap::Lookup(st, dst0, dst1) (mipmap.h:56-63 + EWA): order the
+    axes, clamp anisotropy, pick the level from the MINOR axis, blend two
+    EWA evaluations."""
+    flat_np, offs_np, _, _ = _load_image_pyramid_flat(filename, gamma)
+    n_levels = len(offs_np)
+    l0_sq = jnp.sum(dst0 * dst0, axis=-1)
+    l1_sq = jnp.sum(dst1 * dst1, axis=-1)
+    swap = l0_sq < l1_sq
+    major_v = jnp.where(swap[:, None], dst1, dst0)
+    minor_v = jnp.where(swap[:, None], dst0, dst1)
+    major = jnp.sqrt(jnp.maximum(major_v[:, 0] ** 2 + major_v[:, 1] ** 2,
+                                 1e-24))
+    minor = jnp.sqrt(jnp.maximum(minor_v[:, 0] ** 2 + minor_v[:, 1] ** 2,
+                                 1e-24))
+    scale = jnp.where(minor * _EWA_MAX_ANISO < major,
+                      major / (minor * _EWA_MAX_ANISO), 1.0)
+    minor_v = minor_v * scale[:, None]
+    minor = minor * scale
+    lod = jnp.clip((n_levels - 1) + jnp.log2(jnp.maximum(minor, 1e-8)),
+                   0.0, n_levels - 1)
+    li = jnp.floor(lod).astype(jnp.int32)
+    dl = lod - li.astype(jnp.float32)
+    s0 = _ewa_level(filename, gamma, u, v, major_v, minor_v, li, wrap)
+    s1 = _ewa_level(filename, gamma, u, v, major_v, minor_v,
+                    jnp.minimum(li + 1, n_levels - 1), wrap)
+    return s0 * (1 - dl)[:, None] + s1 * dl[:, None]
+
+
 def _apply_mapping2d(mapping: Dict, si):
     """TextureMapping2D::Map (texture.h:51-133)."""
     typ = mapping.get("type", "uv")
@@ -357,12 +462,18 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
             return as_out(jnp.zeros((n,), jnp.float32))
         u, v = _apply_mapping2d(prm["mapping"], si)
         wrap = prm.get("wrap", "repeat")
-        if getattr(si, "tex_wu", None) is not None:
-            # trilinear MIP filtering from the ray-footprint width;
-            # mapping scales stretch the footprint in uv space
-            mp = prm["mapping"]
-            su = abs(mp.get("uscale", 1.0)) if mp.get("type", "uv") == "uv" else 1.0
-            sv = abs(mp.get("vscale", 1.0)) if mp.get("type", "uv") == "uv" else 1.0
+        mp = prm["mapping"]
+        su = abs(mp.get("uscale", 1.0)) if mp.get("type", "uv") == "uv" else 1.0
+        sv = abs(mp.get("vscale", 1.0)) if mp.get("type", "uv") == "uv" else 1.0
+        if getattr(si, "tex_dst0", None) is not None:
+            # anisotropic EWA from true ray differentials (camera hits) /
+            # the isotropic cone (indirect); mapping scales stretch the
+            # derivative vectors in uv space
+            sc = jnp.asarray([su, sv], jnp.float32)
+            rgb = _ewa_sample(fname, prm.get("gamma", False), u, v,
+                              si.tex_dst0 * sc, si.tex_dst1 * sc, wrap)
+        elif getattr(si, "tex_wu", None) is not None:
+            # trilinear MIP filtering from the ray-footprint width
             width = jnp.maximum(si.tex_wu * su, si.tex_wv * sv)
             rgb = _trilinear_sample(fname, prm.get("gamma", False), u, v,
                                     width, wrap)
