@@ -248,16 +248,24 @@ def main() -> int:
         ref_s, total = 150.7 * scale, result.get("rpf_total_s", 0.0)
     result["ref_cpu_s"] = round(ref_s, 2)
     result["vs_baseline"] = round(ref_s / max(total, 1e-9), 3)
+    # print the headline line IMMEDIATELY so a failure in the optional
+    # configs below can't lose it (the driver reads the last line)
+    print(json.dumps(result), flush=True)
 
     sample_scene = os.path.join(os.path.dirname(args.scene), "sample.pbrt")
     wanted = {c.strip() for c in args.configs.split(",") if c.strip()}
-    if "3" in wanted:
-        result.update(config3_multiscale(sample_scene))
-    if "4" in wanted:
-        result.update(config4_sampler_sweep(sample_scene))
-    if "5" in wanted:
-        result.update(config5_direct_textured())
-    print(json.dumps(result))
+    for key, fn in (("3", lambda: config3_multiscale(sample_scene)),
+                    ("4", lambda: config4_sampler_sweep(sample_scene)),
+                    ("5", config5_direct_textured)):
+        if key in wanted:
+            try:
+                result.update(fn())
+            except Exception as e:  # keep the other configs running
+                import traceback
+
+                traceback.print_exc()
+                result[f"config{key}_error"] = f"{type(e).__name__}: {e}"[:200]
+            print(json.dumps(result), flush=True)
     return 0
 
 

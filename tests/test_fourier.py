@@ -118,3 +118,41 @@ def test_fourier_material_renders(tmp_path):
     assert sel.sum() > 30
     np.testing.assert_allclose(img_f[sel].mean(), img_m[sel].mean(),
                                rtol=0.06)
+
+
+def test_fourier_consistent_across_integrators(tmp_path):
+    """Fourier materials must shade with the tabulated BSDF in every
+    integrator (reference: FourierBSDF via ComputeScatteringFunctions,
+    materials/fourier.cpp) — gates the round-2 ShadeCtx unification for
+    bdpt/sppm/volpath like the hair test does for hair."""
+    from tpurt.render.driver import render
+    from tpurt.scene import load_scene_string
+
+    p = str(tmp_path / "lam.bsdf")
+    write_bsdf_file(p, make_lambertian_table(0.6, n_mu=24))
+    scene_t = """
+    Film "image" "integer xresolution" [20] "integer yresolution" [20]
+    Sampler "random" "integer pixelsamples" [16]
+    Integrator "{integ}" "integer maxdepth" [3]
+    Camera "perspective" "float fov" [50]
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "area" "color L" [30 30 30]
+      Translate 2 3 1
+      Shape "sphere" "float radius" [0.4]
+    AttributeEnd
+    Material "fourier" "string bsdffile" "{p}"
+    Translate 0 0 4
+    Shape "sphere" "float radius" [1]
+    WorldEnd
+    """
+    means = {}
+    for integ in ("path", "volpath", "bdpt"):
+        img, _ = render(load_scene_string(
+            scene_t.format(integ=integ, p=p)), progress=False)
+        img = np.asarray(img)
+        assert np.isfinite(img).all(), integ
+        means[integ] = float(img.mean())
+    ref = means["path"]
+    assert means["volpath"] == ref, (means,)
+    assert abs(means["bdpt"] - ref) / ref < 0.30, (means,)

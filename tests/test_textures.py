@@ -98,3 +98,35 @@ def test_noise_textures_evaluate():
         rec = TextureRecord(name, "float", params)
         v = np.asarray(eval_texture(rec, si, name == "marble"))
         assert np.isfinite(v).all(), name
+
+
+def test_ptex_parses_and_warns(caplog):
+    """Texture "ptex" (textures/ptex.cpp) is environment-gated: the scene
+    must PARSE, warn about the substitution, and still render (the shim
+    build of the C++ reference stubs ptex the same way)."""
+    import logging
+
+    import numpy as np
+
+    from tpurt.render.driver import render
+    from tpurt.scene import load_scene_string
+
+    scene = """
+    Film "image" "integer xresolution" [16] "integer yresolution" [16]
+    Sampler "random" "integer pixelsamples" [1]
+    Integrator "path" "integer maxdepth" [2]
+    Camera "perspective" "float fov" [60]
+    WorldBegin
+    LightSource "distant" "color L" [3 3 3] "point from" [0 5 5] "point to" [0 0 0]
+    Texture "skin" "color" "ptex" "string filename" "missing.ptx"
+    Material "matte" "texture Kd" "skin"
+    Translate 0 0 4
+    Shape "sphere" "float radius" [1]
+    WorldEnd
+    """
+    with caplog.at_level(logging.WARNING):
+        sd = load_scene_string(scene)
+    assert any("ptex" in r.message for r in caplog.records)
+    img, _ = render(sd, progress=False)
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and img.max() > 0.01

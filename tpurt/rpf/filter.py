@@ -287,6 +287,16 @@ def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
     h, w, s, _ = buffer.shape
     bd = (box_size - 1) // 2
 
+    # the gathered window tensor is (pixel_chunk, box^2*S, 19) plus the
+    # pairwise MI intermediates (~6x that); budget ~1.5 GB of HBM for it
+    # so the multi-scale boxes {55,35,17} compile (box 55 at the default
+    # 512-pixel chunk allocated 52 GB and OOMed, round 2)
+    window_bytes = box_size * box_size * s * 19 * 4 * 6
+    cap = max(8, int((1.5e9) // max(window_bytes, 1)))
+    while pixel_chunk > cap:
+        pixel_chunk //= 2
+        chunks_per_call = min(chunks_per_call * 2, 512)
+
     padded = jnp.pad(buffer, ((bd, bd), (bd, bd), (0, 0), (0, 0)))
     valid = jnp.pad(jnp.ones((h, w), bool), ((bd, bd), (bd, bd)))
 
