@@ -175,12 +175,14 @@ WorldEnd
 
 
 def test_two_sheet_bssrdf_probe_bound(tmp_path):
-    """Bounds the documented Sample_Sp probe deviation (tpurt keeps the
-    CLOSEST same-material probe hit; bssrdf.cpp:297-325 chooses uniformly
-    among all chord hits) on a two-sheet geometry where it matters most:
-    concentric same-material spheres.  The C++ binary is ground truth;
-    the mean-radiance error must stay within the bound below (also the
-    number to update if the probe is ever fixed)."""
+    """Bounds the Sample_Sp probe error on the geometry where it matters
+    most: concentric same-material spheres (up to 4 chord crossings per
+    probe).  The C++ binary is ground truth (bssrdf.cpp:297-325 chooses
+    uniformly among all chord hits).  Measured history: 24.5% with the
+    round-1 closest-hit probe; 9.2% after the round-2 IntersectionChain
+    march with uniform pick and pdf/nFound (the residual is the
+    _BSS_PROBE_K=4 truncation plus MC noise; the single-sphere scene
+    measures within 1.2%)."""
     import tpurt.io as tio
     from tpurt.scene import load_scene_string
     from tpurt.render.driver import render
@@ -198,12 +200,7 @@ def test_two_sheet_bssrdf_probe_bound(tmp_path):
     img, _ = render(sd, progress=False)
     img = np.asarray(img, np.float64)
     mean_rel = abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-9)
-    # MEASURED round 2: 24.5% on this scene, of which ~18% is a baseline
-    # subsurface radiance deficit already present on a SINGLE sheet
-    # (tpurt darker than C++; tracked in docs/ROADMAP.md) and the rest is
-    # the closest-hit probe deviation itself.  The bound pins the
-    # measured state so regressions (and the eventual fix) are visible.
-    assert mean_rel < 0.30, f"two-sheet BSSRDF mean off by {mean_rel:.2%}"
+    assert mean_rel < 0.15, f"two-sheet BSSRDF mean off by {mean_rel:.2%}"
 
 
 _CURVES = """
