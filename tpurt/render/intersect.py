@@ -599,17 +599,29 @@ def _box8_test(rec, o, inv_d, t_max):
     return hit, t_near
 
 
-# Two-phase traversal tuning: run PHASE1_STEPS lockstep steps at full
+# Traversal phase schedule.  Run PHASE1_STEPS lockstep steps at full
 # width (most lanes die early against the large shallow leaf bundles),
-# then repeatedly compact the surviving stragglers into a
-# 1/COMPACT_FACTOR-width wavefront and finish them there.  The per-step
-# gather cost scales with lane count, so narrow tail phases are cheap;
-# measured lockstep utilization without compaction is ~13%.  Tuned on
-# killeroo primaries at 2^17 lanes (8.3 Mrays/s at 3/16; 4/16 kept for
-# headroom — if survivors exceed the compact width the outer loop must
-# run again, which measured 4-5x slower when 2/16 underestimated).
+# then walk a LADDER of progressively narrower compacted wavefronts:
+# each rung gathers the surviving stragglers into an n/divisor-width
+# wavefront and advances them at most max_steps more steps; the final
+# rung (max_steps=0) runs to completion inside an outer while that also
+# catches capacity overflow.  Tuned against the MEASURED step-to-done
+# distribution on killeroo at 2^15 lanes (shuffled primaries: mean 5.9,
+# p50 4, p90 13, p99 21, max 49; diffuse bounce-1 rays: mean 4.6,
+# p90 12, max 60): the round-1 single (16, 0) rung modeled 18.2/13.1
+# amortized lane-steps per ray on shuffled/bounce-1 because ~30% of
+# lanes survive phase 1 and the n/16 tail loops 5-6 times; this ladder
+# models 9.4/8.5 (ideal = the distribution mean).  MEASURED on the chip
+# (killeroo 2^17 lanes, same-process A/B vs the single rung): closest
+# coherent 43.1 -> 35.9 ms, shuffled 70.8 -> 59.5 ms, bounce-1 58.4 ->
+# 52.4 ms (1.11-1.20x); any-hit 1.03-1.06x; hit agreement 1.0.
 PHASE1_STEPS = 4
-COMPACT_FACTOR = 16
+PHASE2_LADDER = ((4, 8), (8, 16), (64, 0))  # (width divisor, max steps)
+# any-hit rays terminate on the first hit (measured killeroo shadow rays:
+# mean 4.5 steps, p75 5, p99 23), so few lanes survive phase 1 and the
+# single narrow rung is already optimal; the ladder's extra rungs
+# measured 0.96-0.97x there.
+PHASE2_LADDER_ANY = ((16, 0),)
 
 
 def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
@@ -772,33 +784,53 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
 
     cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit, time)
 
-    c = n // COMPACT_FACTOR
-    if c < 1024:
+    ladder = PHASE2_LADDER_ANY if any_hit else PHASE2_LADDER
+    if n // ladder[0][0] < 1024:
         # narrow wavefronts gain nothing from compaction: run to completion
         _, _, _, t, prim, b0, b1 = jax.lax.while_loop(cond, body, state)
         return t, prim, b0, b1
 
-    # phase 1: fixed lockstep steps at full width
+    # phase 1: fixed lockstep steps at full width (fori + unroll, not a
+    # counted while: the while form measured +13% on coherent batches)
     state = jax.lax.fori_loop(0, PHASE1_STEPS, lambda i, st: body(st), state,
                               unroll=2)
 
-    # phase 2: compact stragglers into c lanes until none remain.  If more
-    # than c lanes survive phase 1 (rare), the outer loop runs again.
-    def outer_body(state):
-        cur = state[0]
-        (idxc,) = jnp.nonzero(cur >= 0, size=c, fill_value=0)
-        # fill slots replay lane 0 redundantly; their scatter writes back
-        # lane 0's own (identical) result, so duplicates are benign
+    def compact_run(state, c, max_steps):
+        """One ladder rung: gather the first c surviving lanes, advance
+        them (bounded, or to completion when max_steps == 0), scatter
+        back.  Fill slots replay lane 0 redundantly; their scatter
+        writes back lane 0's own (identical) result, so duplicates are
+        benign."""
+        (idxc,) = jnp.nonzero(state[0] >= 0, size=c, fill_value=0)
         sub_rays = tuple(jnp.take(a, idxc, axis=0) for a in (o, d, inv_d))
         sub = tuple(jnp.take(a, idxc, axis=0) for a in state)
         sub_time = (jnp.take(time, idxc, axis=0) if time is not None
                     else None)
         sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, any_hit,
                                             sub_time)
-        sub = jax.lax.while_loop(sub_cond, sub_body, sub)
+        if max_steps:
+            sub = jax.lax.while_loop(
+                lambda st: sub_cond(st[0]) & (st[1] < max_steps),
+                lambda st: (sub_body(st[0]), st[1] + 1), (sub, 0))[0]
+        else:
+            sub = jax.lax.while_loop(sub_cond, sub_body, sub)
         return tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
 
-    state = jax.lax.while_loop(cond, outer_body, state)
+    # phase 2: the compaction ladder.  Each bounded rung runs only when
+    # it would be at least quarter-full (any-hit and coherent batches
+    # leave so few survivors that the rung's gather/scatter would be
+    # pure overhead — measured 0.75-0.81x without the gate); the final
+    # run-to-completion rung loops until no lane remains (it also
+    # catches capacity overflow).
+    for div, max_steps in ladder[:-1]:
+        c = max(n // div, 1024)
+        state = jax.lax.cond(
+            jnp.sum(state[0] >= 0) > c // 4,
+            lambda st, c=c, ms=max_steps: compact_run(st, c, ms),
+            lambda st: st, state)
+    c_last = max(n // ladder[-1][0], 1024)
+    state = jax.lax.while_loop(
+        cond, lambda st: compact_run(st, c_last, 0), state)
     _, _, _, t, prim, b0, b1 = state
     return t, prim, b0, b1
 
