@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--toply", action="store_true",
                     help="like --cat, but dump big triangle meshes to PLY "
                          "files (pbrt --toply)")
+    ap.add_argument("--spectrum", choices=("rgb", "sampled"), default="rgb",
+                    help="spectral representation: rgb (RGBSpectrum, the "
+                         "reference default) or sampled (60-bin "
+                         "SampledSpectrum, pbrt.h PBRT_SAMPLED_SPECTRUM)")
     args = ap.parse_args(argv)
 
     if args.cat or args.toply:
@@ -77,6 +81,11 @@ def main(argv=None) -> int:
                        os.path.expanduser("~/.cache/tpurt")) + "/jaxcache",
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.spectrum != "rgb":
+        from tpurt.config import set_config
+
+        set_config(spectrum_mode=args.spectrum)
 
     from tpurt.scene import load_scene
     from tpurt.render.driver import render

@@ -62,6 +62,13 @@ class Config:
     # this if that counter is nonzero for a scene.
     shadow_walk_steps: int = 4
 
+    # Spectral representation: "rgb" (the reference's default
+    # RGBSpectrum pipeline) or "sampled" (SampledSpectrum 60-bin mode,
+    # pbrt.h:126-130 PBRT_SAMPLED_SPECTRUM).  Sampled mode carries a
+    # (..., 60) channel axis through path/volpath/whitted/direct/ao;
+    # bdpt/sppm/mlt/rpf warn and render RGB (documented partial).
+    spectrum_mode: str = "rgb"
+
     # Imagemap filtering mode: "ewa" attaches true camera-ray
     # differentials and filters anisotropically (mipmap.h EWA);
     # "trilinear" keeps the isotropic footprint-cone + trilinear MIP

@@ -103,8 +103,8 @@ SLOT_DIFFUSE, SLOT_GLOSSY, SLOT_MIRROR, SLOT_FS, SLOT_GTRANS, \
     SLOT_CLEARCOAT, SLOT_DTRANS = range(N_SLOTS)
 
 
-def zero_lobes(n: int) -> LobeParams:
-    z3 = jnp.zeros((n, 3), jnp.float32)
+def zero_lobes(n: int, channels: int = 3) -> LobeParams:
+    z3 = jnp.zeros((n, channels), jnp.float32)
     z1 = jnp.zeros((n,), jnp.float32)
     return LobeParams(
         kd=z3, oren_a=jnp.ones((n,), jnp.float32), oren_b=z1,
@@ -179,7 +179,7 @@ def _schlick(rs, cos_i):
 
 def _fresnel(lp: LobeParams, cos_i):
     """Glossy-slot Fresnel dispatch as masked select (all kinds computed)."""
-    fd = fr_dielectric(cos_i, jnp.ones_like(cos_i), lp.eta)[:, None] * jnp.ones((1, 3))
+    fd = fr_dielectric(cos_i, jnp.ones_like(cos_i), lp.eta)[:, None] * jnp.ones_like(lp.ks)
     fc = fr_conductor(cos_i, lp.eta3, lp.k3)
     fs = _schlick(lp.ks, cos_i)
     fn = jnp.ones_like(fd)
@@ -471,7 +471,7 @@ def _cc_f(lp: LobeParams, wo, wi):
           * _smith_g_sep(_abs_cos_theta(wi), 0.25))
     val = lp.cc * gr * fr * dr / 4.0
     ok = _same_hemisphere(wo, wi) & (wh_len > F32_EPS)
-    return jnp.where(ok, val, 0.0)[:, None] * jnp.ones((1, 3), jnp.float32)
+    return jnp.where(ok, val, 0.0)[:, None] * jnp.ones_like(lp.kd)
 
 
 def _cc_pdf(lp: LobeParams, wo, wi):

@@ -55,10 +55,27 @@ class RenderJob(NamedTuple):
     texture_eval: object = None  # per-wavefront material texture overrides
 
 
+def _spectral_mode(name: str) -> bool:
+    """True when the sampled-spectrum config mode applies to this
+    integrator.  path/volpath/directlighting/whitted carry the 60-bin
+    axis end-to-end; bdpt/mlt/sppm/rpf and ao warn and render RGB
+    (documented partial — pbrt.h:126-130 switches every integrator)."""
+    if get_config().spectrum_mode != "sampled":
+        return False
+    if name in ("path", "volpath", "directlighting", "whitted"):
+        return True
+    if name != "ao":  # ao is colorless; no warning needed
+        log.warning('spectrum_mode "sampled": integrator "%s" renders in '
+                    "RGB mode (sampled spectra cover path/volpath/"
+                    "directlighting/whitted)", name)
+    return False
+
+
 def make_integrator_config(sd: SceneDescription,
                            capture_features: bool = False) -> IntegratorConfig:
     ps = sd.integrator_params
     name = sd.integrator_name
+    spectral = _spectral_mode(name)
     if name in ("path", "volpath", "rpf"):
         return IntegratorConfig(
             name=name,
@@ -66,15 +83,19 @@ def make_integrator_config(sd: SceneDescription,
             rr_threshold=ps.find_one_float("rrthreshold", 1.0),
             light_strategy=ps.find_one_string("lightsamplestrategy", "spatial"),
             capture_features=capture_features or name == "rpf",
+            spectral=spectral,
         )
     if name == "directlighting":
         return IntegratorConfig(
             name=name,
             max_depth=ps.find_one_int("maxdepth", 5),
             direct_strategy=ps.find_one_string("strategy", "all"),
+            spectral=spectral,
         )
     if name == "whitted":
-        return IntegratorConfig(name=name, max_depth=ps.find_one_int("maxdepth", 5))
+        return IntegratorConfig(name=name,
+                                max_depth=ps.find_one_int("maxdepth", 5),
+                                spectral=spectral)
     if name == "ao":
         return IntegratorConfig(
             name=name,
@@ -266,6 +287,12 @@ def build_job(sd: SceneDescription, quick: bool = False,
                          camera_to_world_end=sd.camera_to_world_end,
                          transform_times=sd.transform_times)
     cfg = make_integrator_config(sd)
+    if cfg.spectral and mt.has_bssrdf:
+        # the tabulated BSSRDF machinery (Sp profiles, Sw) is 3-channel;
+        # spectral BSSRDF is a documented follow-up
+        log.warning('spectrum_mode "sampled": scene uses BSSRDF '
+                    "materials; rendering in RGB mode")
+        cfg = cfg._replace(spectral=False)
     from tpurt.render.texeval import make_texture_eval
 
     tex_eval = make_texture_eval(mt, scene.mt_table)

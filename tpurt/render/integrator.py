@@ -72,6 +72,11 @@ class IntegratorConfig(NamedTuple):
     ao_cos_sample: bool = True
     direct_strategy: str = "all"  # directlighting: all|one
     capture_features: bool = False  # RPF per-sample feature capture
+    # SampledSpectrum (60-bin) mode (pbrt.h:126-130): radiance/throughput
+    # carry a 60-wide channel axis; RGB scene values promote through the
+    # Smits bases at eval and radiance converts to RGB at the integrator
+    # exit.  Static -> the RGB path compiles none of this.
+    spectral: bool = False
 
 
 class SceneData(NamedTuple):
@@ -136,6 +141,50 @@ register_static_pytree(SceneData, [
     "mt_bss", "mt_bss_tix", "bss_rho", "bss_radius", "bss_profile",
     "bss_rhoeff", "bss_cdf", "fr_tables", "mt_fourier_tix",
 ])
+
+
+def _lift_illum_maybe(L, channels: int):
+    """Promote RGB light radiance to the 60 bins when rendering
+    spectrally.  LightSource/AreaLightSource RGB parameters promote
+    through the ILLUMINANT basis (parser.cpp:878,942); envmap texels
+    promote the same way at lookup (infinite.cpp:95)."""
+    if channels == 3:
+        return L
+    from tpurt.spectrum_sampled import lift_illum
+
+    return lift_illum(L)
+
+
+def _lift_f_maybe(f, channels: int):
+    """Promote an already-evaluated 3-channel BSDF value (the hair /
+    fourier models evaluate 3-channel tables) to bins, without the 0.94
+    reflectance scale (the value is a BSDF, not a parse-time color)."""
+    if channels == 3:
+        return f
+    from tpurt.spectrum_sampled import lift_refl_raw
+
+    return lift_refl_raw(f)
+
+
+def _lift_refl_maybe(v, channels: int):
+    """Promote an RGB scene PARAMETER (medium sigma_a/sigma_s etc.) to
+    bins through the reflectance basis with the parse-time 0.94 scale
+    (ParamSet RGB params default to SpectrumType::Reflectance)."""
+    if channels == 3:
+        return v
+    from tpurt.spectrum_sampled import lift_refl
+
+    return lift_refl(v)
+
+
+def _to_rgb_maybe(L, cfg: "IntegratorConfig"):
+    """Spectral radiance -> RGB at the integrator exit (the film stays
+    3-channel; SampledSpectrum::ToXYZ + XYZToRGB fused, spectrum.h:315)."""
+    if not cfg.spectral:
+        return L
+    from tpurt.spectrum_sampled import to_rgb_matrix
+
+    return L @ to_rgb_matrix()
 
 
 def _emitted(scene: SceneData, si: SurfaceInteraction):
@@ -268,10 +317,11 @@ class ShadeCtx(NamedTuple):
 
 
 def make_shade_ctx(scene: SceneData, si: SurfaceInteraction,
-                   texture_eval=None) -> ShadeCtx:
+                   texture_eval=None, channels: int = 3) -> ShadeCtx:
     overrides = texture_eval(si) if texture_eval is not None else None
     lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                        si.material_id, overrides, scene.mt_mix)
+                        si.material_id, overrides, scene.mt_mix,
+                        channels=channels)
     t, b = _shading_frame(si)
     hc = _hair_ctx(scene, si)
     fc = _fourier_ctx(scene, si)
@@ -318,6 +368,7 @@ def shade_f(scene: SceneData, ctx: ShadeCtx, ns, w_out, w_in,
             want_pdf: bool = False):
     """BSDF value (and optionally pdf) for world directions at a vertex,
     blending hair/fourier lanes (no cosine factor)."""
+    nch = ctx.lobes.kd.shape[-1]
     wo_l = to_local(ctx.t, ctx.b, ns, w_out)
     wi_l = to_local(ctx.t, ctx.b, ns, w_in)
     f = bsdf_f(ctx.lobes, wo_l, wi_l)
@@ -325,12 +376,13 @@ def shade_f(scene: SceneData, ctx: ShadeCtx, ns, w_out, w_in,
     if ctx.is_hair is not None:
         from tpurt.render.hair import hair_f, hair_pdf
 
-        f = jnp.where(ctx.is_hair[:, None], hair_f(ctx.hair, wo_l, wi_l), f)
+        f = jnp.where(ctx.is_hair[:, None],
+                      _lift_f_maybe(hair_f(ctx.hair, wo_l, wi_l), nch), f)
         if want_pdf:
             pdf = jnp.where(ctx.is_hair, hair_pdf(ctx.hair, wo_l, wi_l), pdf)
     if ctx.is_fourier is not None:
         ff, fpdf = _fourier_f_pdf_multi(scene, ctx.fourier_tix, wo_l, wi_l)
-        f = jnp.where(ctx.is_fourier[:, None], ff, f)
+        f = jnp.where(ctx.is_fourier[:, None], _lift_f_maybe(ff, nch), f)
         if want_pdf:
             pdf = jnp.where(ctx.is_fourier, fpdf, pdf)
     return (f, pdf) if want_pdf else f
@@ -341,6 +393,7 @@ def shade_sample(scene: SceneData, ctx: ShadeCtx, ns, w_out,
     """Sample a continuation direction at a vertex, blending hair/fourier
     lanes exactly as path_radiance does.  Returns
     (wi_world, f, pdf, is_spec, is_trans)."""
+    nch = ctx.lobes.kd.shape[-1]
     wo_l = to_local(ctx.t, ctx.b, ns, w_out)
     wi_l, f, pdf, is_spec, is_trans = bsdf_sample(ctx.lobes, wo_l,
                                                   u_lobe, u1, u2)
@@ -349,7 +402,7 @@ def shade_sample(scene: SceneData, ctx: ShadeCtx, ns, w_out,
 
         wi_h, f_h, pdf_h = hair_sample(ctx.hair, wo_l, u1, u2)
         wi_l = jnp.where(ctx.is_hair[:, None], wi_h, wi_l)
-        f = jnp.where(ctx.is_hair[:, None], f_h, f)
+        f = jnp.where(ctx.is_hair[:, None], _lift_f_maybe(f_h, nch), f)
         pdf = jnp.where(ctx.is_hair, pdf_h, pdf)
         is_spec = is_spec & ~ctx.is_hair
         is_trans = is_trans & ~ctx.is_hair
@@ -358,7 +411,7 @@ def shade_sample(scene: SceneData, ctx: ShadeCtx, ns, w_out,
 
         is_f = ctx.is_fourier
         wi_f = jnp.zeros_like(wi_l)
-        f_f = jnp.zeros_like(f)
+        f_f = jnp.zeros((wi_l.shape[0], 3), jnp.float32)
         pdf_f = jnp.zeros_like(pdf)
         for k, tbl in enumerate(scene.fr_tables):
             mk = ctx.fourier_tix == k
@@ -368,7 +421,7 @@ def shade_sample(scene: SceneData, ctx: ShadeCtx, ns, w_out,
             f_f = jnp.where(mk[:, None], fk, f_f)
             pdf_f = jnp.where(mk, pk, pdf_f)
         wi_l = jnp.where(is_f[:, None], wi_f, wi_l)
-        f = jnp.where(is_f[:, None], f_f, f)
+        f = jnp.where(is_f[:, None], _lift_f_maybe(f_f, nch), f)
         pdf = jnp.where(is_f, pdf_f, pdf)
         is_spec = is_spec & ~is_f
         is_trans = jnp.where(is_f, wi_l[:, 2] * wo_l[:, 2] < 0, is_trans)
@@ -383,6 +436,8 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
     lt = scene.lights
     lidx, pmf = choose_light(lt, u_choice, strategy, p=si.p)
     ls = sample_li(lt, lidx, si.p, u_light)
+    nch = lobes.kd.shape[-1]
+    li = _lift_illum_maybe(ls.li, nch)
 
     t, b = _shading_frame(si)
     wo_l = to_local(t, b, si.ns, si.wo)
@@ -393,7 +448,8 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
         from tpurt.render.hair import hair_f, hair_pdf
 
         is_hair, hp = hair_ctx
-        hf = hair_f(hp, wo_l, wi_l) * jnp.abs(dot(ls.wi, si.ns))[:, None]
+        hf = (_lift_f_maybe(hair_f(hp, wo_l, wi_l), nch)
+              * jnp.abs(dot(ls.wi, si.ns))[:, None])
         f = jnp.where(is_hair[:, None], hf, f)
         scatter_pdf = jnp.where(is_hair, hair_pdf(hp, wo_l, wi_l),
                                 scatter_pdf)
@@ -401,7 +457,8 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
         is_f, ftix = fourier_ctx
         ff, fpdf = _fourier_f_pdf_multi(scene, ftix, wo_l, wi_l)
         f = jnp.where(is_f[:, None],
-                      ff * jnp.abs(dot(ls.wi, si.ns))[:, None], f)
+                      _lift_f_maybe(ff, nch)
+                      * jnp.abs(dot(ls.wi, si.ns))[:, None], f)
         scatter_pdf = jnp.where(is_f, fpdf, scatter_pdf)
 
     usable = (alive & si.valid & (ls.pdf > 0)
@@ -418,7 +475,7 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
 
     w = jnp.where(ls.is_delta, 1.0,
                   power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
-    contrib = f * ls.li * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
+    contrib = f * li * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
     return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
 
 
@@ -759,6 +816,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     inf_L, _ = _infinite_L(scene.lights)
     has_inf = scene.lights.has_infinite
     uniform_strategy = cfg.light_strategy not in ("power", "spatial")
+    nch = 60 if cfg.spectral else 3
 
     z3 = jnp.zeros((n, 3), jnp.float32)
 
@@ -808,6 +866,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         # ---- emitted light ----
         Le, lrow = _emitted(scene, si)
+        Le = _lift_illum_maybe(Le, nch)
         lrow_c = jnp.maximum(lrow, 0)
         light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p, si.ng)
         pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n, prev_p)
@@ -826,7 +885,8 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             w_mis_inf = power_heuristic(
                 1.0, prev_pdf, 1.0, _escape_pdf(scene.lights, d) * pmf_inf)
             w_inf = jnp.where((bounce == 0) | specular, 1.0, w_mis_inf)
-            Le_inf = _escape_radiance(scene.lights, inf_L, d)
+            Le_inf = _lift_illum_maybe(
+                _escape_radiance(scene.lights, inf_L, d), nch)
             L = L + jnp.where((alive & ~si.valid)[:, None],
                               beta * Le_inf * w_inf[:, None], 0.0)
 
@@ -834,7 +894,8 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         overrides = texture_eval(si) if texture_eval is not None else None
         lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides, scene.mt_mix)
+                            si.material_id, overrides, scene.mt_mix,
+                            channels=nch)
         hair_ctx = _hair_ctx(scene, si)
         fourier_ctx = _fourier_ctx(scene, si)
         any_lobe = jnp.any(lobes.active, axis=-1)
@@ -870,7 +931,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             is_hair, hp = hair_ctx
             wi_h, f_h, pdf_h = hair_sample(hp, wo_l, u1, u2)
             wi_l = jnp.where(is_hair[:, None], wi_h, wi_l)
-            f = jnp.where(is_hair[:, None], f_h, f)
+            f = jnp.where(is_hair[:, None], _lift_f_maybe(f_h, nch), f)
             pdf = jnp.where(is_hair, pdf_h, pdf)
             is_spec = is_spec & ~is_hair
             is_trans = is_trans & ~is_hair
@@ -879,7 +940,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
             is_f, ftix = fourier_ctx
             wi_f = jnp.zeros_like(wi_l)
-            f_f = jnp.zeros_like(f)
+            f_f = jnp.zeros((n, 3), jnp.float32)
             pdf_f = jnp.zeros_like(pdf)
             for k, tbl in enumerate(scene.fr_tables):
                 mk = ftix == k
@@ -889,7 +950,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 f_f = jnp.where(mk[:, None], fk, f_f)
                 pdf_f = jnp.where(mk, pk, pdf_f)
             wi_l = jnp.where(is_f[:, None], wi_f, wi_l)
-            f = jnp.where(is_f[:, None], f_f, f)
+            f = jnp.where(is_f[:, None], _lift_f_maybe(f_f, nch), f)
             pdf = jnp.where(is_f, pdf_f, pdf)
             is_spec = is_spec & ~is_f
             is_trans = jnp.where(is_f, wi_l[:, 2] * wo_l[:, 2] < 0, is_trans)
@@ -937,13 +998,14 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     # type as the body's outputs under shard_map
     v0 = px.astype(jnp.float32) * 0.0  # (n,) varying zero
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
-    init = (o, d, v03 + 1.0, v03,
+    v0c = v0[:, None] * jnp.ones((1, nch), jnp.float32)
+    init = (o, d, v0c + 1.0, v0c,
             px == px, px != px,
             v0 + 1.0, o, v0 + 1.0,
             v03, v03, v03, v03)
     carry, _ = jax.lax.scan(bounce_body, init,
                             jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
-    L = carry[3]
+    L = _to_rgb_maybe(carry[3], cfg)
     out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}
     if cfg.capture_features:
         out["features"] = {"n0": carry[9], "p0": carry[10],
@@ -1191,13 +1253,14 @@ def _grid_tr(scene: SceneData, med, lane, bounce, o, d, dist, salt: int):
 
 
 def _medium_tr(scene: SceneData, med, dist, o=None, d=None, lane=None,
-               bounce=None):
+               bounce=None, channels: int = 3):
     """Transmittance through the given medium ids over dist: Beer-Lambert
     for homogeneous media (homogeneous.cpp Tr), ratio tracking for grid
     media.  NOTE: single-segment — intervening interface crossings along
     shadow rays are not tracked yet (the reference's VisibilityTester::Tr
     walks them; documented v1 simplification)."""
-    sig_t = scene.med_sigma_t[jnp.maximum(med, 0)]
+    sig_t = _lift_refl_maybe(scene.med_sigma_t[jnp.maximum(med, 0)],
+                             channels)
     tr = jnp.exp(-sig_t * jnp.minimum(dist, 3.4e37)[:, None])
     if scene.has_grid_media and o is not None:
         is_grid = scene.med_is_grid[jnp.maximum(med, 0)]
@@ -1207,7 +1270,7 @@ def _medium_tr(scene: SceneData, med, dist, o=None, d=None, lane=None,
 
 
 def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
-                    usable, time=None):
+                    usable, time=None, channels: int = 3):
     """VisibilityTester::Tr (core/light.cpp:47-63): march the shadow
     segment through null-material interface boundaries, accumulating each
     sub-segment's medium transmittance; any real-material hit occludes.
@@ -1217,7 +1280,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
     (occluded, tr3)."""
     walk_steps = get_config().shadow_walk_steps
     n = o.shape[0]
-    tr = jnp.ones((n, 3), jnp.float32)
+    tr = jnp.ones((n, channels), jnp.float32)
     med = med0
     occ = jnp.zeros(n, bool)
     done = ~usable
@@ -1238,7 +1301,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
                    & ~done)
         seg = jnp.where(hv, hit.t, rem)
         seg_tr = _medium_tr(scene, med, seg, o_cur, d, lane,
-                            bounce * walk_steps + k)
+                            bounce * walk_steps + k, channels=channels)
         tr = tr * jnp.where(done[:, None], 1.0, seg_tr)
         occ = occ | blocker
         si_k = compute_interaction(scene.geo, hit, o_cur, d, time=time)
@@ -1280,9 +1343,10 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     inf_L, _ = _infinite_L(scene.lights)
     has_inf = scene.lights.has_infinite
     uniform_strategy = cfg.light_strategy not in ("power", "spatial")
+    nch = 60 if cfg.spectral else 3
 
     v0 = px.astype(jnp.float32) * 0.0
-    v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
+    v03 = v0[:, None] * jnp.ones((1, nch), jnp.float32)
 
     rx_o = rx_d = ry_o = ry_d = None
     use_ewa = scene.has_texfilter and get_config().texture_filter == "ewa"
@@ -1296,6 +1360,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         lt = scene.lights
         lidx, pmf = choose_light(lt, u_choice, cfg.light_strategy, p=si.p)
         ls = sample_li(lt, lidx, si.p, u_light)
+        li = _lift_illum_maybe(ls.li, nch)
         # surface f / pdf through the full material context (hair/fourier)
         f_surf, pdf_surf = shade_f(scene, shade, si.ns, si.wo, ls.wi,
                                    want_pdf=True)
@@ -1303,7 +1368,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         # medium phase f / pdf (f == pdf for a normalized phase function)
         cos_t = dot(-si.wo, ls.wi)  # si.wo = -ray.d -> propagation = -wo
         ph = _hg_phase(cos_t, g_med)
-        f_med = jnp.repeat(ph[:, None], 3, axis=-1)
+        f_med = jnp.repeat(ph[:, None], nch, axis=-1)
         f = jnp.where(is_medium[:, None], f_med, f_surf)
         scatter_pdf = jnp.where(is_medium, ph, pdf_surf)
 
@@ -1320,14 +1385,16 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         if scene.has_null_boundaries:
             occluded, tr = _shadow_tr_walk(scene, o_sh, ls.wi,
                                            jnp.maximum(t_max, 0.0), med,
-                                           lane, bounce, usable, time=l_time)
+                                           lane, bounce, usable, time=l_time,
+                                           channels=nch)
         else:
             occluded = intersect_any(scene.geo, o_sh, ls.wi,
                                      jnp.maximum(t_max, 0.0), time=l_time)
-            tr = _medium_tr(scene, med, dist, o_sh, ls.wi, lane, bounce)
+            tr = _medium_tr(scene, med, dist, o_sh, ls.wi, lane, bounce,
+                            channels=nch)
         w = jnp.where(ls.is_delta, 1.0,
                       power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
-        contrib = f * ls.li * tr * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
+        contrib = f * li * tr * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
         return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
 
     def bounce_body(carry, bounce):
@@ -1363,10 +1430,13 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         u_ch = sampler.dim_dyn(px, py, sidx, d0, sctx)
         u_dist = sampler.dim_dyn(px, py, sidx, d0 + 1, sctx)
         in_med = med >= 0
-        sig_t = scene.med_sigma_t[jnp.maximum(med, 0)]
-        sig_s = scene.med_sigma_s[jnp.maximum(med, 0)]
+        # sampled mode: sigma promote through the parse-time reflectance
+        # basis, and the distance-sampling channel draws over all bins
+        # (homogeneous.cpp Sample picks channel in [0, Spectrum::nSamples))
+        sig_t = _lift_refl_maybe(scene.med_sigma_t[jnp.maximum(med, 0)], nch)
+        sig_s = _lift_refl_maybe(scene.med_sigma_s[jnp.maximum(med, 0)], nch)
         g_med = scene.med_g[jnp.maximum(med, 0)]
-        ch = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
+        ch = jnp.minimum((u_ch * nch).astype(jnp.int32), nch - 1)
         sig_ch = jnp.take_along_axis(sig_t, ch[:, None], axis=-1)[:, 0]
         dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(
             sig_ch, 1e-20)
@@ -1387,12 +1457,16 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             t_min = jnp.where(grid_lane,
                               jnp.where(scat_g, t_g,
                                         jnp.minimum(t_surf, 3.4e37)), t_min)
-            thru = jnp.where(grid_lane[:, None], w_g, thru)
+            # w_g is the sigma_s/sigma_t albedo ratio: promote raw (the
+            # parse-time 0.94 scales cancel in the ratio)
+            thru = jnp.where(grid_lane[:, None], _lift_f_maybe(w_g, nch),
+                             thru)
         beta = jnp.where((alive & in_med)[:, None], beta * thru, beta)
 
         # ---- emitted at surfaces (only when the surface was reached) ----
         reach_surf = alive & si.valid & ~sampled_med
         Le, lrow = _emitted(scene, si)
+        Le = _lift_illum_maybe(Le, nch)
         lrow_c = jnp.maximum(lrow, 0)
         light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p,
                                     si.ng)
@@ -1410,7 +1484,8 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             w_mis_inf = power_heuristic(
                 1.0, prev_pdf, 1.0, _escape_pdf(scene.lights, d) * pmf_inf)
             w_inf = jnp.where((bounce == 0) | specular, 1.0, w_mis_inf)
-            Le_inf = _escape_radiance(scene.lights, inf_L, d)
+            Le_inf = _lift_illum_maybe(
+                _escape_radiance(scene.lights, inf_L, d), nch)
             L = L + jnp.where((alive & ~si.valid & ~sampled_med)[:, None],
                               beta * Le_inf * w_inf[:, None], 0.0)
 
@@ -1423,7 +1498,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             wo=jnp.where(sampled_med[:, None], -d, si.wo),
         )
 
-        shade = make_shade_ctx(scene, si, texture_eval)
+        shade = make_shade_ctx(scene, si, texture_eval, channels=nch)
         any_lobe = jnp.any(shade.lobes.active, axis=-1)
         if shade.is_hair is not None:
             any_lobe = any_lobe | shade.is_hair
@@ -1508,7 +1583,8 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     init = (o, d, v03 + 1.0, v03, px == px, px == px, v0 + 1.0, o, med0)
     carry, _ = jax.lax.scan(bounce_body, init,
                             jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
-    return {"p_film": p_film_crop, "L": carry[3], "ray_weight": ray_w}
+    return {"p_film": p_film_crop, "L": _to_rgb_maybe(carry[3], cfg),
+            "ray_weight": ray_w}
 
 
 RADIANCE_FNS = {

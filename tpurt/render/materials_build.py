@@ -386,10 +386,28 @@ class MaterialIndexer:
         return idx
 
 
+_LOBE_COLOR_FIELDS = ("kd", "ks", "eta3", "k3", "kr", "kt", "fs_kr",
+                      "kt_g", "kd_t", "r0", "sheen", "retro", "kd_ss")
+
+
+def _lift_lobeparams(lp: LobeParams) -> LobeParams:
+    """Promote every RGB color field to the 60-bin SampledSpectrum
+    (the per-lane analog of ParamSet::FindOneSpectrum promoting RGB
+    parameters through SampledSpectrum::FromRGB at scene build,
+    spectrum.cpp:310-385; conductor eta/k given as RGB promote through
+    the same reflectance basis, matching what the reference does with
+    RGB "eta"/"k" material parameters)."""
+    from tpurt.spectrum_sampled import lift_refl
+
+    return lp._replace(**{f: lift_refl(getattr(lp, f))
+                          for f in _LOBE_COLOR_FIELDS})
+
+
 def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
                 mt_kinds: jnp.ndarray, mat_id: jnp.ndarray,
                 texture_overrides: Optional[dict] = None,
-                mt_mix: Optional[jnp.ndarray] = None) -> LobeParams:
+                mt_mix: Optional[jnp.ndarray] = None,
+                channels: int = 3) -> LobeParams:
     """Gather per-lane lobe parameters from the material table.
 
     mat_id: (N,) int32 (-1 = no material -> all lobes inactive).
@@ -404,7 +422,7 @@ def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
     lp = _fetch_lobes_one(mt_table, mt_k3, mt_kinds, mat_id,
                           texture_overrides)
     if mt_mix is None:
-        return lp
+        return _lift_lobeparams(lp) if channels != 3 else lp
     idx = jnp.maximum(mat_id, 0)
     kind = jnp.where(mat_id >= 0, mt_kinds[idx], MAT_NONE)
     is_mix = kind == MAT_MIX
@@ -435,7 +453,8 @@ def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
         a, b = getattr(mixed, f), getattr(lp, f)
         m = is_mix[:, None] if a.ndim == 2 else is_mix
         out[f] = jnp.where(m, a, b)
-    return LobeParams(**out)
+    lp = LobeParams(**out)
+    return _lift_lobeparams(lp) if channels != 3 else lp
 
 
 def _fetch_lobes_one(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
