@@ -322,11 +322,61 @@ def _chunk_lanes(film: Film, spp: int, chunk: int):
         yield px, py, sidx, mask
 
 
+# Warm-render cache: re-rendering the same SceneDescription (animation
+# frames, progressive refinement, benchmarking steady state) must not
+# pay scene flatten + BVH build (~2 s on killeroo) and — the larger
+# cost — re-TRACING the jitted step (the 6-bounce path integrator
+# jaxpr takes ~6 s of host Python to trace; the compiled executable
+# was already cached, the tracing was not).  Entries hold a strong
+# reference to sd so id(sd) cannot be reused while cached; the cache
+# is bounded FIFO.  Keyed on everything build_job reads from sd except
+# the geometry payload (primitives/lights are fingerprinted by length;
+# mutating geometry in-place between renders requires a re-load).
+from collections import OrderedDict as _OrderedDict
+
+_RENDER_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_RENDER_CACHE_MAX = 4
+
+
+def _sd_fingerprint(sd: SceneDescription) -> tuple:
+    def ps(p):
+        return repr(p._items) if p is not None else "-"
+
+    return (sd.film_name, ps(sd.film_params), sd.filter_name,
+            ps(sd.filter_params), sd.camera_name, ps(sd.camera_params),
+            sd.camera_to_world.m.tobytes() if sd.camera_to_world is not None
+            else b"-",
+            sd.camera_to_world_end.m.tobytes()
+            if sd.camera_to_world_end is not None else b"-",
+            sd.transform_times, sd.sampler_name, ps(sd.sampler_params),
+            sd.integrator_name, ps(sd.integrator_params),
+            sd.accelerator_name, len(sd.primitives), len(sd.lights),
+            len(sd.media), sd.camera_medium)
+
+
+def _cached_job_step(sd: SceneDescription, quick, crop_override):
+    key = (id(sd), _sd_fingerprint(sd), quick, crop_override,
+           repr(get_config()))
+    hit = _RENDER_CACHE.get(key)
+    if hit is not None:
+        return hit[1], hit[2]
+    job = build_job(sd, quick=quick, crop_override=crop_override)
+    return job, None
+
+
+def _cache_job_step(sd, quick, crop_override, job, step):
+    key = (id(sd), _sd_fingerprint(sd), quick, crop_override,
+           repr(get_config()))
+    _RENDER_CACHE[key] = (sd, job, step)
+    while len(_RENDER_CACHE) > _RENDER_CACHE_MAX:
+        _RENDER_CACHE.popitem(last=False)
+
+
 def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
            crop_override=None, return_state: bool = False):
     """Render a scene description; returns (image, film) — and writes no
     files (the CLI drives Film.write)."""
-    job = build_job(sd, quick=quick, crop_override=crop_override)
+    job, cached_step = _cached_job_step(sd, quick, crop_override)
     if job.cfg.name == "mlt":
         from tpurt.render.mlt import render_mlt
 
@@ -355,17 +405,24 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
     # scene/sampler/camera are jit ARGUMENTS (pytrees with static aux):
     # closed-over arrays would become HLO constants, bloating compiles and
     # defeating the persistent compilation cache across scenes.
-    @partial(jax.jit, static_argnums=(3,), donate_argnums=(7,))
-    def step(scene, camera, smplr, cfg, px, py, sidx, state, mask):
-        out = radiance_fn(scene, smplr, camera, px, py, sidx, cfg,
-                          crop_xy=(x0, y0), texture_eval=job.texture_eval)
-        state = film.add_samples(state, out["p_film"], out["L"],
-                                 out["ray_weight"], mask=mask)
-        if "splat_p" in out:  # bdpt t=1 strategies (Film::AddSplat)
-            reps = out["splat_p"].shape[0] // mask.shape[0]
-            state = film.add_splats(state, out["splat_p"], out["splat_L"],
-                                    mask=jnp.tile(mask, reps))
-        return state
+    if cached_step is not None:
+        step = cached_step
+    else:
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(7,))
+        def step(scene, camera, smplr, cfg, px, py, sidx, state, mask):
+            out = radiance_fn(scene, smplr, camera, px, py, sidx, cfg,
+                              crop_xy=(x0, y0),
+                              texture_eval=job.texture_eval)
+            state = film.add_samples(state, out["p_film"], out["L"],
+                                     out["ray_weight"], mask=mask)
+            if "splat_p" in out:  # bdpt t=1 strategies (Film::AddSplat)
+                reps = out["splat_p"].shape[0] // mask.shape[0]
+                state = film.add_splats(state, out["splat_p"],
+                                        out["splat_L"],
+                                        mask=jnp.tile(mask, reps))
+            return state
+
+        _cache_job_step(sd, quick, crop_override, job, step)
 
     from tpurt.utils.stats import STATS, ProgressReporter
 

@@ -992,7 +992,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                          beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
 
         return (o, d, beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
-                n0, p0, n1, p1), None
+                n0, p0, n1, p1), jnp.sum(alive)
 
     # all carries derived from lane data so they carry the same varying-axes
     # type as the body's outputs under shard_map
@@ -1003,10 +1003,14 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             px == px, px != px,
             v0 + 1.0, o, v0 + 1.0,
             v03, v03, v03, v03)
-    carry, _ = jax.lax.scan(bounce_body, init,
-                            jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
+    carry, alive_hist = jax.lax.scan(
+        bounce_body, init, jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
     L = _to_rgb_maybe(carry[3], cfg)
-    out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}
+    # per-bounce survivor counts (Integrator/Path-length distribution
+    # analog of the reference's STAT_INT_DISTRIBUTION "Path length");
+    # the driver ignores this key, perf probes read it.
+    out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w,
+           "alive_per_bounce": alive_hist}
     if cfg.capture_features:
         out["features"] = {"n0": carry[9], "p0": carry[10],
                            "n1": carry[11], "p1": carry[12]}

@@ -599,29 +599,20 @@ def _box8_test(rec, o, inv_d, t_max):
     return hit, t_near
 
 
-# Traversal phase schedule.  Run PHASE1_STEPS lockstep steps at full
-# width (most lanes die early against the large shallow leaf bundles),
-# then walk a LADDER of progressively narrower compacted wavefronts:
-# each rung gathers the surviving stragglers into an n/divisor-width
-# wavefront and advances them at most max_steps more steps; the final
-# rung (max_steps=0) runs to completion inside an outer while that also
-# catches capacity overflow.  Tuned against the MEASURED step-to-done
-# distribution on killeroo at 2^15 lanes (shuffled primaries: mean 5.9,
-# p50 4, p90 13, p99 21, max 49; diffuse bounce-1 rays: mean 4.6,
-# p90 12, max 60): the round-1 single (16, 0) rung modeled 18.2/13.1
-# amortized lane-steps per ray on shuffled/bounce-1 because ~30% of
-# lanes survive phase 1 and the n/16 tail loops 5-6 times; this ladder
-# models 9.4/8.5 (ideal = the distribution mean).  MEASURED on the chip
-# (killeroo 2^17 lanes, same-process A/B vs the single rung): closest
-# coherent 43.1 -> 35.9 ms, shuffled 70.8 -> 59.5 ms, bounce-1 58.4 ->
-# 52.4 ms (1.11-1.20x); any-hit 1.03-1.06x; hit agreement 1.0.
-PHASE1_STEPS = 4
-PHASE2_LADDER = ((4, 8), (8, 16), (64, 0))  # (width divisor, max steps)
-# any-hit rays terminate on the first hit (measured killeroo shadow rays:
-# mean 4.5 steps, p75 5, p99 23), so few lanes survive phase 1 and the
-# single narrow rung is already optimal; the ladder's extra rungs
-# measured 0.96-0.97x there.
-PHASE2_LADDER_ANY = ((16, 0),)
+# Traversal schedule: full-width lockstep steps while more than
+# n/COMPACT_DIV lanes are live, then ONE compaction of the survivors
+# run to completion at n/COMPACT_DIV width.  Chosen by the in-jit
+# schedule shootout (tools/perf_probe5.py, killeroo center-chunk
+# shuffled primaries, 2^17 lanes, dispatch excluded):
+#   fixed phase-1 + rung ladder (round-2 prod)  100.2 ms (1328 trips)
+#   full-width to completion                     73.4 ms (48 trips)
+#   fwhile > n/32 + one compact-to-completion    37.2 ms
+#   fwhile > n/8  + one compact-to-completion    34.6 ms  <- this
+# The per-step cost is gather-engine bound (1.51 ms/full-width step at
+# 2^17 lanes; the node-row gather is 13-28 ns/row), so the schedule
+# minimizes total gathered rows: full width only while occupancy is
+# high, one narrow completion for the straggler tail.
+COMPACT_DIV = 8
 
 
 def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
@@ -755,9 +746,9 @@ REORDER_MIN_LANES = 1 << 62
 def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
                    time=None, reorder: bool = None):
     """Wide-BVH traversal over (N,) ray lanes: optional coherence sort,
-    PHASE1_STEPS lockstep steps at full width, then straggler compaction
-    (gather the surviving lanes into a narrow wavefront, finish, scatter
-    back)."""
+    full-width lockstep steps while occupancy exceeds n/COMPACT_DIV,
+    then one straggler compaction run to completion (gather surviving
+    lanes into a narrow wavefront, finish, scatter back)."""
     n = o.shape[0]
     if reorder is None:
         reorder = n >= REORDER_MIN_LANES
@@ -784,53 +775,42 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
 
     cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit, time)
 
-    ladder = PHASE2_LADDER_ANY if any_hit else PHASE2_LADDER
-    if n // ladder[0][0] < 1024:
+    if n // COMPACT_DIV < 1024:
         # narrow wavefronts gain nothing from compaction: run to completion
         _, _, _, t, prim, b0, b1 = jax.lax.while_loop(cond, body, state)
         return t, prim, b0, b1
 
-    # phase 1: fixed lockstep steps at full width (fori + unroll, not a
-    # counted while: the while form measured +13% on coherent batches)
-    state = jax.lax.fori_loop(0, PHASE1_STEPS, lambda i, st: body(st), state,
-                              unroll=2)
-
-    def compact_run(state, c, max_steps):
-        """One ladder rung: gather the first c surviving lanes, advance
-        them (bounded, or to completion when max_steps == 0), scatter
-        back.  Fill slots replay lane 0 redundantly; their scatter
-        writes back lane 0's own (identical) result, so duplicates are
-        benign."""
-        (idxc,) = jnp.nonzero(state[0] >= 0, size=c, fill_value=0)
-        sub_rays = tuple(jnp.take(a, idxc, axis=0) for a in (o, d, inv_d))
-        sub = tuple(jnp.take(a, idxc, axis=0) for a in state)
-        sub_time = (jnp.take(time, idxc, axis=0) if time is not None
-                    else None)
-        sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, any_hit,
-                                            sub_time)
-        if max_steps:
-            sub = jax.lax.while_loop(
-                lambda st: sub_cond(st[0]) & (st[1] < max_steps),
-                lambda st: (sub_body(st[0]), st[1] + 1), (sub, 0))[0]
-        else:
-            sub = jax.lax.while_loop(sub_cond, sub_body, sub)
-        return tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
-
-    # phase 2: the compaction ladder.  Each bounded rung runs only when
-    # it would be at least quarter-full (any-hit and coherent batches
-    # leave so few survivors that the rung's gather/scatter would be
-    # pure overhead — measured 0.75-0.81x without the gate); the final
-    # run-to-completion rung loops until no lane remains (it also
-    # catches capacity overflow).
-    for div, max_steps in ladder[:-1]:
-        c = max(n // div, 1024)
-        state = jax.lax.cond(
-            jnp.sum(state[0] >= 0) > c // 4,
-            lambda st, c=c, ms=max_steps: compact_run(st, c, ms),
-            lambda st: st, state)
-    c_last = max(n // ladder[-1][0], 1024)
+    # Occupancy-driven two-phase schedule (replaces the round-2 fixed
+    # phase-1 + compaction ladder; see tools/perf_probe5.py).  Measured
+    # in-jit on killeroo center-chunk shuffled primaries at 2^17 lanes
+    # (excluding the ~27 ms tunnel dispatch): the old ladder cost 100 ms
+    # (its run-to-completion tail looped an n/64-wide compact_run inside
+    # an outer while -> 1328 while trips); full-width-to-completion cost
+    # 73 ms (48 trips x 1.53 ms/step, gather-engine bound); this
+    # schedule costs 34.6 ms with identical hits.
+    #
+    # phase 1: full-width lockstep while more than n/COMPACT_DIV lanes
+    # are live.  A mostly-dead wavefront (late bounces, masked shadow
+    # rays: t_max=0 -> cur=-1) exits immediately, so dead lanes never
+    # pay full-width steps.
+    lim = n // COMPACT_DIV
     state = jax.lax.while_loop(
-        cond, lambda st: compact_run(st, c_last, 0), state)
+        lambda st: jnp.sum(st[0] >= 0) > lim, body, state)
+
+    # phase 2: ONE compaction of the <= n/COMPACT_DIV survivors, run to
+    # completion at the narrow width.  Capacity cannot overflow (phase 1
+    # guarantees survivors <= lim) and lanes never revive, so no outer
+    # retry loop is needed.  Fill slots replay lane 0 redundantly; their
+    # scatter writes back lane 0's own (identical) result.
+    c = max(lim, 1024)
+    (idxc,) = jnp.nonzero(state[0] >= 0, size=c, fill_value=0)
+    sub_rays = tuple(jnp.take(a, idxc, axis=0) for a in (o, d, inv_d))
+    sub = tuple(jnp.take(a, idxc, axis=0) for a in state)
+    sub_time = (jnp.take(time, idxc, axis=0) if time is not None
+                else None)
+    sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, any_hit, sub_time)
+    sub = jax.lax.while_loop(sub_cond, sub_body, sub)
+    state = tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
     _, _, _, t, prim, b0, b1 = state
     return t, prim, b0, b1
 
