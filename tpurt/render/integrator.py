@@ -1310,8 +1310,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
         occ = occ | blocker
         si_k = compute_interaction(scene.geo, hit, o_cur, d, time=time)
         entering = dot(d, si_k.ng) < 0
-        med_next = jnp.where(entering, scene.geo.medium_inside[prim_c],
-                             scene.geo.medium_outside[prim_c])
+        med_next = jnp.where(entering, si_k.med_in, si_k.med_out)
         crossed = hv & ~blocker & ~done
         med = jnp.where(crossed, med_next, med)
         o_cur = jnp.where(crossed[:, None],
@@ -1508,16 +1507,12 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             any_lobe = any_lobe | shade.is_hair
         if shade.is_fourier is not None:
             any_lobe = any_lobe | shade.is_fourier
-        # null-material boundary: pass through + switch media
+        # null-material boundary: pass through + switch media (media ids
+        # carried on the fused shade row — no extra per-prim gathers)
         null_boundary = (alive & si.valid & ~sampled_med & ~any_lobe
-                         & ((scene.geo.medium_inside[jnp.maximum(si.prim, 0)]
-                             >= 0)
-                            | (scene.geo.medium_outside[
-                                jnp.maximum(si.prim, 0)] >= 0)))
+                         & ((si.med_in >= 0) | (si.med_out >= 0)))
         entering = dot(d, si.ng) < 0
-        new_med = jnp.where(
-            entering, scene.geo.medium_inside[jnp.maximum(si.prim, 0)],
-            scene.geo.medium_outside[jnp.maximum(si.prim, 0)])
+        new_med = jnp.where(entering, si.med_in, si.med_out)
         med = jnp.where(null_boundary, new_med, med)
 
         alive_shade = alive & (sampled_med | (si.valid & any_lobe))

@@ -53,6 +53,10 @@ class SurfaceInteraction(NamedTuple):
     # imagemap lookups then use anisotropic EWA instead of trilinear
     tex_dst0: jnp.ndarray = None  # (N,2)
     tex_dst1: jnp.ndarray = None  # (N,2)
+    # media interface of the hit prim (-1 = vacuum/unset), carried from
+    # the fused shade row so volpath needs no extra per-prim gathers
+    med_in: jnp.ndarray = None  # (N,) i32
+    med_out: jnp.ndarray = None  # (N,) i32
 
 
 def _gather3(arr, idx):
@@ -68,40 +72,52 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     scenes whose meshes carry shading tangents, e.g. tessellated curves)
     the interpolated per-vertex tangent is Gram-Schmidt-orthogonalized
     against ns and returned as ss."""
+    import jax
+
     n = hit.t.shape[0]
     prim = jnp.maximum(hit.prim, 0)
     valid = hit.prim >= 0
     t = jnp.where(valid, hit.t, 1.0)
     p_ray = o + t[:, None] * d
 
-    flags = geo.flags[prim]
-    ptype = geo.prim_type[prim]
+    # ONE fused 128-byte row gather replaces the 18 small-row gathers
+    # this function used to issue: the TPU gather engine is row-count
+    # bound (~13-28 ns/lane/row regardless of row bytes <= 512 B), so
+    # per-bounce interaction cost is now one row, not eighteen.
+    rows = geo.shade_rows[prim]  # (N, 32)
+    ints = jax.lax.bitcast_convert_type(rows[:, 0:7], jnp.int32)
+    flags = ints[:, 0]
+    ptype = ints[:, 1]
+    material_id = ints[:, 2]
+    arealight_id = ints[:, 3]
+    med_in = ints[:, 5]
+    med_out = ints[:, 6]
     is_tri = ptype == PT_TRIANGLE
 
     # --- triangle attributes (lerped to the ray time for motion blur) ---
-    v0 = geo.tri_v0[prim]
-    v1 = geo.tri_v1[prim]
-    v2 = geo.tri_v2[prim]
-    motion = time is not None and geo.tri_dv0 is not None
+    v0 = rows[:, 7:10]
+    v1 = rows[:, 10:13]
+    v2 = rows[:, 13:16]
+    n0 = rows[:, 16:19]
+    n1 = rows[:, 19:22]
+    n2 = rows[:, 22:25]
+    motion = time is not None and geo.shade_delta is not None
     if motion:
-        v0 = v0 + time[:, None] * geo.tri_dv0[prim]
-        v1 = v1 + time[:, None] * geo.tri_dv1[prim]
-        v2 = v2 + time[:, None] * geo.tri_dv2[prim]
+        drows = geo.shade_delta[prim]  # (N, 18)
+        tt = time[:, None]
+        v0 = v0 + tt * drows[:, 0:3]
+        v1 = v1 + tt * drows[:, 3:6]
+        v2 = v2 + tt * drows[:, 6:9]
+        n0 = n0 + tt * drows[:, 9:12]
+        n1 = n1 + tt * drows[:, 12:15]
+        n2 = n2 + tt * drows[:, 15:18]
     b0 = hit.b0
     b1 = hit.b1
     b2 = 1.0 - b0 - b1
     p_tri = b0[:, None] * v0 + b1[:, None] * v1 + b2[:, None] * v2
     # geometric normal from the winding (triangle.cpp: dp02 x dp12)
     ng_tri = normalize(jnp.cross(v0 - v2, v1 - v2))
-    vi = geo.tri_vi[prim]
     has_n = (flags & FLAG_HAS_NORMALS) != 0
-    n0 = geo.vert_n[vi[:, 0]]
-    n1 = geo.vert_n[vi[:, 1]]
-    n2 = geo.vert_n[vi[:, 2]]
-    if motion:
-        n0 = n0 + time[:, None] * geo.vert_dn[vi[:, 0]]
-        n1 = n1 + time[:, None] * geo.vert_dn[vi[:, 1]]
-        n2 = n2 + time[:, None] * geo.vert_dn[vi[:, 2]]
     ns_interp = b0[:, None] * n0 + b1[:, None] * n1 + b2[:, None] * n2
     ns_len = jnp.linalg.norm(ns_interp, axis=-1, keepdims=True)
     ns_ok = has_n & (ns_len[:, 0] > F32_EPS)
@@ -110,9 +126,9 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     # orient ng toward ns when shading normals exist (triangle.cpp:438)
     ng_tri = jnp.where(ns_ok[:, None], face_forward(ng_tri, ns_tri), ng_tri)
     has_uv = (flags & FLAG_HAS_UV) != 0
-    uv0 = geo.vert_uv[vi[:, 0]]
-    uv1 = geo.vert_uv[vi[:, 1]]
-    uv2 = geo.vert_uv[vi[:, 2]]
+    uv0 = rows[:, 25:27]
+    uv1 = rows[:, 27:29]
+    uv2 = rows[:, 29:31]
     # default uvs (0,0),(1,0),(1,1) (triangle.cpp GetUVs)
     duv0 = jnp.asarray([0.0, 0.0], jnp.float32)
     duv1 = jnp.asarray([1.0, 0.0], jnp.float32)
@@ -124,17 +140,17 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     )
 
     # --- quadric attributes (normal from object-space gradient) ---
-    qi = jnp.maximum(geo.quad_id[prim], 0)
-    w2o = geo.quad_w2o[qi]
-    o2w = geo.quad_o2w[qi]
+    # w2o is the affine 3x4 top of the matrix (the reference's quadric
+    # CTMs are affine; the projective row was never read here)
+    w2o = rows[:, 7:19].reshape(n, 3, 4)
+    params = rows[:, 19:27]
     if geo.quad_trs is not None and time is not None:
         from tpurt.render.intersect import interp_quad_transform
 
-        o2w_t, w2o_t = interp_quad_transform(geo.quad_trs[qi], time)
+        qi = jnp.maximum(ints[:, 4], 0)
+        _, w2o_t = interp_quad_transform(geo.quad_trs[qi], time)
         anim = geo.quad_animated[qi][:, None, None]
-        w2o = jnp.where(anim, w2o_t, w2o)
-        o2w = jnp.where(anim, o2w_t, o2w)
-    params = geo.quad_params[qi]
+        w2o = jnp.where(anim, w2o_t[:, :3, :], w2o)
 
     def xp(m, pnt):
         x, y, z = pnt[:, 0], pnt[:, 1], pnt[:, 2]
@@ -203,9 +219,10 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         from tpurt.render.geometry_build import FLAG_HAS_TANGENTS
 
         has_s = (flags & FLAG_HAS_TANGENTS) != 0
-        s_interp = (b0[:, None] * geo.vert_s[vi[:, 0]]
-                    + b1[:, None] * geo.vert_s[vi[:, 1]]
-                    + b2[:, None] * geo.vert_s[vi[:, 2]])
+        srow = geo.shade_s[prim]  # (N, 9) vi-resolved tangents
+        s_interp = (b0[:, None] * srow[:, 0:3]
+                    + b1[:, None] * srow[:, 3:6]
+                    + b2[:, None] * srow[:, 6:9])
         # orthogonalize against the shading normal
         s_perp = s_interp - jnp.sum(s_interp * ns, axis=-1, keepdims=True) * ns
         s_len = jnp.linalg.norm(s_perp, axis=-1, keepdims=True)
@@ -246,10 +263,12 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         ns=jnp.where(safe, ns, up),
         uv=jnp.where(safe, uv, 0.0),
         wo=wo,
-        material_id=jnp.where(valid, geo.material_id[prim], -1),
-        arealight_id=jnp.where(valid, geo.arealight_id[prim], -1),
+        material_id=jnp.where(valid, material_id, -1),
+        arealight_id=jnp.where(valid, arealight_id, -1),
         prim=hit.prim,
         valid=valid,
+        med_in=jnp.where(valid, med_in, -1),
+        med_out=jnp.where(valid, med_out, -1),
         ss=ss,
         dpdu=dpdu,
         dpdv=dpdv,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurt.render.geometry_build import (
+    FLAG_HAS_TANGENTS,
     GeometryArrays,
     PT_CONE,
     PT_CYLINDER,
@@ -66,6 +67,16 @@ class DeviceGeometry(NamedTuple):
 
     wnodes: jnp.ndarray
     prims_packed: jnp.ndarray
+    # fused per-prim shading record, ONE 128-byte row gather per
+    # interaction (the 18 separate small-row gathers this replaces each
+    # cost the same ~13-28 ns/lane as one wide row — the gather engine
+    # is row-count bound, not byte bound).  (P, 32) f32:
+    #   [0] flags [1] ptype [2] material_id [3] arealight_id
+    #   [4] quad_id [5] medium_inside [6] medium_outside   (bitcast i32)
+    #   triangles: [7:16] v0,v1,v2  [16:25] n0,n1,n2 (vi-resolved)
+    #              [25:31] uv0,uv1,uv2
+    #   quadrics:  [7:19] w2o rows 0..2 (3x4 affine)  [19:27] params[0:8]
+    shade_rows: jnp.ndarray
     # unpacked shading-time tables
     prim_type: jnp.ndarray
     material_id: jnp.ndarray
@@ -97,6 +108,11 @@ class DeviceGeometry(NamedTuple):
     # scenes without quadric motion — static pytree property)
     quad_trs: jnp.ndarray = None  # (Q, 2, 16)
     quad_animated: jnp.ndarray = None  # (Q,)
+    # fused motion deltas for shading ((P, 18): dv0,dv1,dv2, dn0,dn1,dn2
+    # vi-resolved) and fused shading tangents ((P, 9): s0,s1,s2); None
+    # when the scene has no motion / no tangents (static property)
+    shade_delta: jnp.ndarray = None
+    shade_s: jnp.ndarray = None
 
     n_tris: int = 0
     n_quads: int = 0
@@ -129,9 +145,49 @@ class DeviceGeometry(NamedTuple):
         prims[:, 9] = g.prim_type.astype(np.int32).view(np.float32)
         prims[:, 10] = np.maximum(g.quad_id, 0).astype(np.int32).view(np.float32)
 
+        # fused shading record (layout documented on the field above)
+        med_in = (g.medium_inside if g.medium_inside is not None
+                  else np.full(p, -1, np.int32))
+        med_out = (g.medium_outside if g.medium_outside is not None
+                   else np.full(p, -1, np.int32))
+        ints = np.stack([g.flags, g.prim_type, g.material_id,
+                         g.arealight_id, g.quad_id, med_in, med_out],
+                        axis=1).astype(np.int32)
+        rows = np.zeros((p, 32), np.float32)
+        rows[:, 0:7] = ints.view(np.float32)
+        nt = g.n_tris
+        if nt:
+            vi = g.tri_vi[:nt]
+            rows[:nt, 7:10] = g.tri_v0[:nt]
+            rows[:nt, 10:13] = g.tri_v1[:nt]
+            rows[:nt, 13:16] = g.tri_v2[:nt]
+            if len(g.vert_n):
+                rows[:nt, 16:25] = g.vert_n[vi].reshape(nt, 9)
+                rows[:nt, 25:31] = g.vert_uv[vi].reshape(nt, 6)
+        if g.n_quads:
+            qi = np.maximum(g.quad_id[nt:], 0)
+            rows[nt:, 7:19] = g.quad_w2o[qi][:, :3, :].reshape(-1, 12)
+            rows[nt:, 19:27] = g.quad_params[qi][:, :8]
+        shade_delta = None
+        if g.has_motion:
+            shade_delta = np.zeros((p, 18), np.float32)
+            shade_delta[:, 0:3] = g.tri_e0 - g.tri_v0
+            shade_delta[:, 3:6] = g.tri_e1 - g.tri_v1
+            shade_delta[:, 6:9] = g.tri_e2 - g.tri_v2
+            if nt and len(g.vert_n):
+                shade_delta[:nt, 9:18] = (
+                    (g.vert_ne - g.vert_n)[g.tri_vi[:nt]].reshape(nt, 9))
+        shade_s = None
+        if nt and len(g.vert_s) and (g.flags & FLAG_HAS_TANGENTS).any():
+            shade_s = np.zeros((p, 9), np.float32)
+            shade_s[:nt] = g.vert_s[g.tri_vi[:nt]].reshape(nt, 9)
+
         return DeviceGeometry(
             n_tris=g.n_tris, n_quads=g.n_quads, wstack_depth=sdepth,
             wnodes=f(wnodes), prims_packed=f(prims),
+            shade_rows=f(rows),
+            shade_delta=f(shade_delta) if shade_delta is not None else None,
+            shade_s=f(shade_s) if shade_s is not None else None,
             prim_type=f(g.prim_type), material_id=f(g.material_id),
             arealight_id=f(g.arealight_id), flags=f(g.flags),
             tri_v0=f(g.tri_v0), tri_v1=f(g.tri_v1), tri_v2=f(g.tri_v2),
