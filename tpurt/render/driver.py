@@ -354,8 +354,13 @@ def _sd_fingerprint(sd: SceneDescription) -> tuple:
             len(sd.media), sd.camera_medium)
 
 
-def _cached_job_step(sd: SceneDescription, quick, crop_override):
-    key = (id(sd), _sd_fingerprint(sd), quick, crop_override,
+def _cached_job_step(sd: SceneDescription, quick, crop_override,
+                     tag: str = "render"):
+    """Return (job, payload) for this scene + config; payload is the
+    previously cached traced-step object (None on miss — callers build
+    it and register with _cache_job_step).  tag separates consumers that
+    trace different steps over the same scene (render vs rpf)."""
+    key = (tag, id(sd), _sd_fingerprint(sd), quick, crop_override,
            repr(get_config()))
     hit = _RENDER_CACHE.get(key)
     if hit is not None:
@@ -364,8 +369,9 @@ def _cached_job_step(sd: SceneDescription, quick, crop_override):
     return job, None
 
 
-def _cache_job_step(sd, quick, crop_override, job, step):
-    key = (id(sd), _sd_fingerprint(sd), quick, crop_override,
+def _cache_job_step(sd, quick, crop_override, job, step,
+                    tag: str = "render"):
+    key = (tag, id(sd), _sd_fingerprint(sd), quick, crop_override,
            repr(get_config()))
     _RENDER_CACHE[key] = (sd, job, step)
     while len(_RENDER_CACHE) > _RENDER_CACHE_MAX:

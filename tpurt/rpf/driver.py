@@ -28,7 +28,8 @@ log = logging.getLogger("tpurt.rpf")
 DEFAULT_BOX_SIZES = (7,)  # rpf.cpp:767 (multi-scale list commented out there)
 
 
-def fill_sample_buffer(job, chunk: Optional[int] = None) -> jnp.ndarray:
+def fill_sample_buffer(job, chunk: Optional[int] = None,
+                       cached_trace=None):
     """FillSampleFilm analog: path-trace every (pixel, sample) lane with
     feature capture, assembling the (H, W, S, 19) sample buffer.
 
@@ -51,19 +52,23 @@ def fill_sample_buffer(job, chunk: Optional[int] = None) -> jnp.ndarray:
         chunk = min(get_config().wavefront_size, h * w * spp)
         chunk = max(8, (chunk // 8) * 8)
 
-    @partial(jax.jit, donate_argnums=(7,))
-    def trace(scene, camera, smplr, px, py, sidx, start, buf):
-        out = path_radiance(scene, smplr, camera, px, py, sidx, cfg,
-                            crop_xy=(x0, y0), texture_eval=job.texture_eval)
-        f = out["features"]
-        # SampleData layout (sd.h:40-59)
-        rows = jnp.concatenate([
-            out["p_film"],  # 0:2 (crop-space raster coords)
-            out["L"],  # 2:5
-            out["p_lens"],  # 5:7
-            f["n0"], f["p0"], f["n1"], f["p1"],  # 7:19
-        ], axis=-1)
-        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+    if cached_trace is not None:
+        trace = cached_trace
+    else:
+        @partial(jax.jit, donate_argnums=(7,))
+        def trace(scene, camera, smplr, px, py, sidx, start, buf):
+            out = path_radiance(scene, smplr, camera, px, py, sidx, cfg,
+                                crop_xy=(x0, y0),
+                                texture_eval=job.texture_eval)
+            f = out["features"]
+            # SampleData layout (sd.h:40-59)
+            rows = jnp.concatenate([
+                out["p_film"],  # 0:2 (crop-space raster coords)
+                out["L"],  # 2:5
+                out["p_lens"],  # 5:7
+                f["n0"], f["p0"], f["n1"], f["p1"],  # 7:19
+            ], axis=-1)
+            return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
     total = h * w * spp
     n_chunks = -(-total // chunk)
@@ -76,7 +81,7 @@ def fill_sample_buffer(job, chunk: Optional[int] = None) -> jnp.ndarray:
                     jnp.int32(i * chunk), buf)
         done += int(mask.sum())
         log.info("sampling pass: %d/%d", done, total)
-    return buf[:total].reshape(h, w, spp, SD_LEN)
+    return buf[:total].reshape(h, w, spp, SD_LEN), trace
 
 
 def visualize_sf(buffer: np.ndarray, filename: str) -> None:
@@ -126,9 +131,17 @@ def render_rpf(sd, quick: bool = False, crop_override=None,
                write_feature_exrs: bool = True,
                return_buffers: bool = False):
     """The full RPF pipeline."""
-    job = build_job(sd, quick=quick, crop_override=crop_override)
+    from tpurt.render.driver import _cache_job_step, _cached_job_step
+
+    # warm-frame cache (see render.driver): repeat frames of the same
+    # scene skip scene flatten + BVH build and the sampling pass's
+    # jaxpr re-trace
+    job, cached_trace = _cached_job_step(sd, quick, crop_override,
+                                         tag="rpf")
     t0 = time.time()
-    buffer = fill_sample_buffer(job)
+    buffer, trace = fill_sample_buffer(job, cached_trace=cached_trace)
+    if cached_trace is None:
+        _cache_job_step(sd, quick, crop_override, job, trace, tag="rpf")
     jax.block_until_ready(buffer)
     sampling_time = time.time() - t0
     log.info("sampling pass: %.2fs", sampling_time)
