@@ -231,3 +231,24 @@ def test_mix_material_blends_submaterials():
     assert abs(mean[0] - want_r) < 0.05, (mean, want_r)
     assert abs(mean[2] - want_b) < 0.02, (mean, want_b)
     assert mean[1] < 0.01, mean
+
+
+def test_warm_render_cache_reuse_and_invalidation():
+    """render() memoizes (job, traced step) per SceneDescription; a repeat
+    render must give the identical image, and mutating the scene's params
+    must invalidate the entry (tpurt/render/driver.py _RENDER_CACHE)."""
+    from tpurt.render.driver import _RENDER_CACHE
+
+    sd = load_scene_string(FURNACE_POINT.format(sampler="halton", spp=2,
+                                                integrator="path"))
+    img1, _ = render(sd, progress=False)
+    key_count = len(_RENDER_CACHE)
+    img2, _ = render(sd, progress=False)
+    assert np.array_equal(np.asarray(img1), np.asarray(img2))
+    assert len(_RENDER_CACHE) == key_count  # warm hit, no new entry
+
+    # a param mutation must re-render (different spp -> different noise)
+    sd.sampler_params.add("integer", "pixelsamples", [4])
+    img3, _ = render(sd, progress=False)
+    assert not np.array_equal(np.asarray(img1), np.asarray(img3))
+    assert len(_RENDER_CACHE) <= 4  # bounded FIFO

@@ -1,9 +1,10 @@
 """Driver-loop replication: per-chunk step wall times (blocking) vs the
 pipelined loop (production), to locate non-step render overhead.
 
-Usage: python tools/perf_probe6.py
+Usage: python tools/perf_probe6.py [--chunk-log2 N]
 """
 
+import argparse
 import os
 import sys
 import time
@@ -13,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk-log2", type=int, default=0,
+                    help="override wavefront chunk size (0 = config)")
+    args = ap.parse_args()
     import jax
 
     jax.config.update(
@@ -36,7 +41,8 @@ def main():
     t_build = time.time() - t0
     film = job.film
     spp = job.sampler.spp
-    chunk = min(1 << 20, get_config().wavefront_size)
+    chunk = (1 << args.chunk_log2 if args.chunk_log2
+             else min(1 << 20, get_config().wavefront_size))
     x0, _, y0, _ = film.crop
     radiance_fn = RADIANCE_FNS[job.cfg.name]
 
