@@ -168,6 +168,10 @@ def main() -> int:
                     help="comma list from {3,4,5}: also run BASELINE.json "
                          "configs 3 (multi-scale RPF), 4 (sampler sweep), "
                          "5 (direct+textured); slower")
+    ap.add_argument("--profile", metavar="DIR", default="",
+                    help="after timing, re-render once under "
+                         "jax.profiler.trace and write the device trace "
+                         "artifact to DIR (TensorBoard/Perfetto)")
     args = ap.parse_args()
 
     import jax
@@ -201,6 +205,12 @@ def main() -> int:
     t0 = time.time()
     img, job = render(sd, progress=False, crop_override=crop)
     t_render = time.time() - t0
+
+    if args.profile:
+        # untimed third render under the profiler (tracing adds overhead,
+        # so the artifact render is separate from the timed one)
+        with jax.profiler.trace(args.profile):
+            render(sd, progress=False, crop_override=crop)
 
     # rays traced ~= camera rays * (avg path length); report camera Mrays/s
     # like the reference's `Integrator/Camera rays traced` stat

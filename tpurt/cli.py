@@ -39,6 +39,11 @@ def main(argv=None) -> int:
                     help="spectral representation: rgb (RGBSpectrum, the "
                          "reference default) or sampled (60-bin "
                          "SampledSpectrum, pbrt.h PBRT_SAMPLED_SPECTRUM)")
+    ap.add_argument("--profile", metavar="DIR", default="",
+                    help="write a jax.profiler device trace of the render "
+                         "to DIR (view with TensorBoard / Perfetto; the "
+                         "sampling-profiler analog of pbrt's "
+                         "--profile/ProfilePhase, core/stats.cpp:254)")
     args = ap.parse_args(argv)
 
     if args.cat or args.toply:
@@ -90,21 +95,31 @@ def main(argv=None) -> int:
     from tpurt.scene import load_scene
     from tpurt.render.driver import render
 
+    import contextlib
+
+    if args.profile:
+        log.info("profiling to %s", args.profile)
+
     for path in args.scenes:
         log.info("parsing %s", path)
         sd = load_scene(path)
         crop = args.cropwindow
-        if sd.integrator_name == "rpf":
-            from tpurt.rpf.driver import render_rpf
+        # one trace context per scene (trace contexts are not reentrant)
+        prof = (jax.profiler.trace(args.profile) if args.profile
+                else contextlib.nullcontext())
+        with prof:
+            if sd.integrator_name == "rpf":
+                from tpurt.rpf.driver import render_rpf
 
-            img, job, _extras = render_rpf(sd, quick=args.quick,
-                                           crop_override=crop)
-        elif sd.integrator_name == "mlt":
-            from tpurt.render.mlt import render_mlt
+                img, job, _extras = render_rpf(sd, quick=args.quick,
+                                               crop_override=crop)
+            elif sd.integrator_name == "mlt":
+                from tpurt.render.mlt import render_mlt
 
-            img, job = render_mlt(sd, quick=args.quick, crop_override=crop)
-        else:
-            img, job = render(sd, quick=args.quick, crop_override=crop)
+                img, job = render_mlt(sd, quick=args.quick,
+                                      crop_override=crop)
+            else:
+                img, job = render(sd, quick=args.quick, crop_override=crop)
         out = args.outfile or job.film.filename
         from tpurt.io.image import write_image
 
