@@ -39,6 +39,8 @@ from tpurt.render.integrator import (
     _escape_pdf,
     _escape_radiance,
     _infinite_L,
+    _lift_illum_maybe,
+    _to_rgb_maybe,
     IntegratorConfig,
     make_shade_ctx,
     shade_f,
@@ -112,7 +114,7 @@ def _bsdf_dir(scene, shade, ns, w_out, w_in, want_pdf=False):
 
 def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
                  o, d, beta0, pdf_dir0, alive0, n_steps, dim_base, mode,
-                 time=None):
+                 time=None, nch: int = 3):
     """Shared camera/light subpath walk.  Returns the (n_steps, N, ...)
     vertex stack plus per-step pdf_rev-of-previous emissions."""
     n = px.shape[0]
@@ -131,7 +133,7 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
         pdf_fwd = _convert_density(pdf_dir, prev_p, si.p, si.ng)
         pdf_fwd = jnp.where(escaped, pdf_dir, pdf_fwd)
 
-        shade = make_shade_ctx(scene, si, texture_eval)
+        shade = make_shade_ctx(scene, si, texture_eval, channels=nch)
         lrow = jnp.where(vvalid,
                          scene.lights.prim_to_light[jnp.maximum(si.prim, 0)],
                          -1)
@@ -274,20 +276,24 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     cam_o, cam_fwd = _camera_frame(camera)
 
     # ---- camera subpath ----
+    # spectral mode (PBRT_SAMPLED_SPECTRUM): throughputs/emissions carry
+    # nch bins; MIS weights stay scalar; deposit() converts to RGB
+    nch = 60 if cfg.spectral else 3
     _, cam_pdf_dir = camera_pdf_we(camera, d)
-    zsh = zero_shade_ctx(scene, n)
-    ones3 = jnp.ones((n, 3), jnp.float32)
+    zsh = zero_shade_ctx(scene, n, channels=nch)
+    onesc = jnp.ones((n, nch), jnp.float32)
     cam_v0 = dict(
         p=jnp.broadcast_to(cam_o[None, :], (n, 3)),
         ng=jnp.broadcast_to(cam_fwd[None, :], (n, 3)),
         ns=jnp.broadcast_to(cam_fwd[None, :], (n, 3)),
-        beta=ones3, pdf_fwd=jnp.ones(n), delta=jnp.zeros(n, bool),
+        beta=onesc, pdf_fwd=jnp.ones(n), delta=jnp.zeros(n, bool),
         valid=jnp.ones(n, bool), escaped=jnp.zeros(n, bool),
         lrow=jnp.full(n, -1, jnp.int32), shade=zsh)
     cam_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
-                            sctx, o, d, ones3 * ray_w[:, None],
+                            sctx, o, d, onesc * ray_w[:, None],
                             cam_pdf_dir, jnp.ones(n, bool),
-                            t_max_v - 1, 5, "radiance", time=l_time)
+                            t_max_v - 1, 5, "radiance", time=l_time,
+                            nch=nch)
     CAM = _assemble(cam_v0, cam_walk, t_max_v - 1)
 
     # ---- light subpath ----
@@ -300,15 +306,16 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     lidx, lpmf = choose_light(lt, u_choice, "power")
     le = sample_le(lt, lidx, u1, u2, u3, u4)
     l_valid = (le.pdf_pos > 0) & (le.pdf_dir > 0) & jnp.any(le.le > 0, -1)
+    le_c = _lift_illum_maybe(le.le, nch)
     lit_v0 = dict(
         p=le.p, ng=le.n, ns=le.n,
-        beta=le.le / jnp.maximum(le.pdf_pos * lpmf, 1e-20)[:, None],
+        beta=le_c / jnp.maximum(le.pdf_pos * lpmf, 1e-20)[:, None],
         pdf_fwd=le.pdf_pos * lpmf, delta=jnp.zeros(n, bool),
         valid=l_valid, escaped=jnp.zeros(n, bool),
         lrow=lidx, shade=zsh)
-    beta0 = (le.le * (jnp.abs(dot(le.n, le.d))
-                      / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
-                                    1e-20))[:, None])
+    beta0 = (le_c * (jnp.abs(dot(le.n, le.d))
+                     / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
+                                   1e-20))[:, None])
     o_l = jnp.where(le.is_delta_pos[:, None] | le.is_infinite[:, None],
                     le.p, offset_ray_origin(le.p, le.n, le.d))
     # light-subpath rays share the lane's camera-sampled shutter time
@@ -317,7 +324,8 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     # equivalent — both integrate uniformly over the shutter)
     lit_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
                             sctx, o_l, le.d, beta0, le.pdf_dir, l_valid,
-                            s_max_v - 1, bl + 5, "importance", time=l_time)
+                            s_max_v - 1, bl + 5, "importance", time=l_time,
+                            nch=nch)
     LIT = _assemble(lit_v0, lit_walk, s_max_v - 1)
     lit_delta_light = jnp.take(
         (lt.kind != LIGHT_AREA_TRI) & (lt.kind != LIGHT_AREA_SPHERE)
@@ -373,8 +381,11 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
     def deposit(s, t, contrib, p_raster=None):
         """Route a strategy's weighted contribution: pixel-sample
-        accumulation normally; per-lane masked splats in MLT mode."""
+        accumulation normally; per-lane masked splats in MLT mode.
+        Spectral contributions convert to RGB here (the film is
+        3-channel; SampledSpectrum::ToXYZ at film write)."""
         nonlocal L
+        contrib = _to_rgb_maybe(contrib, cfg)
         if mlt_mode:
             m = (s_select == s) if s_select is not None else True
             c = jnp.where(m[:, None], contrib * n_strat, 0.0)
@@ -409,12 +420,13 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 # emitted radiance toward ptm
                 w_to_prev, _ = _dir_to(pt.p, ptm.p)
                 lrow_c = jnp.maximum(pt.lrow, 0)
-                Lrad = lt.L[lrow_c]
+                Lrad = _lift_illum_maybe(lt.L[lrow_c], nch)
                 two_sided = lt.params[lrow_c, 3] > 0
                 emits = two_sided | (dot(pt.ng, w_to_prev) > 0)
                 Le_v = jnp.where((on_light & emits)[:, None], Lrad, 0.0)
                 if scene.lights.has_infinite:
-                    Le_esc = _escape_radiance(lt, inf_L, pt.p)  # p = dir
+                    Le_esc = _lift_illum_maybe(
+                        _escape_radiance(lt, inf_L, pt.p), nch)  # p = dir
                     Le_v = jnp.where(pt.escaped[:, None], Le_esc, Le_v)
                     usable = on_light | pt.escaped
                 else:
@@ -492,7 +504,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                jnp.stack([ua, ub], axis=-1))
                 w_to_prev, _ = _dir_to(pt.p, ptm.p)
                 f_pt = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev, ls.wi)
-                contrib = (pt.beta * f_pt * ls.li
+                contrib = (pt.beta * f_pt * _lift_illum_maybe(ls.li, nch)
                            * (jnp.abs(dot(ls.wi, pt.ns))
                               / jnp.maximum(ls.pdf * pmf2, 1e-20))[:, None])
                 usable = (base_ok & (ls.pdf > 0)

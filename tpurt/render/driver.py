@@ -57,17 +57,24 @@ class RenderJob(NamedTuple):
 
 def _spectral_mode(name: str) -> bool:
     """True when the sampled-spectrum config mode applies to this
-    integrator.  path/volpath/directlighting/whitted carry the 60-bin
-    axis end-to-end; bdpt/mlt/sppm/rpf and ao warn and render RGB
-    (documented partial — pbrt.h:126-130 switches every integrator)."""
+    integrator.  path/volpath/directlighting/whitted/bdpt/mlt carry the
+    60-bin axis end-to-end; sppm warns and renders RGB (documented
+    partial — pbrt.h:126-130 switches every integrator); rpf is RGB by
+    design parity (the reference's SampleData is 3-double RGB,
+    custom/sd.h:43); ao is colorless."""
     if get_config().spectrum_mode != "sampled":
         return False
-    if name in ("path", "volpath", "directlighting", "whitted"):
+    if name in ("path", "volpath", "directlighting", "whitted", "bdpt",
+                "mlt"):
         return True
-    if name != "ao":  # ao is colorless; no warning needed
+    if name not in ("ao",):  # ao is colorless; no warning needed
+        # rpf is RGB by DESIGN PARITY: the reference's SampleData stores
+        # exactly 3 color doubles and round-trips Spectrum::FromRGB
+        # (custom/sd.h:43,102-109), so its RPF is RGB-coupled even under
+        # a PBRT_SAMPLED_SPECTRUM build
         log.warning('spectrum_mode "sampled": integrator "%s" renders in '
                     "RGB mode (sampled spectra cover path/volpath/"
-                    "directlighting/whitted)", name)
+                    "directlighting/whitted/bdpt/mlt)", name)
     return False
 
 
@@ -106,13 +113,15 @@ def make_integrator_config(sd: SceneDescription,
         return IntegratorConfig(
             name="bdpt",
             max_depth=ps.find_one_int("maxdepth", 5),
-            light_strategy=ps.find_one_string("lightsamplestrategy", "power"))
+            light_strategy=ps.find_one_string("lightsamplestrategy", "power"),
+            spectral=spectral)
     if name == "mlt":
         # the chain driver lives in tpurt.render.mlt (render_mlt); this
         # config parameterizes its bdpt evaluations
         return IntegratorConfig(name="mlt",
                                 max_depth=ps.find_one_int("maxdepth", 5),
-                                light_strategy="power")
+                                light_strategy="power",
+                                spectral=spectral)
     if name == "sppm":
         # the iteration driver lives in tpurt.render.sppm (render_sppm)
         return IntegratorConfig(name="sppm",

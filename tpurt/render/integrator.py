@@ -333,7 +333,7 @@ def make_shade_ctx(scene: SceneData, si: SurfaceInteraction,
         fourier_tix=None if fc is None else fc[1])
 
 
-def zero_shade_ctx(scene: SceneData, n: int) -> ShadeCtx:
+def zero_shade_ctx(scene: SceneData, n: int, channels: int = 3) -> ShadeCtx:
     """All-dark context with the same pytree STRUCTURE as
     make_shade_ctx's output for this scene (endpoint vertices in scans
     must match the walk vertices' structure).  Every leaf is a DISTINCT
@@ -354,7 +354,7 @@ def zero_shade_ctx(scene: SceneData, n: int) -> ShadeCtx:
     if scene.has_fourier:
         fc = (jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32))
     ctx = ShadeCtx(
-        lobes=zero_lobes(n), t=t, b=b,
+        lobes=zero_lobes(n, channels=channels), t=t, b=b,
         is_hair=None if hc is None else hc[0],
         hair=None if hc is None else hc[1],
         is_fourier=None if fc is None else fc[0],
