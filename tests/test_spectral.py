@@ -244,3 +244,47 @@ def test_spectral_mlt_smoke():
     # MLT is stochastic (chain bootstrap differs across modes through
     # the spectral luminances); compare total energy loosely
     assert abs(img_s.mean() - img_rgb.mean()) / img_rgb.mean() < 0.30
+
+
+def test_spectral_sppm_smoke():
+    """SPPM in sampled mode: 60-bin visible-point throughputs, photon
+    betas, and tau accumulators; bins convert to RGB at the resolve
+    (sppm.cpp:450-461).  Finite image, energy near the RGB-mode SPPM."""
+    from tpurt.config import set_config
+    from tpurt.render.driver import render
+    from tpurt.scene import load_scene_string
+
+    scene = """
+    Film "image" "integer xresolution" [16] "integer yresolution" [16]
+    Sampler "halton" "integer pixelsamples" [4]
+    Integrator "sppm" "integer maxdepth" [3] "integer iterations" [4]
+      "float radius" [0.5]
+    Camera "perspective" "float fov" [55]
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "area" "color L" [12 10 8]
+      Translate 0 3 4
+      Shape "sphere" "float radius" [0.5]
+    AttributeEnd
+    Material "matte" "color Kd" [.6 .4 .3]
+    Translate 0 0 4
+    Shape "sphere" "float radius" [1]
+    Material "matte" "color Kd" [.4 .5 .6]
+    Translate 0 -1.6 0
+    Shape "trianglemesh" "point P" [-8 0 -8  8 0 -8  8 0 8  -8 0 8]
+      "integer indices" [0 1 2 2 3 0]
+    WorldEnd
+    """
+    img_rgb, _ = render(load_scene_string(scene), progress=False)
+    img_rgb = np.asarray(img_rgb)
+    set_config(spectrum_mode="sampled")
+    try:
+        img_s, _ = render(load_scene_string(scene), progress=False)
+        img_s = np.asarray(img_s)
+    finally:
+        set_config(spectrum_mode="rgb")
+    assert np.isfinite(img_s).all()
+    lit = img_rgb.max(-1) > 0.01
+    assert lit.any()
+    assert abs(img_s[lit].mean() - img_rgb[lit].mean()) \
+        / img_rgb[lit].mean() < 0.15

@@ -65,8 +65,10 @@ class Config:
     # Spectral representation: "rgb" (the reference's default
     # RGBSpectrum pipeline) or "sampled" (SampledSpectrum 60-bin mode,
     # pbrt.h:126-130 PBRT_SAMPLED_SPECTRUM).  Sampled mode carries a
-    # (..., 60) channel axis through path/volpath/whitted/direct/ao;
-    # bdpt/sppm/mlt/rpf warn and render RGB (documented partial).
+    # (..., 60) channel axis through path/volpath/whitted/
+    # directlighting/bdpt/mlt/sppm; rpf stays RGB by design parity
+    # (the reference's SampleData is 3-double RGB, custom/sd.h:43);
+    # ao is colorless.
     spectrum_mode: str = "rgb"
 
     # Imagemap filtering mode: "ewa" attaches true camera-ray

@@ -57,15 +57,14 @@ class RenderJob(NamedTuple):
 
 def _spectral_mode(name: str) -> bool:
     """True when the sampled-spectrum config mode applies to this
-    integrator.  path/volpath/directlighting/whitted/bdpt/mlt carry the
-    60-bin axis end-to-end; sppm warns and renders RGB (documented
-    partial — pbrt.h:126-130 switches every integrator); rpf is RGB by
-    design parity (the reference's SampleData is 3-double RGB,
-    custom/sd.h:43); ao is colorless."""
+    integrator.  path/volpath/directlighting/whitted/bdpt/mlt/sppm
+    carry the 60-bin axis end-to-end (pbrt.h:126-130 switches every
+    integrator); rpf is RGB by design parity (the reference's
+    SampleData is 3-double RGB, custom/sd.h:43); ao is colorless."""
     if get_config().spectrum_mode != "sampled":
         return False
     if name in ("path", "volpath", "directlighting", "whitted", "bdpt",
-                "mlt"):
+                "mlt", "sppm"):
         return True
     if name not in ("ao",):  # ao is colorless; no warning needed
         # rpf is RGB by DESIGN PARITY: the reference's SampleData stores
@@ -74,7 +73,7 @@ def _spectral_mode(name: str) -> bool:
         # a PBRT_SAMPLED_SPECTRUM build
         log.warning('spectrum_mode "sampled": integrator "%s" renders in '
                     "RGB mode (sampled spectra cover path/volpath/"
-                    "directlighting/whitted/bdpt/mlt)", name)
+                    "directlighting/whitted/bdpt/mlt/sppm)", name)
     return False
 
 
@@ -125,7 +124,8 @@ def make_integrator_config(sd: SceneDescription,
     if name == "sppm":
         # the iteration driver lives in tpurt.render.sppm (render_sppm)
         return IntegratorConfig(name="sppm",
-                                max_depth=ps.find_one_int("maxdepth", 5))
+                                max_depth=ps.find_one_int("maxdepth", 5),
+                                spectral=spectral)
     log.warning('integrator "%s" unknown; using "path"', name)
     return IntegratorConfig(name="path")
 

@@ -57,8 +57,9 @@ from tpurt.render.film import FilmState
 from tpurt.render.integrator import (CAMERA_DIMS, DIMS_PER_BOUNCE, INF,
                                      SceneData, _camera_setup, _choice_pmf_at,
                                      _emitted, _escape_pdf, _escape_radiance,
-                                     _infinite_L, _nee, make_shade_ctx,
-                                     shade_f, shade_sample, zero_shade_ctx)
+                                     _infinite_L, _lift_illum_maybe, _nee,
+                                     make_shade_ctx, shade_f, shade_sample,
+                                     zero_shade_ctx)
 from tpurt.render.interaction import compute_interaction, offset_ray_origin
 from tpurt.render.intersect import intersect_closest
 from tpurt.render.lights import choose_light, pdf_li_from_hit, sample_le
@@ -72,7 +73,12 @@ log = logging.getLogger("tpurt.render")
 
 
 def _lum(c):
-    """RGBSpectrum::y() (spectrum.h:440)."""
+    """Spectrum::y(): RGB weights (spectrum.h:440) or the CIE-Y bin
+    quadrature in sampled mode (spectrum.h:315)."""
+    if c.shape[-1] != 3:
+        from tpurt.spectrum_sampled import luminance_bins
+
+        return luminance_bins(c)
     return (0.212671 * c[..., 0] + 0.715160 * c[..., 1]
             + 0.072169 * c[..., 2])
 
@@ -98,20 +104,23 @@ class SPPMPixels(NamedTuple):
 
 
 def _init_pixels(n_pix: int, initial_radius: float,
-                 scene: SceneData = None) -> SPPMPixels:
+                 scene: SceneData = None, nch: int = 3) -> SPPMPixels:
     # distinct buffers per field: the state is donated into the jitted
     # passes, and XLA rejects donating one buffer twice.  scene supplies
     # the static material-context structure (hair/fourier present or
-    # not); None means neither.
+    # not); None means neither.  nch: color channels (60 in sampled-
+    # spectrum mode; positions/normals stay 3-vectors).
     if scene is None:
         scene = type("_NoMat", (), {"has_hair": False,
                                     "has_fourier": False})()
     z3 = lambda: jnp.zeros((n_pix, 3), jnp.float32)
+    zc = lambda: jnp.zeros((n_pix, nch), jnp.float32)
     z1 = lambda: jnp.zeros((n_pix,), jnp.float32)
     return SPPMPixels(
-        radius=z1() + initial_radius, Ld=z3(), N=z1(), tau=z3(), Phi=z3(),
+        radius=z1() + initial_radius, Ld=zc(), N=z1(), tau=zc(), Phi=zc(),
         M=z1(), vp_valid=jnp.zeros((n_pix,), bool), vp_p=z3(), vp_wo=z3(),
-        vp_ns=z3(), vp_beta=z3(), vp_shade=zero_shade_ctx(scene, n_pix))
+        vp_ns=z3(), vp_beta=zc(),
+        vp_shade=zero_shade_ctx(scene, n_pix, channels=nch))
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +128,7 @@ def _init_pixels(n_pix: int, initial_radius: float,
 # ---------------------------------------------------------------------------
 
 def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
-                  max_depth: int, texture_eval):
+                  max_depth: int, texture_eval, nch: int = 3):
     """One wavefront of camera paths: returns per-lane direct light and
     the visible point (first diffuse vertex, or glossy at the last
     bounce; sppm.cpp:203-214), plus one MIS emission-probe bounce."""
@@ -129,9 +138,10 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
     inf_L, _ = _infinite_L(scene.lights)
     has_inf = scene.lights.has_infinite
 
-    zsh = zero_shade_ctx(scene, n)
+    zsh = zero_shade_ctx(scene, n, channels=nch)
     v0 = px.astype(jnp.float32) * 0.0
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
+    v0c = v0[:, None] * jnp.ones((1, nch), jnp.float32)
 
     def bounce_body(carry, bounce):
         (o, d, beta, Ld, alive, specular, prev_pdf, prev_p,
@@ -145,6 +155,7 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
         # emitted light with path-MIS weights (depth0/specular -> 1);
         # sppm accumulates into Ld, not L (sppm.cpp:195-200)
         Le, lrow = _emitted(scene, si)
+        Le = _lift_illum_maybe(Le, nch)
         lrow_c = jnp.maximum(lrow, 0)
         light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d,
                                     si.p, si.ng)
@@ -162,14 +173,15 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
                 (bounce == 0) | specular, 1.0,
                 power_heuristic(1.0, prev_pdf, 1.0,
                                 _escape_pdf(scene.lights, d) * pmf_inf))
-            Le_inf = _escape_radiance(scene.lights, inf_L, d)
+            Le_inf = _lift_illum_maybe(
+                _escape_radiance(scene.lights, inf_L, d), nch)
             Ld = Ld + jnp.where((emit_ok & ~si.valid)[:, None],
                                 beta * Le_inf * w_inf[:, None], 0.0)
 
         # probe lanes accumulated their emission above and stop here
         alive = alive & si.valid & ~probe & (bounce < max_depth)
 
-        shade = make_shade_ctx(scene, si, texture_eval)
+        shade = make_shade_ctx(scene, si, texture_eval, channels=nch)
         act = shade.lobes.active
         any_lobe = jnp.any(act, axis=-1)
         is_diffuse = act[:, 0]
@@ -251,8 +263,8 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
         return (o, d, beta, Ld, alive, specular, prev_pdf, prev_p,
                 vp_taken, probe, vp), None
 
-    vp0 = dict(valid=px != px, p=v03, wo=v03, ns=v03, beta=v03, shade=zsh)
-    init = (o, d, v03 + ray_w[:, None], v03, (px == px) & mask,
+    vp0 = dict(valid=px != px, p=v03, wo=v03, ns=v03, beta=v0c, shade=zsh)
+    init = (o, d, v0c + ray_w[:, None], v0c, (px == px) & mask,
             px != px, v0 + 1.0, o, px != px, px != px, vp0)
     carry, _ = jax.lax.scan(bounce_body, init,
                             jnp.arange(max_depth + 1, dtype=jnp.int32))
@@ -349,7 +361,7 @@ def _ri_dyn(a, base, n_digits: int):
 
 def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
                   max_occ, lo, diag, res, hidx, mask, max_depth: int,
-                  hash_size: int, texture_eval, primes_dev):
+                  hash_size: int, texture_eval, primes_dev, nch: int = 3):
     """Trace one wavefront of photons from their global Halton indices and
     deposit every bounce>0 surface hit onto the visible points of its grid
     cell.  Returns (Phi_add, M_add) as full-film tensors."""
@@ -362,9 +374,10 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
     lidx, lpmf = choose_light(scene.lights, u[0], "power")
     le = sample_le(scene.lights, lidx, u[1], u[2], u[3], u[4])
     ok0 = mask & (le.pdf_pos > 0) & (le.pdf_dir > 0) & jnp.any(le.le > 0, -1)
-    beta0 = (le.le * (jnp.abs(dot(le.n, le.d))
-                      / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
-                                    1e-20))[:, None])
+    beta0 = (_lift_illum_maybe(le.le, nch)
+             * (jnp.abs(dot(le.n, le.d))
+                / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
+                              1e-20))[:, None])
     ok0 = ok0 & jnp.any(beta0 > 0, axis=-1)
     o0 = jnp.where(le.is_delta_pos[:, None] | le.is_infinite[:, None],
                    le.p, offset_ray_origin(le.p, le.n, le.d))
@@ -379,7 +392,7 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
         valid = alive & si.valid
         rec = dict(p=si.p, wi=-d, beta=beta, valid=valid & (b > 0))
 
-        shade = make_shade_ctx(scene, si, texture_eval)
+        shade = make_shade_ctx(scene, si, texture_eval, channels=nch)
         d0 = 6 + 4 * b
         u_lobe = _ri_dyn(hidx, primes_dev[d0], n_digits)
         u1 = _ri_dyn(hidx, primes_dev[d0 + 1], n_digits)
@@ -408,7 +421,7 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
     # ---- deposit (sppm.cpp:346-375): flatten (depth, lane) ----
     p = recs['p'].reshape(-1, 3)
     wi = recs['wi'].reshape(-1, 3)
-    beta = recs['beta'].reshape(-1, 3)
+    beta = recs['beta'].reshape(-1, nch)
     valid = recs['valid'].reshape(-1)
     cell, inb = _to_grid(p, lo, diag, res)
     valid = valid & inb
@@ -418,7 +431,7 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
     n_entries = es_vals.shape[0]
 
     n_pix = pix.radius.shape[0]
-    Phi_add = jnp.zeros((n_pix, 3), jnp.float32)
+    Phi_add = jnp.zeros((n_pix, nch), jnp.float32)
     M_add = jnp.zeros((n_pix,), jnp.float32)
 
     def slot_body(c, carry):
@@ -485,6 +498,7 @@ def render_sppm(sd, quick: bool = False, crop_override=None,
     from tpurt.render.driver import build_job, _chunk_lanes
 
     job = build_job(sd, quick=quick, crop_override=crop_override)
+    nch = 60 if job.cfg.spectral else 3
     ps = sd.integrator_params
     n_iters = ps.find_one_int("iterations",
                               ps.find_one_int("numiterations", 64))
@@ -511,7 +525,7 @@ def render_sppm(sd, quick: bool = False, crop_override=None,
     def cam_step(scene, camera, smplr, px, py, sidx, pix, _max_depth,
                  lane_pix, mask):
         Ld, vp = _camera_chunk(scene, camera, smplr, px, py, sidx, mask,
-                               _max_depth, job.texture_eval)
+                               _max_depth, job.texture_eval, nch=nch)
         row = jnp.where(mask, lane_pix, n_pix)  # sacrificial row
         pad = lambda a: jnp.concatenate(
             [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
@@ -535,12 +549,13 @@ def render_sppm(sd, quick: bool = False, crop_override=None,
                     hidx, _max_depth, mask):
         Phi_add, M_add = _photon_chunk(
             scene, pix, es_keys, es_vals, max_occ, lo, diag, res, hidx,
-            mask, _max_depth, hash_size, job.texture_eval, primes_dev)
+            mask, _max_depth, hash_size, job.texture_eval, primes_dev,
+            nch=nch)
         return pix._replace(Phi=pix.Phi + Phi_add, M=pix.M + M_add)
 
     update_fn = jax.jit(_update_pixels, donate_argnums=(0,))
 
-    pix = _init_pixels(n_pix, init_radius, scene=job.scene)
+    pix = _init_pixels(n_pix, init_radius, scene=job.scene, nch=nch)
     w = film.width
     reporter = ProgressReporter(2 * n_iters, "Rendering (sppm)")
     t0 = time.time()
@@ -579,11 +594,16 @@ def render_sppm(sd, quick: bool = False, crop_override=None,
     STATS.counter("SPPM/Photon paths followed", n_iters * n_photons)
     STATS.phase_times["Render (sppm)"] += time.time() - t0
 
-    # resolve (sppm.cpp:450-461): L = Ld/nIters + tau/(Np pi r^2)
+    # resolve (sppm.cpp:450-461): L = Ld/nIters + tau/(Np pi r^2);
+    # sampled-spectrum bins convert to RGB here (the film is 3-channel)
     np_total = float(n_iters) * float(n_photons)
     L = (pix.Ld / n_iters
          + pix.tau / (np_total * np.pi
                       * jnp.maximum(pix.radius, 1e-20)[:, None] ** 2))
+    if nch != 3:
+        from tpurt.spectrum_sampled import to_rgb_matrix
+
+        L = L @ to_rgb_matrix()
     img_dev = L.reshape(film.height, film.width, 3)
     state = FilmState(rgb=jnp.zeros_like(img_dev),
                       weight=jnp.zeros((film.height, film.width),
