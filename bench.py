@@ -174,6 +174,27 @@ def main() -> int:
                          "artifact to DIR (TensorBoard/Perfetto)")
     args = ap.parse_args()
 
+    # Dead-tunnel watchdog: with the axon site hook active, a dead TPU
+    # tunnel makes the first device touch HANG (it does not raise).
+    # Emit a diagnosable JSON line and exit instead of hanging the
+    # driver's bench step forever.
+    import threading
+
+    _init_ok = threading.Event()
+    _t0 = time.time()
+
+    def _watchdog():
+        limit = float(os.environ.get("TPURT_BENCH_INIT_TIMEOUT", "900"))
+        if not _init_ok.wait(limit):
+            print(json.dumps({
+                "metric": "killeroo camera Mrays/s (path)",
+                "value": 0.0, "unit": "Mrays/s",
+                "error": "TPU backend unavailable (device init exceeded "
+                         f"{limit:.0f}s; axon tunnel down?)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     jax.config.update(
@@ -181,6 +202,8 @@ def main() -> int:
         os.path.expanduser(os.environ.get("TPURT_CACHE", "~/.cache/tpurt"))
         + "/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.devices()  # force backend init under the watchdog
+    _init_ok.set()
 
     import numpy as np
 
