@@ -342,3 +342,42 @@ def test_all_quadrics_reintersection():
         t2 = np.asarray(hit2.t)
         self_hit = got & np.isfinite(t2) & (t2 < 1e-3)
         assert self_hit.sum() == 0, (name, int(self_hit.sum()))
+
+
+def test_intersect_mixed_matches_separate():
+    """One fused traversal over a [closest; shadow] wavefront must agree
+    with separate intersect_closest / intersect_any calls (per-lane
+    any_hit mask in _wide_step_fns)."""
+    from tpurt.render.intersect import intersect_mixed
+
+    rng = np.random.default_rng(7)
+    geo = DeviceGeometry.from_host(_scene_geo(_random_tri_scene(rng, 80, 5)))
+    n = 128
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    targets = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = targets - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    closest = intersect_closest(geo, o, d, 1e8)
+    # shadow rays: half with long t_max, half ending before the hit
+    t_sh = np.where(np.arange(n) % 2 == 0, 1e8,
+                    np.asarray(closest.t) * 0.5).astype(np.float32)
+    occ_sep = intersect_any(geo, o, d, jnp.asarray(t_sh))
+
+    o2 = jnp.concatenate([jnp.asarray(o), jnp.asarray(o)], axis=0)
+    d2 = jnp.concatenate([jnp.asarray(d), jnp.asarray(d)], axis=0)
+    tm = jnp.concatenate([jnp.full(n, 1e8, jnp.float32),
+                          jnp.asarray(t_sh)], axis=0)
+    mask = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(n, bool)])
+    mixed = jax.jit(lambda o, d, t, m: intersect_mixed(geo, o, d, t, m))(
+        o2, d2, tm, mask)
+
+    # closest half: identical hits
+    np.testing.assert_array_equal(np.asarray(mixed.prim[:n]),
+                                  np.asarray(closest.prim))
+    v = np.asarray(closest.valid)
+    np.testing.assert_allclose(np.asarray(mixed.t[:n])[v],
+                               np.asarray(closest.t)[v], rtol=1e-5)
+    # shadow half: same occlusion verdicts
+    np.testing.assert_array_equal(np.asarray(mixed.prim[n:] >= 0),
+                                  np.asarray(occ_sep))

@@ -749,8 +749,14 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
         sp_top = jnp.maximum(sp - 1, 0)
         top = jnp.sum(jnp.where(iota_s == sp_top[:, None], stack, 0), axis=1)
         nxt = jnp.where(descend, vals[0], jnp.where(pop, top, -1))
-        if any_hit:
-            nxt = jnp.where(prim_best >= 0, -1, nxt)
+        # any_hit may be a static bool (whole wavefront) or a per-lane
+        # (N,) mask (mixed closest+shadow wavefronts: one fused
+        # traversal amortizes the gather batch + schedule fixed costs)
+        if isinstance(any_hit, bool):
+            if any_hit:
+                nxt = jnp.where(prim_best >= 0, -1, nxt)
+        else:
+            nxt = jnp.where(any_hit & (prim_best >= 0), -1, nxt)
         sp = jnp.where(pop, sp - 1, sp)
         cur = jnp.where(live, nxt, cur)
         return cur, sp, stack, t_best, prim_best, b0_best, b1_best
@@ -799,12 +805,15 @@ def _coherence_key(geo: DeviceGeometry, o, d):
 REORDER_MIN_LANES = 1 << 62
 
 
-def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
+def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
                    time=None, reorder: bool = None):
     """Wide-BVH traversal over (N,) ray lanes: optional coherence sort,
     full-width lockstep steps while occupancy exceeds n/COMPACT_DIV,
     then one straggler compaction run to completion (gather surviving
-    lanes into a narrow wavefront, finish, scatter back)."""
+    lanes into a narrow wavefront, finish, scatter back).
+
+    any_hit: static bool for a uniform wavefront, or a per-lane (N,)
+    bool mask for mixed closest+shadow wavefronts."""
     n = o.shape[0]
     if reorder is None:
         reorder = n >= REORDER_MIN_LANES
@@ -816,6 +825,8 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
             jnp.asarray(t_max, jnp.float32), (n,)), perm, axis=0)
         if time is not None:
             time = jnp.take(time, perm, axis=0)
+        if not isinstance(any_hit, bool):
+            any_hit = jnp.take(any_hit, perm, axis=0)
         t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit,
                                          time=time, reorder=False)
         unscatter = lambda a: jnp.zeros_like(a).at[perm].set(a)
@@ -864,7 +875,9 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit: bool,
     sub = tuple(jnp.take(a, idxc, axis=0) for a in state)
     sub_time = (jnp.take(time, idxc, axis=0) if time is not None
                 else None)
-    sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, any_hit, sub_time)
+    sub_any = (any_hit if isinstance(any_hit, bool)
+               else jnp.take(any_hit, idxc, axis=0))
+    sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, sub_any, sub_time)
     sub = jax.lax.while_loop(sub_cond, sub_body, sub)
     state = tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
     _, _, _, t, prim, b0, b1 = state
@@ -969,6 +982,23 @@ def intersect_closest(geo: DeviceGeometry, o, d, t_max, time=None) -> Hit:
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
     t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit=False,
                                      time=time)
+    if geo.n_quads:
+        t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1,
+                                        time=time)
+    return Hit(t=t, prim=jnp.where(jnp.isfinite(t), prim, -1), b0=b0, b1=b1)
+
+
+def intersect_mixed(geo: DeviceGeometry, o, d, t_max, anyhit_mask,
+                    time=None) -> Hit:
+    """ONE traversal over a mixed wavefront: lanes with anyhit_mask=True
+    terminate on the first hit (shadow semantics: prim >= 0 means
+    occluded), the rest return the closest hit.  Fusing the NEE shadow
+    rays with the next bounce's closest rays doubles the gather batch
+    and halves the per-call schedule fixed costs (the gather engine
+    amortizes with batch size: 28 ns/row at 8k lanes vs 13 ns at 2^17)."""
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max,
+                                     any_hit=anyhit_mask, time=time)
     if geo.n_quads:
         t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1,
                                         time=time)
