@@ -420,8 +420,9 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 # emitted radiance toward ptm
                 w_to_prev, _ = _dir_to(pt.p, ptm.p)
                 lrow_c = jnp.maximum(pt.lrow, 0)
-                Lrad = _lift_illum_maybe(lt.L[lrow_c], nch)
-                two_sided = lt.params[lrow_c, 3] > 0
+                lrow_rec = lt.rows[lrow_c]  # one fused row gather
+                Lrad = _lift_illum_maybe(lrow_rec[:, 1:4], nch)
+                two_sided = lrow_rec[:, 13] > 0
                 emits = two_sided | (dot(pt.ng, w_to_prev) > 0)
                 Le_v = jnp.where((on_light & emits)[:, None], Lrad, 0.0)
                 if scene.lights.has_infinite:

@@ -194,8 +194,9 @@ def _emitted(scene: SceneData, si: SurfaceInteraction):
                      scene.lights.prim_to_light[jnp.maximum(si.prim, 0)], -1)
     has = lrow >= 0
     lrow_c = jnp.maximum(lrow, 0)
-    L = scene.lights.L[lrow_c]
-    two_sided = scene.lights.params[lrow_c, 3] > 0
+    row = scene.lights.rows[lrow_c]  # one fused row gather
+    L = row[:, 1:4]
+    two_sided = row[:, 13] > 0
     emits = has & (two_sided | (dot(si.ng, si.wo) > 0))
     return jnp.where(emits[:, None], L, 0.0), lrow
 

@@ -66,6 +66,10 @@ class LightTable(NamedTuple):
     tri_v1: jnp.ndarray
     tri_v2: jnp.ndarray
     prim: jnp.ndarray  # (L,) i32 owning primitive (-1 for non-area)
+    # fused per-light record for per-lane lookups (ONE row gather):
+    # [0] kind, [1:4] L, [4:7] p0, [7:10] p1, [10:14] params,
+    # [14:23] tri_v0/v1/v2, [23] prim (kind/prim as exact small-int f32)
+    rows: jnp.ndarray
     prim_to_light: jnp.ndarray  # (P,) i32: light row per primitive (-1)
     power_pmf: jnp.ndarray  # (L,) light-choice pmf (power heuristic strategy)
     power_cdf: jnp.ndarray  # (L,)
@@ -107,7 +111,8 @@ from tpurt.pytrees import register_static_pytree  # noqa: E402
 
 register_static_pytree(LightTable, [
     "kind", "L", "p0", "p1", "params", "tri_v0", "tri_v1", "tri_v2",
-    "prim", "prim_to_light", "power_pmf", "power_cdf", "world_radius",
+    "prim", "rows", "prim_to_light", "power_pmf", "power_cdf",
+    "world_radius",
     "world_center",
     "env_map", "env_cond_cdf", "env_cond_int", "env_marg_cdf",
     "env_w2l", "env_l2w", "spat_cdf", "spat_pmf", "spat_lo",
@@ -318,6 +323,21 @@ def build_light_table(
         kind_a, np.stack(p0s), power, np.asarray(world_lo),
         np.asarray(world_hi))
 
+    # fused per-light row (ONE gather per per-lane light lookup; the TPU
+    # gather engine is row-count bound): [0] kind, [1:4] L, [4:7] p0,
+    # [7:10] p1, [10:14] params, [14:23] tri_v0/v1/v2, [23] prim.
+    # kind/prim ride as exact small-int floats (|prim| < 2^24).
+    rows_a = np.concatenate([
+        kind_a.astype(np.float32)[:, None],
+        L_a.astype(np.float32),
+        np.stack(p0s).astype(np.float32),
+        np.stack(p1s).astype(np.float32),
+        np.stack(params).astype(np.float32)[:, :4],
+        np.stack(tv0).astype(np.float32),
+        np.stack(tv1).astype(np.float32),
+        np.stack(tv2).astype(np.float32),
+        np.asarray(prim_ids, np.float32)[:, None],
+    ], axis=1)
     return LightTable(
         kind=jnp.asarray(kind_a),
         L=jnp.asarray(L_a),
@@ -328,6 +348,7 @@ def build_light_table(
         tri_v1=jnp.asarray(np.stack(tv1).astype(np.float32)),
         tri_v2=jnp.asarray(np.stack(tv2).astype(np.float32)),
         prim=jnp.asarray(np.asarray(prim_ids, np.int32)),
+        rows=jnp.asarray(rows_a),
         prim_to_light=jnp.asarray(prim_to_light),
         power_pmf=jnp.asarray(pmf.astype(np.float32)),
         power_cdf=jnp.asarray(np.cumsum(pmf).astype(np.float32)),
@@ -451,11 +472,12 @@ def choose_light(lt: LightTable, u: jnp.ndarray, strategy: str = "uniform",
 def sample_li(lt: LightTable, idx: jnp.ndarray, ref_p: jnp.ndarray,
               u2: jnp.ndarray) -> LightSample:
     """Batched Sample_Li for the chosen lights (masked over types)."""
-    kind = lt.kind[idx]
-    L = lt.L[idx]
-    p0 = lt.p0[idx]
-    p1 = lt.p1[idx]
-    par = lt.params[idx]
+    row = lt.rows[idx]  # ONE fused row gather (gather engine is
+    kind = row[:, 0].astype(jnp.int32)  # row-count bound)
+    L = row[:, 1:4]
+    p0 = row[:, 4:7]
+    p1 = row[:, 7:10]
+    par = row[:, 10:14]
     u, v = u2[:, 0], u2[:, 1]
     wr = lt.world_radius
 
@@ -538,7 +560,7 @@ def sample_li(lt: LightTable, idx: jnp.ndarray, ref_p: jnp.ndarray,
 
     # --- area triangle (uniform by area; triangle.cpp Sample) ---
     b0, b1 = uniform_sample_triangle(u, v)
-    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    tv0, tv1, tv2 = row[:, 14:17], row[:, 17:20], row[:, 20:23]
     p_tri = b0[:, None] * tv0 + b1[:, None] * tv1 + (1 - b0 - b1)[:, None] * tv2
     n_tri = jnp.cross(tv1 - tv0, tv2 - tv0)
     area_tri = 0.5 * jnp.linalg.norm(n_tri, axis=-1)
@@ -637,22 +659,23 @@ def pdf_li_from_hit(lt: LightTable, light_idx: jnp.ndarray,
     """Solid-angle pdf that Sample_Li would have generated wi from ref_p —
     used for the MIS weight when a BSDF-sampled ray lands on a light
     (DiffuseAreaLight::Pdf_Li -> shape Pdf(ref, wi))."""
-    kind = lt.kind[light_idx]
-    par = lt.params[light_idx]
+    row = lt.rows[light_idx]  # one fused row gather
+    kind = row[:, 0].astype(jnp.int32)
+    par = row[:, 10:14]
 
     to_hit = p_hit - ref_p
     d2 = jnp.maximum(jnp.sum(to_hit * to_hit, axis=-1), 1e-12)
     cos_l = jnp.abs(dot(ng_hit, -wi))
 
     # triangle: area pdf -> solid angle
-    tv0 = lt.tri_v0[light_idx]
-    tv1 = lt.tri_v1[light_idx]
-    tv2 = lt.tri_v2[light_idx]
+    tv0 = row[:, 14:17]
+    tv1 = row[:, 17:20]
+    tv2 = row[:, 20:23]
     area_tri = 0.5 * jnp.linalg.norm(jnp.cross(tv1 - tv0, tv2 - tv0), axis=-1)
     pdf_tri = d2 / jnp.maximum(cos_l * area_tri, 1e-12)
 
     # sphere: cone pdf from ref (outside) or area pdf (inside)
-    c = lt.p0[light_idx]
+    c = row[:, 4:7]
     r = par[:, 2]
     to_c = c - ref_p
     dc2 = jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-12)
@@ -794,11 +817,12 @@ class LeSample(NamedTuple):
 def sample_le(lt: LightTable, idx: jnp.ndarray, u1, u2, u3, u4) -> LeSample:
     """Batched Sample_Le for the chosen light rows; (u1,u2) sample the
     position, (u3,u4) the direction (pbrt's two 2D samples)."""
-    kind = lt.kind[idx]
-    L = lt.L[idx]
-    p0 = lt.p0[idx]
-    p1 = lt.p1[idx]
-    par = lt.params[idx]
+    row = lt.rows[idx]  # one fused row gather
+    kind = row[:, 0].astype(jnp.int32)
+    L = row[:, 1:4]
+    p0 = row[:, 4:7]
+    p1 = row[:, 7:10]
+    par = row[:, 10:14]
     wr = lt.world_radius
     wc = lt.world_center
     n_lanes = idx.shape[0]
@@ -833,7 +857,7 @@ def sample_le(lt: LightTable, idx: jnp.ndarray, u1, u2, u3, u4) -> LeSample:
 
     # --- area triangle: uniform by area + cosine hemisphere (diffuse.cpp:92)
     b0, b1 = uniform_sample_triangle(u1, u2)
-    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    tv0, tv1, tv2 = row[:, 14:17], row[:, 17:20], row[:, 20:23]
     p_tri = b0[:, None] * tv0 + b1[:, None] * tv1 + (1 - b0 - b1)[:, None] * tv2
     n_cross = jnp.cross(tv1 - tv0, tv2 - tv0)
     area_tri = 0.5 * jnp.linalg.norm(n_cross, axis=-1)
@@ -912,13 +936,14 @@ def pdf_le(lt: LightTable, idx: jnp.ndarray, p: jnp.ndarray, n: jnp.ndarray,
            d: jnp.ndarray):
     """(pdf_pos, pdf_dir) that Sample_Le would give for an emitted ray
     (p, d) with light normal n at p (Pdf_Le per type)."""
-    kind = lt.kind[idx]
-    par = lt.params[idx]
+    row = lt.rows[idx]  # one fused row gather
+    kind = row[:, 0].astype(jnp.int32)
+    par = row[:, 10:14]
     wr = lt.world_radius
     r = par[:, 2]
     two_sided = par[:, 3] > 0
 
-    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    tv0, tv1, tv2 = row[:, 14:17], row[:, 17:20], row[:, 20:23]
     area_tri = 0.5 * jnp.linalg.norm(jnp.cross(tv1 - tv0, tv2 - tv0), axis=-1)
     cosl = dot(n, d)
     pdfdir_cos = jnp.where(two_sided, 0.5 * jnp.abs(cosl) / np.pi,
@@ -946,10 +971,11 @@ def light_normal_at(lt: LightTable, idx: jnp.ndarray, p: jnp.ndarray):
     """Geometric normal of the light's surface at a point p on it (area
     lights; delta/infinite rows return an arbitrary unit vector — their
     emission pdfs never use it)."""
-    kind = lt.kind[idx]
-    tv0, tv1, tv2 = lt.tri_v0[idx], lt.tri_v1[idx], lt.tri_v2[idx]
+    row = lt.rows[idx]  # one fused row gather
+    kind = row[:, 0].astype(jnp.int32)
+    tv0, tv1, tv2 = row[:, 14:17], row[:, 17:20], row[:, 20:23]
     n_tri = normalize(jnp.cross(tv1 - tv0, tv2 - tv0))
-    n_sph = normalize(p - lt.p0[idx])
+    n_sph = normalize(p - row[:, 4:7])
     n = jnp.where((kind == LIGHT_AREA_TRI)[:, None], n_tri,
         jnp.where((kind == LIGHT_AREA_SPHERE)[:, None], n_sph, 0.0))
     fallback = jnp.zeros_like(p).at[:, 2].set(1.0)
