@@ -226,10 +226,14 @@ def build_job(sd: SceneDescription, quick: bool = False,
         off += rec.density.size
     density = (np.concatenate(dens_parts).astype(np.float32)
                if dens_parts else np.zeros(1, np.float32))
+    from tpurt.render.materials_build import fuse_material_rows
+
     scene = SceneData(
         geo=DeviceGeometry.from_host(geo_h),
         lights=lights,
-        mt_table=jnp.asarray(mt.table),
+        # fused rows: constants + kind + k3 + mix ids + hair + fourier
+        # tix in ONE row per material (one gather per lane per lookup)
+        mt_table=jnp.asarray(fuse_material_rows(mt)),
         mt_k3=jnp.asarray(mt.k3),
         mt_kinds=jnp.asarray(mt.kinds),
         # None when the scene has no mix materials -> fetch_lobes skips

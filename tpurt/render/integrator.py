@@ -254,18 +254,21 @@ def _shading_frame(si: SurfaceInteraction):
     return build_onb(si.ns)
 
 
-def _hair_ctx(scene: SceneData, si: SurfaceInteraction):
+def _hair_ctx(scene: SceneData, si: SurfaceInteraction, mrow=None):
     """(is_hair, HairParams) for hair-material lanes, or None when the
-    scene has no hair (static, so non-hair scenes compile none of this)."""
+    scene has no hair (static, so non-hair scenes compile none of this).
+    mrow: optional pre-gathered fused material rows (shared gather)."""
     if not scene.has_hair:
         return None
     from tpurt.render.hair import HairParams
-    from tpurt.render.materials_build import MAT_HAIR
+    from tpurt.render.materials_build import C_HAIR0, C_KIND, MAT_HAIR
 
-    idx = jnp.maximum(si.material_id, 0)
-    kind = jnp.where(si.material_id >= 0, scene.mt_kinds[idx], 0)
+    if mrow is None:
+        mrow = scene.mt_table[jnp.maximum(si.material_id, 0)]
+    kind = jnp.where(si.material_id >= 0,
+                     mrow[:, C_KIND].astype(jnp.int32), 0)
     is_hair = (kind == MAT_HAIR) & si.valid
-    row = scene.mt_hair[idx]
+    row = mrow[:, C_HAIR0:C_HAIR0 + 7]
     # offset across the fiber width from the curve v coordinate
     # (hair.cpp:165: h = -1 + 2 * uv[1])
     h = jnp.clip(-1.0 + 2.0 * si.uv[:, 1], -1.0, 1.0)
@@ -274,13 +277,17 @@ def _hair_ctx(scene: SceneData, si: SurfaceInteraction):
     return is_hair, hp
 
 
-def _fourier_ctx(scene: SceneData, si: SurfaceInteraction):
+def _fourier_ctx(scene: SceneData, si: SurfaceInteraction, mrow=None):
     """(is_fourier, table_idx) for fourier-material lanes, or None (static
     for non-fourier scenes)."""
     if not scene.has_fourier:
         return None
-    idx = jnp.maximum(si.material_id, 0)
-    tix = jnp.where(si.material_id >= 0, scene.mt_fourier_tix[idx], -1)
+    from tpurt.render.materials_build import C_FTIX
+
+    if mrow is None:
+        mrow = scene.mt_table[jnp.maximum(si.material_id, 0)]
+    tix = jnp.where(si.material_id >= 0,
+                    mrow[:, C_FTIX].astype(jnp.int32), -1)
     return (tix >= 0) & si.valid, tix
 
 
@@ -320,12 +327,15 @@ class ShadeCtx(NamedTuple):
 def make_shade_ctx(scene: SceneData, si: SurfaceInteraction,
                    texture_eval=None, channels: int = 3) -> ShadeCtx:
     overrides = texture_eval(si) if texture_eval is not None else None
-    lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                        si.material_id, overrides, scene.mt_mix,
-                        channels=channels)
+    # ONE fused material-row gather shared by the lobe fetch and the
+    # hair/fourier contexts
+    mrow = scene.mt_table[jnp.maximum(si.material_id, 0)]
+    lobes = fetch_lobes(scene.mt_table, si.material_id, overrides,
+                        has_mix=scene.mt_mix is not None,
+                        channels=channels, row=mrow)
     t, b = _shading_frame(si)
-    hc = _hair_ctx(scene, si)
-    fc = _fourier_ctx(scene, si)
+    hc = _hair_ctx(scene, si, mrow)
+    fc = _fourier_ctx(scene, si, mrow)
     return ShadeCtx(
         lobes=lobes, t=t, b=b,
         is_hair=None if hc is None else hc[0],
@@ -894,11 +904,12 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         alive = alive & si.valid & (bounce < cfg.max_depth)
 
         overrides = texture_eval(si) if texture_eval is not None else None
-        lobes = fetch_lobes(scene.mt_table, scene.mt_k3, scene.mt_kinds,
-                            si.material_id, overrides, scene.mt_mix,
-                            channels=nch)
-        hair_ctx = _hair_ctx(scene, si)
-        fourier_ctx = _fourier_ctx(scene, si)
+        mrow = scene.mt_table[jnp.maximum(si.material_id, 0)]
+        lobes = fetch_lobes(scene.mt_table, si.material_id, overrides,
+                            has_mix=scene.mt_mix is not None,
+                            channels=nch, row=mrow)
+        hair_ctx = _hair_ctx(scene, si, mrow)
+        fourier_ctx = _fourier_ctx(scene, si, mrow)
         any_lobe = jnp.any(lobes.active, axis=-1)
         has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
         if hair_ctx is not None:

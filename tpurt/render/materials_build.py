@@ -41,6 +41,35 @@ _N_COLS = 39
  C_METALLIC, C_SPECTRANS, C_ANISO, C_SHEEN, C_SHEENTINT, C_CC, C_CCGLOSS,
  C_SPECTINT, C_FLAT, C_DIFFTRANS, C_THIN) = range(_N_COLS)
 
+# fused-row extension columns appended on DEVICE (driver.build_job):
+# kind, conductor k3, mix sub-ids, hair params, fourier table index —
+# one row gather serves fetch_lobes + the hair/fourier contexts (the
+# TPU gather engine is row-count bound).  Ints ride as exact small
+# floats.
+C_KIND = _N_COLS            # 39
+C_FK30 = _N_COLS + 1        # 40:43 conductor k
+C_MIX0 = _N_COLS + 4        # 43:45 mix sub-material rows (-1 = none)
+C_HAIR0 = _N_COLS + 6       # 45:52 [sigma_a rgb, eta, beta_m, beta_n, alpha]
+C_FTIX = _N_COLS + 13       # 52 fourier table index (-1 = none)
+N_FUSED_COLS = _N_COLS + 14  # 53
+
+
+def fuse_material_rows(mt: "MaterialTable") -> np.ndarray:
+    """Host-side: append the side-table columns onto the constant table
+    (layout above); the device mt_table carries the fused rows."""
+    m = mt.table.shape[0]
+    kind_col = mt.kinds.astype(np.float32)[:, None]
+    mix_cols = (mt.mix.astype(np.float32) if mt.has_mix
+                else np.full((m, 2), -1.0, np.float32))
+    hair_cols = (mt.hair.astype(np.float32) if mt.has_hair
+                 else np.zeros((m, 7), np.float32))
+    ftix_col = (mt.fourier_tix.astype(np.float32)[:, None]
+                if mt.fourier_tix is not None
+                else np.full((m, 1), -1.0, np.float32))
+    return np.concatenate([mt.table, kind_col,
+                           mt.k3.astype(np.float32), mix_cols, hair_cols,
+                           ftix_col], axis=1)
+
 
 @dataclasses.dataclass
 class MaterialTable:
@@ -403,35 +432,40 @@ def _lift_lobeparams(lp: LobeParams) -> LobeParams:
                           for f in _LOBE_COLOR_FIELDS})
 
 
-def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
-                mt_kinds: jnp.ndarray, mat_id: jnp.ndarray,
+def fetch_lobes(mt_table: jnp.ndarray, mat_id: jnp.ndarray,
                 texture_overrides: Optional[dict] = None,
-                mt_mix: Optional[jnp.ndarray] = None,
-                channels: int = 3) -> LobeParams:
-    """Gather per-lane lobe parameters from the material table.
+                has_mix: bool = False,
+                channels: int = 3,
+                row: Optional[jnp.ndarray] = None) -> LobeParams:
+    """Gather per-lane lobe parameters from the FUSED material table
+    (one row per lane; see fuse_material_rows for the layout).
 
     mat_id: (N,) int32 (-1 = no material -> all lobes inactive).
     texture_overrides: {slot_name: (N,...) array} blended in by the caller
     after texture evaluation.
-    mt_mix: (M,2) sub-material rows; when given, MAT_MIX lanes blend the
-    two sub-materials' lobe parameters by the "amount" color (materials/
+    has_mix (static): when True, MAT_MIX lanes blend the two
+    sub-materials' lobe parameters by the "amount" color (materials/
     mix.cpp scales each sub-BSDF by amt / 1-amt; the parameter-space blend
     here is exact for the linear scale fields and picks the dominant side
     for distribution shapes — documented approximation).
+    row: optional pre-gathered (N, N_FUSED_COLS) rows (callers that also
+    need the hair/fourier context share ONE gather).
     """
-    lp = _fetch_lobes_one(mt_table, mt_k3, mt_kinds, mat_id,
-                          texture_overrides)
-    if mt_mix is None:
-        return _lift_lobeparams(lp) if channels != 3 else lp
     idx = jnp.maximum(mat_id, 0)
-    kind = jnp.where(mat_id >= 0, mt_kinds[idx], MAT_NONE)
+    if row is None:
+        row = mt_table[idx]
+    lp = _fetch_lobes_one(row, mat_id, texture_overrides)
+    if not has_mix:
+        return _lift_lobeparams(lp) if channels != 3 else lp
+    kind = jnp.where(mat_id >= 0, row[:, C_KIND].astype(jnp.int32),
+                     MAT_NONE)
     is_mix = kind == MAT_MIX
-    sub = mt_mix[idx]  # (N,2)
+    sub = row[:, C_MIX0:C_MIX0 + 2].astype(jnp.int32)  # (N,2)
     id1 = jnp.where(is_mix, jnp.maximum(sub[:, 0], 0), idx)
     id2 = jnp.where(is_mix, jnp.maximum(sub[:, 1], 0), idx)
-    lp1 = _fetch_lobes_one(mt_table, mt_k3, mt_kinds, id1, None)
-    lp2 = _fetch_lobes_one(mt_table, mt_k3, mt_kinds, id2, None)
-    amt3 = jnp.clip(mt_table[idx][:, C_TR0:C_TR0 + 3], 0.0, 1.0)
+    lp1 = _fetch_lobes_one(mt_table[id1], id1, None)
+    lp2 = _fetch_lobes_one(mt_table[id2], id2, None)
+    amt3 = jnp.clip(row[:, C_TR0:C_TR0 + 3], 0.0, 1.0)
     amt1 = jnp.mean(amt3, axis=-1)
     take1 = amt1 >= 0.5
     linear = ("kd", "ks", "kr", "kt", "fs_kr", "kt_g", "kd_t",
@@ -457,13 +491,12 @@ def fetch_lobes(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
     return _lift_lobeparams(lp) if channels != 3 else lp
 
 
-def _fetch_lobes_one(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
-                     mt_kinds: jnp.ndarray, mat_id: jnp.ndarray,
+def _fetch_lobes_one(row: jnp.ndarray, mat_id: jnp.ndarray,
                      texture_overrides: Optional[dict] = None) -> LobeParams:
+    """row: pre-gathered (N, N_FUSED_COLS) fused material rows."""
     n = mat_id.shape[0]
-    idx = jnp.maximum(mat_id, 0)
-    row = mt_table[idx]
-    kind = jnp.where(mat_id >= 0, mt_kinds[idx], MAT_NONE)
+    kind = jnp.where(mat_id >= 0, row[:, C_KIND].astype(jnp.int32),
+                     MAT_NONE)
 
     kd = row[:, C_KD0:C_KD0 + 3]
     ks = row[:, C_KS0:C_KS0 + 3]
@@ -477,7 +510,7 @@ def _fetch_lobes_one(mt_table: jnp.ndarray, mt_k3: jnp.ndarray,
     eta3 = row[:, C_ETA30:C_ETA30 + 3]
     remap = row[:, C_REMAP] > 0
     fresnel_kind = row[:, C_FRESNEL].astype(jnp.int32)
-    k3 = mt_k3[idx]
+    k3 = row[:, C_FK30:C_FK30 + 3]
 
     if texture_overrides:
         ov = texture_overrides
