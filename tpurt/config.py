@@ -71,6 +71,13 @@ class Config:
     # ao is colorless.
     spectrum_mode: str = "rgb"
 
+    # Fuse each bounce's NEE shadow ray with the next bounce's closest
+    # ray into ONE mixed traversal (per-lane any-hit).  Bit-identical
+    # results; halves traversal calls per bounce and doubles the gather
+    # batch.  Off = separate intersect_closest + intersect_any calls
+    # (the A/B baseline).
+    fuse_shadow_rays: bool = True
+
     # Imagemap filtering mode: "ewa" attaches true camera-ray
     # differentials and filters anisotropically (mipmap.h EWA);
     # "trilinear" keeps the isotropic footprint-cone + trilinear MIP

@@ -39,7 +39,7 @@ from tpurt.render.interaction import (
     offset_ray_origin,
 )
 from tpurt.render.intersect import (DeviceGeometry, Hit, intersect_any,
-                                    intersect_closest)
+                                    intersect_closest, intersect_mixed)
 from tpurt.render.lights import (
     LIGHT_INFINITE,
     LightTable,
@@ -440,10 +440,13 @@ def shade_sample(scene: SceneData, ctx: ShadeCtx, ns, w_out,
     return wi, f, pdf, is_spec, is_trans
 
 
-def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
-         strategy: str, alive, hair_ctx=None, fourier_ctx=None, time=None):
-    """Next-event estimation: one light sample with MIS weighting
-    (UniformSampleOneLight + the light half of EstimateDirect)."""
+def _nee_prepare(scene: SceneData, si: SurfaceInteraction, lobes, u_choice,
+                 u_light, strategy: str, alive, hair_ctx=None,
+                 fourier_ctx=None):
+    """The light-sampling half of _nee: everything EXCEPT the occlusion
+    trace.  Returns (contrib, o_sh, wi_sh, t_sh, usable) so the caller
+    can fuse the shadow ray into a mixed traversal (intersect_mixed)
+    and finish with _nee_resolve."""
     lt = scene.lights
     lidx, pmf = choose_light(lt, u_choice, strategy, p=si.p)
     ls = sample_li(lt, lidx, si.p, u_light)
@@ -481,13 +484,26 @@ def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
     t_max = jnp.where(usable, dist * (1.0 - SHADOW_EPS) - 2e-3
                       * jnp.maximum(1.0, jnp.max(jnp.abs(ls.p_light), axis=-1)),
                       0.0)
-    occluded = intersect_any(scene.geo, o_sh, ls.wi, jnp.maximum(t_max, 0.0),
-                             time=time)
 
     w = jnp.where(ls.is_delta, 1.0,
                   power_heuristic(1.0, ls.pdf, 1.0, scatter_pdf))
     contrib = f * li * (w / jnp.maximum(ls.pdf * pmf, 1e-20))[:, None]
+    return contrib, o_sh, ls.wi, jnp.maximum(t_max, 0.0), usable
+
+
+def _nee_resolve(contrib, usable, occluded):
     return jnp.where((usable & ~occluded)[:, None], contrib, 0.0)
+
+
+def _nee(scene: SceneData, si: SurfaceInteraction, lobes, u_choice, u_light,
+         strategy: str, alive, hair_ctx=None, fourier_ctx=None, time=None):
+    """Next-event estimation: one light sample with MIS weighting
+    (UniformSampleOneLight + the light half of EstimateDirect)."""
+    contrib, o_sh, wi_sh, t_sh, usable = _nee_prepare(
+        scene, si, lobes, u_choice, u_light, strategy, alive,
+        hair_ctx=hair_ctx, fourier_ctx=fourier_ctx)
+    occluded = intersect_any(scene.geo, o_sh, wi_sh, t_sh, time=time)
+    return _nee_resolve(contrib, usable, occluded)
 
 
 from typing import NamedTuple as _NT
@@ -837,12 +853,20 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         rx_o, rx_d, ry_o, ry_d = camera_ray_differentials(
             camera, sampler, p_film, p_lens, l_time, sampler.spp)
 
-    def bounce_body(carry, bounce):
-        (o, d, beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
-         n0, p0, n1, p1) = carry
+    # Shade-then-trace bounce structure: each iteration shades the hit
+    # CARRIED from the previous one, then issues the next bounce's
+    # closest ray together with this bounce's NEE shadow ray.  With
+    # fuse_shadow_rays they share ONE mixed traversal (per-lane any-hit;
+    # the gather engine amortizes with batch size and the schedule's
+    # fixed costs halve) — 1 + (maxdepth+1) traversal calls per path
+    # instead of 2*(maxdepth+1).  Results are bit-identical either way.
+    fuse = get_config().fuse_shadow_rays
 
-        t_max = jnp.where(alive, INF, 0.0)
-        hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
+    def bounce_body(carry, bounce):
+        (o, d, hit_t, hit_prim, hit_b0, hit_b1, beta, L, alive, specular,
+         prev_pdf, prev_p, eta_scale, n0, p0, n1, p1) = carry
+
+        hit = Hit(t=hit_t, prim=hit_prim, b0=hit_b0, b1=hit_b1)
         si = compute_interaction(scene.geo, hit, o, d,
                                  tangents=scene.has_tangents,
                                  dpduv=scene.has_bump or scene.has_texfilter,
@@ -926,9 +950,10 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         u_choice = sampler.dim_dyn(px, py, sidx, d0, sctx)
         u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1, sctx),
                              sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)], axis=-1)
-        Ld = _nee(scene, si, lobes, u_choice, u_light, cfg.light_strategy,
-                  alive & has_smooth, hair_ctx, fourier_ctx, time=l_time)
-        L = L + beta * Ld
+        nee_c, o_sh, wi_sh, t_sh, nee_ok = _nee_prepare(
+            scene, si, lobes, u_choice, u_light, cfg.light_strategy,
+            alive & has_smooth, hair_ctx, fourier_ctx)
+        beta_nee = beta  # pre-continuation throughput scales the NEE term
 
         # ---- BSDF sampling ----
         u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 3, sctx)
@@ -1003,7 +1028,28 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         beta = jnp.where((do_rr & ~killed)[:, None],
                          beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
 
-        return (o, d, beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
+        # ---- trace: next bounce's closest ray + this bounce's shadow ----
+        t_next = jnp.where(alive, INF, 0.0)
+        if fuse:
+            o_f = jnp.concatenate([o, o_sh], axis=0)
+            d_f = jnp.concatenate([d, wi_sh], axis=0)
+            tm_f = jnp.concatenate([t_next, t_sh], axis=0)
+            am_f = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(n, bool)])
+            tf = (jnp.concatenate([l_time, l_time], axis=0)
+                  if l_time is not None else None)
+            h_f = intersect_mixed(scene.geo, o_f, d_f, tm_f, am_f, time=tf)
+            occluded = h_f.prim[n:] >= 0
+            hit_next = Hit(t=h_f.t[:n], prim=h_f.prim[:n],
+                           b0=h_f.b0[:n], b1=h_f.b1[:n])
+        else:
+            occluded = intersect_any(scene.geo, o_sh, wi_sh, t_sh,
+                                     time=l_time)
+            hit_next = intersect_closest(scene.geo, o, d, t_next,
+                                         time=l_time)
+        L = L + beta_nee * _nee_resolve(nee_c, nee_ok, occluded)
+
+        return (o, d, hit_next.t, hit_next.prim, hit_next.b0, hit_next.b1,
+                beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
                 n0, p0, n1, p1), jnp.sum(alive)
 
     # all carries derived from lane data so they carry the same varying-axes
@@ -1011,21 +1057,24 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     v0 = px.astype(jnp.float32) * 0.0  # (n,) varying zero
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
     v0c = v0[:, None] * jnp.ones((1, nch), jnp.float32)
-    init = (o, d, v0c + 1.0, v0c,
+    # bounce 0's closest runs before the scan (the body shades the
+    # carried hit, then traces the NEXT one fused with the shadow ray)
+    hit0 = intersect_closest(scene.geo, o, d, v0 + INF, time=l_time)
+    init = (o, d, hit0.t, hit0.prim, hit0.b0, hit0.b1, v0c + 1.0, v0c,
             px == px, px != px,
             v0 + 1.0, o, v0 + 1.0,
             v03, v03, v03, v03)
     carry, alive_hist = jax.lax.scan(
         bounce_body, init, jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
-    L = _to_rgb_maybe(carry[3], cfg)
+    L = _to_rgb_maybe(carry[7], cfg)
     # per-bounce survivor counts (Integrator/Path-length distribution
     # analog of the reference's STAT_INT_DISTRIBUTION "Path length");
     # the driver ignores this key, perf probes read it.
     out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w,
            "alive_per_bounce": alive_hist}
     if cfg.capture_features:
-        out["features"] = {"n0": carry[9], "p0": carry[10],
-                           "n1": carry[11], "p1": carry[12]}
+        out["features"] = {"n0": carry[13], "p0": carry[14],
+                           "n1": carry[15], "p1": carry[16]}
         out["p_lens"] = p_lens
     return out
 
