@@ -60,8 +60,10 @@ from tpurt.render.integrator import (CAMERA_DIMS, DIMS_PER_BOUNCE, INF,
                                      _infinite_L, _lift_illum_maybe, _nee,
                                      make_shade_ctx, shade_f, shade_sample,
                                      zero_shade_ctx)
+from tpurt.render.integrator import _nee_prepare, _nee_resolve
 from tpurt.render.interaction import compute_interaction, offset_ray_origin
-from tpurt.render.intersect import intersect_closest
+from tpurt.render.intersect import (Hit, intersect_any, intersect_closest,
+                                    intersect_mixed)
 from tpurt.render.lights import choose_light, pdf_li_from_hit, sample_le
 from tpurt.render.sampling_warps import dot, power_heuristic
 from tpurt.sampling import lowdiscrepancy as ld
@@ -143,12 +145,15 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
     v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
     v0c = v0[:, None] * jnp.ones((1, nch), jnp.float32)
 
-    def bounce_body(carry, bounce):
-        (o, d, beta, Ld, alive, specular, prev_pdf, prev_p,
-         vp_taken, probe, vp) = carry
+    # shade-then-trace with the fused shadow+closest traversal, exactly
+    # like path_radiance (see integrator.py); bit-identical either way
+    fuse = get_config().fuse_shadow_rays
 
-        t_max = jnp.where(alive, INF, 0.0)
-        hit = intersect_closest(scene.geo, o, d, t_max, time=l_time)
+    def bounce_body(carry, bounce):
+        (o, d, hit_t, hit_prim, hit_b0, hit_b1, beta, Ld, alive, specular,
+         prev_pdf, prev_p, vp_taken, probe, vp) = carry
+
+        hit = Hit(t=hit_t, prim=hit_prim, b0=hit_b0, b1=hit_b1)
         si = compute_interaction(scene.geo, hit, o, d,
                                  tangents=scene.has_tangents, time=l_time)
 
@@ -225,10 +230,10 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
                     else (shade.is_hair, shade.hair))
         fourier_ctx = (None if shade.is_fourier is None
                        else (shade.is_fourier, shade.fourier_tix))
-        Ld = Ld + beta * _nee(scene, si, shade.lobes, u_choice, u_light,
-                              "uniform", alive & has_smooth,
-                              hair_ctx=hair_ctx, fourier_ctx=fourier_ctx,
-                              time=l_time)
+        nee_c, o_sh, wi_sh, t_sh, nee_ok = _nee_prepare(
+            scene, si, shade.lobes, u_choice, u_light, "uniform",
+            alive & has_smooth, hair_ctx=hair_ctx, fourier_ctx=fourier_ctx)
+        beta_nee = beta
 
         # BSDF continuation; stored lanes continue exactly one more bounce
         # as the MIS emission probe
@@ -260,15 +265,40 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
         beta = jnp.where((do_rr & ~killed)[:, None],
                          beta / jnp.maximum(q, 1e-6)[:, None], beta)
 
-        return (o, d, beta, Ld, alive, specular, prev_pdf, prev_p,
+        # trace: next closest + this bounce's shadow (fused or separate)
+        t_next = jnp.where(alive, INF, 0.0)
+        if fuse:
+            o_f = jnp.concatenate([o, o_sh], axis=0)
+            d_f = jnp.concatenate([d, wi_sh], axis=0)
+            tm_f = jnp.concatenate([t_next, t_sh], axis=0)
+            am_f = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(n, bool)])
+            tf = (jnp.concatenate([l_time, l_time], axis=0)
+                  if l_time is not None else None)
+            h_f = intersect_mixed(scene.geo, o_f, d_f, tm_f, am_f, time=tf)
+            occluded = h_f.prim[n:] >= 0
+            hit_next = Hit(t=h_f.t[:n], prim=h_f.prim[:n],
+                           b0=h_f.b0[:n], b1=h_f.b1[:n])
+        else:
+            occluded = intersect_any(scene.geo, o_sh, wi_sh, t_sh,
+                                     time=l_time)
+            hit_next = intersect_closest(scene.geo, o, d, t_next,
+                                         time=l_time)
+        Ld = Ld + beta_nee * _nee_resolve(nee_c, nee_ok, occluded)
+
+        return (o, d, hit_next.t, hit_next.prim, hit_next.b0, hit_next.b1,
+                beta, Ld, alive, specular, prev_pdf, prev_p,
                 vp_taken, probe, vp), None
 
     vp0 = dict(valid=px != px, p=v03, wo=v03, ns=v03, beta=v0c, shade=zsh)
-    init = (o, d, v0c + ray_w[:, None], v0c, (px == px) & mask,
+    alive0 = (px == px) & mask
+    hit0 = intersect_closest(scene.geo, o, d,
+                             jnp.where(alive0, INF, 0.0), time=l_time)
+    init = (o, d, hit0.t, hit0.prim, hit0.b0, hit0.b1,
+            v0c + ray_w[:, None], v0c, alive0,
             px != px, v0 + 1.0, o, px != px, px != px, vp0)
     carry, _ = jax.lax.scan(bounce_body, init,
                             jnp.arange(max_depth + 1, dtype=jnp.int32))
-    Ld, vp = carry[3], carry[10]
+    Ld, vp = carry[7], carry[14]
     return Ld, vp
 
 
