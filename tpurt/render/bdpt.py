@@ -397,6 +397,30 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         else:
             L = L + contrib
 
+    # Every connection strategy's visibility ray is COLLECTED here and
+    # traced in ONE batched any-hit traversal after the strategy loop
+    # (~(maxdepth+2)^2/2 separate n-lane calls otherwise; the gather
+    # engine amortizes with batch size and the traversal schedule's
+    # fixed costs are paid once).  val is the strategy's full weighted
+    # contribution assuming UNOCCLUDED; occlusion only masks it.
+    pending = []  # (s, t, val, o_sh, d_sh, t_sh, p_raster)
+
+    def deposit_shadowed(s, t, val, o_sh, d_sh, t_sh, p_raster=None):
+        pending.append((s, t, val, o_sh, d_sh, t_sh, p_raster))
+
+    def resolve_pending():
+        if not pending:
+            return
+        O = jnp.concatenate([p[3] for p in pending], axis=0)
+        D = jnp.concatenate([p[4] for p in pending], axis=0)
+        T = jnp.concatenate([p[5] for p in pending], axis=0)
+        tf = (jnp.tile(l_time, len(pending))
+              if l_time is not None else None)
+        occ = intersect_any(scene.geo, O, D, T, time=tf)
+        for i, (s, t, val, _, _, _, p_raster) in enumerate(pending):
+            occ_i = occ[i * n:(i + 1) * n]
+            deposit(s, t, jnp.where(occ_i[:, None], 0.0, val), p_raster)
+
     def mis_weight_dbg(*a, **k):
         if debug_unweighted:
             return jnp.ones(n, jnp.float32)
@@ -470,11 +494,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                           & jnp.any(contrib > 0, axis=-1))
                 o_sh = offset_ray_origin(qs.p, qs.ng, wi)
                 dist = jnp.linalg.norm(p_lens_w - o_sh, axis=-1)
-                occ = intersect_any(scene.geo, o_sh, wi,
-                                    jnp.where(usable,
-                                              dist * (1 - SHADOW_EPS), 0.0),
-                                    time=l_time)
-                usable &= ~occ
+                t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS), 0.0)
                 # MIS: camera side has no interior vertices (t=1)
                 qs_rev = _convert_density(camera_pdf_we(camera, -wi)[1],
                                           p_lens_w, qs.p, qs.ng)
@@ -484,9 +504,11 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                          want_pdf=True)
                     qsm_rev = _convert_density(pdf2, qs.p, qsm.p, qsm.ng)
                 w = mis_weight_dbg(s, 1, None, qs, None, None, qs_rev, qsm_rev)
-                deposit(s, t,
-                        jnp.where(usable[:, None], contrib * w[:, None], 0.0),
-                        p_raster - jnp.asarray(crop_xy, jnp.float32))
+                deposit_shadowed(
+                    s, t,
+                    jnp.where(usable[:, None], contrib * w[:, None], 0.0),
+                    o_sh, wi, t_sh,
+                    p_raster - jnp.asarray(crop_xy, jnp.float32))
                 continue
 
             pt = _v(CAM, t - 1)
@@ -512,12 +534,9 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                           & jnp.any(contrib > 0, axis=-1))
                 o_sh = offset_ray_origin(pt.p, pt.ng, ls.wi)
                 dist = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
-                occ = intersect_any(
-                    scene.geo, o_sh, ls.wi,
-                    jnp.where(usable, dist * (1 - SHADOW_EPS) - 2e-3
-                              * jnp.maximum(1.0, jnp.max(
-                                  jnp.abs(ls.p_light), -1)), 0.0))
-                usable &= ~occ
+                t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS) - 2e-3
+                                 * jnp.maximum(1.0, jnp.max(
+                                     jnp.abs(ls.p_light), -1)), 0.0)
                 # sampled light vertex for MIS: the TRUE surface normal at
                 # the sampled point — an approximate normal here breaks
                 # the cross-strategy pdf consistency the MIS partition
@@ -541,8 +560,10 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 w = mis_weight_dbg(1, t, pt, None, pt_rev, ptm_rev, qs_rev,
                                None, qs_pdf_fwd=qs_pdf_fwd,
                                qs_delta_light=qs_delta_light)
-                deposit(s, t, jnp.where(usable[:, None],
-                                        contrib * w[:, None], 0.0))
+                deposit_shadowed(s, t,
+                                 jnp.where(usable[:, None],
+                                           contrib * w[:, None], 0.0),
+                                 o_sh, ls.wi, t_sh)
                 continue
 
             # ---- general s>=2, t>=2 connection ----
@@ -560,11 +581,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             o_sh = offset_ray_origin(pt.p, pt.ng, w_c)
             tgt = offset_ray_origin(qs.p, qs.ng, -w_c)
             dist = jnp.linalg.norm(tgt - o_sh, axis=-1)
-            occ = intersect_any(scene.geo, o_sh, w_c,
-                                jnp.where(usable,
-                                          dist * (1 - SHADOW_EPS), 0.0),
-                                time=l_time)
-            usable &= ~occ
+            t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS), 0.0)
             # endpoint pdf overrides
             _, pdf_a = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev_l, -w_c,
                                  want_pdf=True)
@@ -579,9 +596,12 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                                  want_pdf=True)
             qsm_rev = _convert_density(pdf_d, qs.p, qsm.p, qsm.ng)
             w = mis_weight_dbg(s, t, pt, qs, pt_rev, ptm_rev, qs_rev, qsm_rev)
-            deposit(s, t, jnp.where(usable[:, None], contrib * w[:, None],
-                                    0.0))
+            deposit_shadowed(s, t,
+                             jnp.where(usable[:, None],
+                                       contrib * w[:, None], 0.0),
+                             o_sh, w_c, t_sh)
 
+    resolve_pending()
     out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}
     if splat_p:
         out["splat_p"] = jnp.concatenate(splat_p, axis=0)
