@@ -252,3 +252,20 @@ def test_warm_render_cache_reuse_and_invalidation():
     img3, _ = render(sd, progress=False)
     assert not np.array_equal(np.asarray(img1), np.asarray(img3))
     assert len(_RENDER_CACHE) <= 4  # bounded FIFO
+
+
+def test_fuse_shadow_rays_bit_identical():
+    """config.fuse_shadow_rays toggles between one mixed traversal and
+    separate closest+any-hit calls; the images must be BIT-identical
+    (same rays, same hits, different scheduling only)."""
+    from tpurt.config import set_config
+
+    scene = FURNACE_POINT.format(sampler="halton", spp=2,
+                                 integrator="path")
+    img_f = _render_scene(scene)
+    set_config(fuse_shadow_rays=False)
+    try:
+        img_s = _render_scene(scene)
+    finally:
+        set_config(fuse_shadow_rays=True)
+    assert np.array_equal(np.asarray(img_f), np.asarray(img_s))
