@@ -112,23 +112,40 @@ def _bsdf_dir(scene, shade, ns, w_out, w_in, want_pdf=False):
     return shade_f(scene, shade, ns, w_out, w_in, want_pdf=want_pdf)
 
 
-def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
-                 o, d, beta0, pdf_dir0, alive0, n_steps, dim_base, mode,
-                 time=None, nch: int = 3):
-    """Shared camera/light subpath walk.  Returns the (n_steps, N, ...)
-    vertex stack plus per-step pdf_rev-of-previous emissions."""
+def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
+                      cam: dict, lit: dict, time=None, nch: int = 3):
+    """Both bdpt subpath walks as ONE 2n-lane scan: the camera half
+    ([:n], radiance transport) and the light half ([n:], importance
+    transport with the shading-normal correction) share each step's
+    closest traversal, interaction, and material-row gathers — the
+    gather engine is row-count bound and amortizes with batch size, so
+    this roughly halves the walk cost vs two sequential n-lane scans.
+    Per-half sampler dims stay separate (different dim bases).
+
+    cam/lit: dicts of o, d, beta0, pdf0, alive0, n_steps, dim_base.
+    Returns (cam_verts, lit_verts): per-half (n_steps, N, ...) vertex
+    stacks plus per-step reverse-pdf emissions (GenerateCameraSubpath /
+    GenerateLightSubpath -> RandomWalk, bdpt.cpp:69-160)."""
     n = px.shape[0]
-    radiance = mode == "radiance"
-    has_inf = scene.lights.has_infinite and radiance
+    has_inf = scene.lights.has_infinite
+    is_rad = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(n, bool)])
+    c_steps, l_steps = cam["n_steps"], lit["n_steps"]
+    n_steps = max(c_steps, l_steps)
+    time2 = jnp.concatenate([time, time]) if time is not None else None
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
 
     def step(carry, b):
         o, d, beta, pdf_dir, alive, prev_p = carry
+        # bound each half to its own walk length
+        alive = (alive & (is_rad | (b < l_steps))
+                 & (~is_rad | (b < c_steps)))
         t_max = jnp.where(alive, INF, 0.0)
-        hit = intersect_closest(scene.geo, o, d, t_max, time=time)
+        hit = intersect_closest(scene.geo, o, d, t_max, time=time2)
         si = compute_interaction(scene.geo, hit, o, d,
-                                 tangents=scene.has_tangents, time=time)
+                                 tangents=scene.has_tangents, time=time2)
 
-        escaped = alive & ~si.valid if has_inf else jnp.zeros(n, bool)
+        escaped = (alive & ~si.valid & is_rad if has_inf
+                   else jnp.zeros(2 * n, bool))
         vvalid = alive & si.valid
         pdf_fwd = _convert_density(pdf_dir, prev_p, si.p, si.ng)
         pdf_fwd = jnp.where(escaped, pdf_dir, pdf_fwd)
@@ -138,26 +155,26 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
                          scene.lights.prim_to_light[jnp.maximum(si.prim, 0)],
                          -1)
 
-        # BSDF continuation (static dims via dim_dyn's traced-b variant)
-        d0 = dim_base + 3 * b
-        u_lobe = sampler.dim_dyn(px, py, sidx, d0, sctx)
-        u1 = sampler.dim_dyn(px, py, sidx, d0 + 1, sctx)
-        u2 = sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)
+        dc = cam["dim_base"] + 3 * b
+        dl = lit["dim_base"] + 3 * b
+
+        def dim2(off):
+            return cat(sampler.dim_dyn(px, py, sidx, dc + off, sctx),
+                       sampler.dim_dyn(px, py, sidx, dl + off, sctx))
+
+        u_lobe, u1, u2 = dim2(0), dim2(1), dim2(2)
         wi, f, pdf, is_spec, is_trans = shade_sample(
             scene, shade, si.ns, si.wo, u_lobe, u1, u2)
-        # reverse pdf toward the previous vertex; emitted as solid-angle
-        # (the caller converts with the previous vertex's own normal)
         _, pdf_rev_dir = shade_f(scene, shade, si.ns, wi, si.wo,
                                  want_pdf=True)
         prev_rev_dir = jnp.where(is_spec, 0.0, pdf_rev_dir)
 
         ok = vvalid & (pdf > 0) & jnp.any(f > 0, axis=-1)
-        corr = jnp.ones(n, jnp.float32)
-        if mode == "importance":
-            # shading-normal correction (bdpt.cpp CorrectShadingNormal)
-            num = jnp.abs(dot(si.wo, si.ns) * dot(wi, si.ng))
-            den = jnp.abs(dot(si.wo, si.ng) * dot(wi, si.ns))
-            corr = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+        # shading-normal correction on the importance half only
+        num = jnp.abs(dot(si.wo, si.ns) * dot(wi, si.ng))
+        den = jnp.abs(dot(si.wo, si.ng) * dot(wi, si.ns))
+        corr_imp = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+        corr = jnp.where(is_rad, 1.0, corr_imp)
         beta_next = jnp.where(
             ok[:, None],
             beta * f * (jnp.abs(dot(wi, si.ns)) * corr
@@ -182,10 +199,16 @@ def _random_walk(scene, texture_eval, sampler, px, py, sidx, sctx,
                  jnp.where(is_spec, 0.0, pdf), ok, si.p)
         return carry, vert
 
-    init = (o, d, beta0, pdf_dir0, alive0, o)
+    o0 = cat(cam["o"], lit["o"])
+    init = (o0, cat(cam["d"], lit["d"]),
+            cat(cam["beta0"], lit["beta0"]),
+            cat(cam["pdf0"], lit["pdf0"]),
+            cat(cam["alive0"], lit["alive0"]), o0)
     _, verts = jax.lax.scan(step, init,
                             jnp.arange(n_steps, dtype=jnp.int32))
-    return verts
+    cam_v = jax.tree_util.tree_map(lambda a: a[:c_steps, :n], verts)
+    lit_v = jax.tree_util.tree_map(lambda a: a[:l_steps, n:], verts)
+    return cam_v, lit_v
 
 
 def _assemble(v0: dict, walk: dict, n_steps: int) -> VertexSoA:
@@ -289,14 +312,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         beta=onesc, pdf_fwd=jnp.ones(n), delta=jnp.zeros(n, bool),
         valid=jnp.ones(n, bool), escaped=jnp.zeros(n, bool),
         lrow=jnp.full(n, -1, jnp.int32), shade=zsh)
-    cam_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
-                            sctx, o, d, onesc * ray_w[:, None],
-                            cam_pdf_dir, jnp.ones(n, bool),
-                            t_max_v - 1, 5, "radiance", time=l_time,
-                            nch=nch)
-    CAM = _assemble(cam_v0, cam_walk, t_max_v - 1)
-
-    # ---- light subpath ----
+    # ---- light subpath endpoint ----
     bl = 5 + 3 * (t_max_v - 1)
     u_choice = sampler.dim(px, py, sidx, bl, sctx)
     u1 = sampler.dim(px, py, sidx, bl + 1, sctx)
@@ -322,10 +338,16 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     # (the reference samples a fresh shutter time per light path,
     # bdpt.cpp GenerateLightSubpath; one time per lane is the wavefront
     # equivalent — both integrate uniformly over the shutter)
-    lit_walk = _random_walk(scene, texture_eval, sampler, px, py, sidx,
-                            sctx, o_l, le.d, beta0, le.pdf_dir, l_valid,
-                            s_max_v - 1, bl + 5, "importance", time=l_time,
-                            nch=nch)
+    # ---- both walks fused into one 2n-lane scan ----
+    cam_walk, lit_walk = _random_walk_pair(
+        scene, texture_eval, sampler, px, py, sidx, sctx,
+        cam=dict(o=o, d=d, beta0=onesc * ray_w[:, None],
+                 pdf0=cam_pdf_dir, alive0=jnp.ones(n, bool),
+                 n_steps=t_max_v - 1, dim_base=5),
+        lit=dict(o=o_l, d=le.d, beta0=beta0, pdf0=le.pdf_dir,
+                 alive0=l_valid, n_steps=s_max_v - 1, dim_base=bl + 5),
+        time=l_time, nch=nch)
+    CAM = _assemble(cam_v0, cam_walk, t_max_v - 1)
     LIT = _assemble(lit_v0, lit_walk, s_max_v - 1)
     lit_delta_light = jnp.take(
         (lt.kind != LIGHT_AREA_TRI) & (lt.kind != LIGHT_AREA_SPHERE)

@@ -59,10 +59,6 @@ class SurfaceInteraction(NamedTuple):
     med_out: jnp.ndarray = None  # (N,) i32
 
 
-def _gather3(arr, idx):
-    return arr[idx]
-
-
 def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
                         tangents: bool = False,
                         dpduv: bool = False,
