@@ -2,14 +2,24 @@
 # renders scenes/sample.pbrt and collects the EXRs into output/).
 SCENE ?= /root/reference/scenes/sample.pbrt
 
-.PHONY: run test bench cat
+.PHONY: run test test-full bench cat refbuild
 
 run:
 	mkdir -p output
 	python -m tpurt.cli $(SCENE) --outfile output/$(notdir $(basename $(SCENE))).exr
 
+# quick gate: excludes @pytest.mark.full (compile-heavy renders)
 test:
+	python -m pytest tests/ -q -m "not full"
+
+# the whole suite, including the slow render gates
+test-full:
 	python -m pytest tests/ -q
+
+# shim-build the C++ reference binaries (pbrt, pbrt-patched, imgtool)
+# used by the default-on pixel-parity gate (tests/test_cpp_parity.py)
+refbuild:
+	$(MAKE) -C refbuild patched
 
 bench:
 	python bench.py

@@ -32,11 +32,32 @@ def _find_ref_pbrt():
     return None
 
 
-REF_PBRT = _find_ref_pbrt()
+def _build_ref_pbrt():
+    """Default-ON gate: shim-build the reference binary when missing so a
+    fresh checkout still runs the strongest correctness check instead of
+    silently skipping it.  Opt out with TPURT_SKIP_REFBUILD=1 (e.g. boxes
+    without /root/reference or a toolchain)."""
+    if os.environ.get("TPURT_SKIP_REFBUILD") == "1":
+        return None
+    if not os.path.isdir("/root/reference/src"):
+        return None
+    try:
+        ncpu = os.cpu_count() or 1
+        subprocess.run(
+            ["make", "-C", os.path.join(REPO, "refbuild"), "patched",
+             f"-j{min(ncpu, 8)}"],
+            check=True, timeout=1800, capture_output=True)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return _find_ref_pbrt()
+
+
+REF_PBRT = _find_ref_pbrt() or _build_ref_pbrt()
 
 pytestmark = pytest.mark.skipif(
     REF_PBRT is None,
-    reason="C++ reference binary not built (make -C refbuild)")
+    reason="C++ reference binary not built and could not be shim-built "
+           "(make -C refbuild; set TPURT_SKIP_REFBUILD=1 to opt out)")
 
 _SCENE = """
 LookAt 0 0 5  0 0 0  0 1 0
@@ -248,3 +269,91 @@ def test_curve_tessellation_error_bound(tmp_path):
     assert abs(cov_t - cov_r) / cov_r < 0.05, (cov_t, cov_r)
     mean_rel = abs(img.mean() - ref.mean()) / ref.mean()
     assert mean_rel < 0.15, f"curve mean off by {mean_rel:.2%}"
+
+
+# ---------------------------------------------------------------------------
+# transport-integrator parity: bdpt / sppm / mlt on a caustic scene
+# (glass sphere over a diffuse floor — the geometry where bidirectional /
+# photon / Metropolis transport differ most from plain path tracing, and
+# where a wrong MIS weight or photon-density estimate shifts the mean
+# far outside the bounds below)
+# ---------------------------------------------------------------------------
+
+_CAUSTIC = """
+LookAt 0 2.2 5  0 -0.3 0  0 1 0
+Camera "perspective" "float fov" [42]
+Film "image" "integer xresolution" [48] "integer yresolution" [48]
+  "string filename" "{out}"
+Sampler "halton" "integer pixelsamples" [{spp}]
+Integrator "{integ}" {iparams}
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [40 40 40]
+  Translate 0 3.5 0.5
+  Shape "sphere" "float radius" [0.4]
+AttributeEnd
+Material "glass"
+AttributeBegin
+  Translate 0 -0.2 0
+  Shape "sphere" "float radius" [0.7]
+AttributeEnd
+Material "matte" "color Kd" [.6 .55 .5]
+Shape "trianglemesh" "point P" [-8 -1 -8  8 -1 -8  8 -1 8  -8 -1 8]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def _caustic_pair(tmp, integ, iparams, spp, tpu_spp=None):
+    import tpurt.io as tio
+    from tpurt.scene import load_scene_string
+    from tpurt.render.driver import render
+
+    out = os.path.join(tmp, integ + "_cpp.exr")
+    scene = os.path.join(tmp, integ + ".pbrt")
+    text = _CAUSTIC.format(out=out, integ=integ, iparams=iparams, spp=spp)
+    with open(scene, "w") as f:
+        f.write(text)
+    subprocess.run([REF_PBRT, "--quiet", scene], cwd=tmp, check=True,
+                   timeout=1200)
+    ref = tio.read_image(out).astype(np.float64)
+    text_t = _CAUSTIC.format(out="x.exr", integ=integ, iparams=iparams,
+                             spp=tpu_spp or spp)
+    img, _ = render(load_scene_string(text_t, base_dir=tmp), progress=False)
+    return np.asarray(img, np.float64), ref
+
+
+@pytest.mark.full
+def test_bdpt_caustic_matches_cpp_binary(tmp_path):
+    """bdpt vs the C++ bdpt (integrators/bdpt.cpp) on the caustic scene.
+    Stochastic parity: different RNG streams, same transport — the means
+    must agree within MC noise."""
+    img, ref = _caustic_pair(str(tmp_path), "bdpt",
+                             '"integer maxdepth" [5]', spp=32)
+    mean_rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert mean_rel < 0.05, f"bdpt caustic mean off by {mean_rel:.2%}"
+
+
+@pytest.mark.full
+def test_sppm_caustic_matches_cpp_binary(tmp_path):
+    """sppm vs the C++ sppm (integrators/sppm.cpp): photon-mapped caustic
+    energy must match within the density-estimate bias at this radius."""
+    img, ref = _caustic_pair(
+        str(tmp_path), "sppm",
+        '"integer numiterations" [8] "float radius" [0.25]', spp=8)
+    mean_rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert mean_rel < 0.10, f"sppm caustic mean off by {mean_rel:.2%}"
+
+
+@pytest.mark.full
+def test_mlt_caustic_matches_cpp_binary(tmp_path):
+    """mlt vs the C++ mlt (integrators/mlt.cpp) on the caustic scene —
+    validates the chains-as-lanes Metropolis design (whole-vector
+    small/large mutations, per-chain-group depth selection) against the
+    reference's Kelemen sampler on the transport it was built for."""
+    img, ref = _caustic_pair(
+        str(tmp_path), "mlt",
+        '"integer maxdepth" [5] "integer mutationsperpixel" [256]',
+        spp=8)
+    mean_rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert mean_rel < 0.10, f"mlt caustic mean off by {mean_rel:.2%}"

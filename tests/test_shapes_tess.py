@@ -103,3 +103,64 @@ def test_nurbs_quarter_cylinder_rational():
     v = recs[0].vertices
     r = np.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2)
     np.testing.assert_allclose(r, 1.0, atol=1e-4)
+
+
+def _subdiv(P, idx, levels):
+    ps = ParamSet()
+    ps.add("integer", "levels", [levels])
+    ps.add("integer", "indices", [int(i) for i in np.asarray(idx).ravel()])
+    ps.add("point", "P", np.asarray(P, np.float64).ravel().tolist())
+    recs = make_shapes("loopsubdiv", Transform(), False, ps)
+    assert len(recs) == 1
+    return recs[0]
+
+
+def test_loopsubdiv_limit_interior_valence4():
+    """Octahedron control mesh at levels=0: every vertex is interior with
+    valence 4, so the limit push is P/2 + ring_sum/8 (weightOneRing with
+    loopGamma(4)=1/8, loopsubdiv.cpp:334-341).  Ring sums are zero by
+    symmetry -> limit vertices are the control points halved."""
+    P = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float64)
+    idx = [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+           [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]]
+    rec = _subdiv(P, idx, levels=0)
+    np.testing.assert_allclose(rec.vertices, 0.5 * P, atol=1e-6)
+    # limit normals are radial by symmetry
+    nrm = rec.normals / np.linalg.norm(rec.normals, axis=-1, keepdims=True)
+    radial = P / np.linalg.norm(P, axis=-1, keepdims=True)
+    dots = np.abs((nrm * radial).sum(-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+def test_loopsubdiv_limit_boundary_rule():
+    """A single triangle is all-boundary (valence 2): limit position is
+    weightBoundary with beta 1/5 -> 0.6*P + 0.2*(n0+n1); the limit
+    normal must match the face plane."""
+    P = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+    rec = _subdiv(P, [[0, 1, 2]], levels=0)
+    want0 = 0.6 * P[0] + 0.2 * (P[1] + P[2])
+    np.testing.assert_allclose(rec.vertices[0], want0, atol=1e-6)
+    nrm = rec.normals / np.linalg.norm(rec.normals, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-6)
+
+
+def test_loopsubdiv_levels_converge():
+    """Subdivided octahedron stays inside the control hull, shrinks
+    toward the limit sphere-like surface, and its vertex count follows
+    the 4-to-1 face split (V' = V + E)."""
+    P = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float64)
+    idx = [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+           [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]]
+    rec = _subdiv(P, idx, levels=2)
+    assert len(rec.vertices) == 6 + 12 + 48  # V + E per level
+    assert len(rec.indices) == 8 * 16
+    r = np.linalg.norm(rec.vertices, axis=-1)
+    assert r.max() <= 1.0 + 1e-6
+    assert r.min() > 0.4
+    # smooth closed surface: every limit normal is unit and outward
+    nrm = rec.normals
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-5)
+    outward = (nrm * rec.vertices).sum(-1) / r
+    assert (np.abs(outward) > 0.8).all()

@@ -171,9 +171,11 @@ def _create_heightfield(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord
 
 
 def _create_loop_subdiv(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:
-    """Loop subdivision surface -> triangle mesh (shapes/loopsubdiv.cpp).
-    Simplified scheme: standard Loop weights on closed meshes, crease-free;
-    boundary vertices use the 1/8,3/4,1/8 boundary rule."""
+    """Loop subdivision surface -> triangle mesh (shapes/loopsubdiv.cpp):
+    ``levels`` rounds of standard Loop weights (boundary rule 1/8,3/4,1/8),
+    then the push to the LIMIT surface (weightOneRing with loopGamma /
+    weightBoundary 1/5, loopsubdiv.cpp:334-341) and analytic limit
+    normals from the cos/sin tangent masks (:345-378)."""
     levels = ps.find_one_int("levels", ps.find_one_int("nlevels", 3))
     indices = ps.find_int_array("indices")
     P = ps.find_point3_array("P")
@@ -184,14 +186,92 @@ def _create_loop_subdiv(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord
     F = np.asarray(indices, dtype=np.int64).reshape(-1, 3)
     for _ in range(levels):
         V, F = _loop_subdivide_once(V, F)
-    # Limit-surface normals via vertex averaging of face normals.
-    fn = np.cross(V[F[:, 1]] - V[F[:, 0]], V[F[:, 2]] - V[F[:, 0]])
-    vn = np.zeros_like(V)
-    for k in range(3):
-        np.add.at(vn, F[:, k], fn)
-    ln = np.linalg.norm(vn, axis=-1, keepdims=True)
-    vn = vn / np.where(ln > 0, ln, 1.0)
+    V, vn = _loop_limit(V, F)
     return _mesh_from_arrays(o2w, V, F, N=vn)
+
+
+def _loop_ordered_rings(V: np.ndarray, F: np.ndarray):
+    """Ordered one-rings per vertex (SDVertex::oneRing semantics):
+    interior rings follow the face winding; boundary rings run from one
+    boundary neighbor to the other in the reference's prev-walk order.
+    Returns (rings, boundary_flags)."""
+    succ = [dict() for _ in range(len(V))]
+    for a, b, c in F:
+        # per face (v, next, prev): the ring successor of prev is next
+        succ[a][c] = b
+        succ[b][a] = c
+        succ[c][b] = a
+    rings, boundary = [], []
+    for v in range(len(V)):
+        s = succ[v]
+        if not s:
+            rings.append([])
+            boundary.append(False)
+            continue
+        starts = set(s.keys()) - set(s.values())
+        if starts:  # boundary vertex: succ chain is a path
+            path = [starts.pop()]
+            while path[-1] in s and len(path) <= len(s):
+                path.append(s[path[-1]])
+            # oneRing walks nextFace to the end then collects prevVerts:
+            # that is the succ path REVERSED
+            rings.append(path[::-1])
+            boundary.append(True)
+        else:  # interior: succ chain is a cycle
+            a0 = next(iter(s))
+            ring = [a0]
+            while s[ring[-1]] != a0 and len(ring) <= len(s):
+                ring.append(s[ring[-1]])
+            rings.append(ring)
+            boundary.append(False)
+    return rings, boundary
+
+
+def _loop_limit(V: np.ndarray, F: np.ndarray):
+    """Push vertices to the Loop limit surface and compute limit normals
+    (loopsubdiv.cpp:334-378; tangents evaluated at the LIMIT positions,
+    matching the reference's update order)."""
+    rings, boundary = _loop_ordered_rings(V, F)
+    Vl = V.copy()
+    for v, ring in enumerate(rings):
+        n = len(ring)
+        if n == 0:
+            continue
+        R = V[np.asarray(ring)]
+        if not boundary[v]:
+            beta = 3.0 / 16.0 if n == 3 else 3.0 / (8.0 * n)
+            gamma = 1.0 / (n + 3.0 / (8.0 * beta))  # loopGamma(:144)
+            Vl[v] = (1 - n * gamma) * V[v] + gamma * R.sum(0)
+        else:
+            Vl[v] = 0.6 * V[v] + 0.2 * (R[0] + R[-1])  # weightBoundary 1/5
+    N = np.zeros_like(V)
+    for v, ring in enumerate(rings):
+        n = len(ring)
+        if n == 0:
+            continue
+        R = Vl[np.asarray(ring)]
+        if not boundary[v]:
+            ang = 2.0 * np.pi * np.arange(n) / n
+            S = (np.cos(ang)[:, None] * R).sum(0)
+            T = (np.sin(ang)[:, None] * R).sum(0)
+        else:
+            S = R[-1] - R[0]
+            if n == 2:
+                T = R[0] + R[1] - 2 * Vl[v]
+            elif n == 3:
+                T = R[1] - Vl[v]
+            elif n == 4:  # regular crease
+                T = -R[0] + 2 * R[1] + 2 * R[2] - R[3] - 2 * Vl[v]
+            else:
+                theta = np.pi / (n - 1)
+                T = np.sin(theta) * (R[0] + R[-1])
+                for k in range(1, n - 1):
+                    T = T + (2 * np.cos(theta) - 2) * np.sin(k * theta) * R[k]
+                T = -T
+        N[v] = np.cross(S, T)
+    ln = np.linalg.norm(N, axis=-1, keepdims=True)
+    N = N / np.where(ln > 0, ln, 1.0)
+    return Vl, N
 
 
 def _loop_subdivide_once(V: np.ndarray, F: np.ndarray):

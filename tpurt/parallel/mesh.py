@@ -34,16 +34,22 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
 
 
 def sharded_render_step(mesh: Mesh, radiance_fn, film, cfg, crop_xy,
-                        axis: str = "rows"):
+                        axis: str = "rows", scatter_film: bool = False):
     """Build the pjit-ed multi-chip render step.
 
     Lanes (px, py, sidx, mask) are sharded over ``axis``; scene tables,
     camera, sampler, and the film state are replicated.  Each device
-    accumulates its shard into a local zero film; the deltas are psummed
-    over ICI and added to the replicated state.
-    """
+    accumulates its shard into a local zero film.
 
-    def _local(scene, camera, smplr, px, py, sidx, mask):
+    scatter_film=False: the deltas are psummed over ICI (film replicated
+    on every device — fine at 700^2, wasteful at 4k).
+    scatter_film=True: the film STATE stays row-sharded across chunks and
+    the merge is a psum_scatter (reduce_scatter over ICI: ~half the
+    traffic of the all-reduce and 1/n the film memory per device); the
+    caller pads film rows to a multiple of the device count and
+    all_gathers once at the end (gather_film_state)."""
+
+    def _local_psum(scene, camera, smplr, px, py, sidx, mask):
         out = radiance_fn(scene, smplr, camera, px, py, sidx, cfg,
                           crop_xy=crop_xy)
         local = film.add_samples(film.initial_state(), out["p_film"],
@@ -54,6 +60,32 @@ def sharded_render_step(mesh: Mesh, radiance_fn, film, cfg, crop_xy,
             splat=jax.lax.psum(local.splat, axis),
         )
 
+    n_dev = mesh.devices.size
+
+    def _local_scatter(scene, camera, smplr, px, py, sidx, mask):
+        out = radiance_fn(scene, smplr, camera, px, py, sidx, cfg,
+                          crop_xy=crop_xy)
+        local = film.add_samples(film.initial_state(), out["p_film"],
+                                 out["L"], out["ray_weight"], mask=mask)
+
+        def pad_rows(a):
+            h = a.shape[0]
+            pad = (-h) % n_dev
+            if pad:
+                a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            return a
+
+        def scatter(a):
+            return jax.lax.psum_scatter(pad_rows(a), axis,
+                                        scatter_dimension=0, tiled=True)
+
+        return FilmState(rgb=scatter(local.rgb),
+                         weight=scatter(local.weight),
+                         splat=scatter(local.splat))
+
+    _local = _local_scatter if scatter_film else _local_psum
+    out_spec = P(axis) if scatter_film else P()
+
     def step(scene, camera, smplr, px, py, sidx, state, mask):
         # check_vma=False: jax 0.9's varying-axes fixpoint mis-promotes the
         # BVH while_loop carries under vmap-in-shard_map (it pvary's
@@ -63,19 +95,25 @@ def sharded_render_step(mesh: Mesh, radiance_fn, film, cfg, crop_xy,
             _local,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=P(),
+            out_specs=jax.tree_util.tree_map(lambda _: out_spec,
+                                             FilmState(0, 0, 0)),
             check_vma=False,
         )(scene, camera, smplr, px, py, sidx, mask)
         return FilmState(rgb=state.rgb + delta.rgb,
                          weight=state.weight + delta.weight,
-                         splat=state.splat)
+                         splat=(state.splat + delta.splat if scatter_film
+                                else state.splat))
 
     return jax.jit(step, donate_argnums=(6,))
 
 
 def render_sharded(sd, mesh: Optional[Mesh] = None, quick: bool = False,
-                   crop_override=None):
-    """Data-parallel render over all local devices (or the given mesh)."""
+                   crop_override=None, scatter_film: bool = True):
+    """Data-parallel render over all local devices (or the given mesh).
+
+    scatter_film=True keeps the film state ROW-SHARDED across chunks
+    (reduce_scatter merge, 1/n film memory per device) and gathers once
+    at the end; False replicates the film and psums every chunk."""
     from tpurt.render.driver import _chunk_lanes, build_job
     from tpurt.render.integrator import RADIANCE_FNS
 
@@ -93,32 +131,63 @@ def render_sharded(sd, mesh: Optional[Mesh] = None, quick: bool = False,
     # chunk divisible by the device count
     chunk = max(n_dev * 8, (min(1 << 20, total) // (n_dev * 8)) * (n_dev * 8))
     step = sharded_render_step(mesh, RADIANCE_FNS[job.cfg.name], film,
-                               job.cfg, (x0, y0), axis)
+                               job.cfg, (x0, y0), axis,
+                               scatter_film=scatter_film)
 
     lane_sh = NamedSharding(mesh, P(axis))
-    state = film.initial_state()
+    state0 = film.initial_state()
+    h = state0.rgb.shape[0]
+    if scatter_film:
+        pad = (-h) % n_dev
+        row_sh = NamedSharding(mesh, P(axis))
+        state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)), row_sh),
+            state0)
+    else:
+        state = state0
     for px, py, sidx, mask in _chunk_lanes(film, spp, chunk):
         args = [jax.device_put(jnp.asarray(a), lane_sh)
                 for a in (px, py, sidx, mask)]
         state = step(job.scene, job.camera, job.sampler,
                      args[0], args[1], args[2], state, args[3])
     jax.block_until_ready(state.rgb)
+    if scatter_film:
+        # one gather at render end (device->host fetch assembles shards)
+        state = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[:h], state)
     return film.to_image(state), job
 
 
 def rpf_filter_sharded(mesh: Mesh, buffer: jnp.ndarray, box_size: int,
                        axis: str = "rows") -> jnp.ndarray:
     """RPF filter with the image rows sharded over the mesh and a halo
-    exchange of box//2 rows between ring neighbors (ppermute over ICI)."""
+    exchange of box//2 rows between ring neighbors (ppermute over ICI).
+
+    Ragged row counts are supported: the buffer is padded to a multiple
+    of the device count, pad rows are masked out of every neighborhood
+    by GLOBAL row validity, and the pad is sliced off the result."""
     from tpurt.rpf.filter import COL, _filter_pixel, SD_LEN
     import math
 
-    h, w, s, _ = buffer.shape
+    h_orig = buffer.shape[0]
     n_dev = mesh.devices.size
-    assert h % n_dev == 0, "image rows must divide the mesh for the rpf pass"
+    row_pad = (-h_orig) % n_dev
+    if row_pad:
+        buffer = jnp.pad(
+            buffer, ((0, row_pad), (0, 0), (0, 0), (0, 0)))
+    h, w, s, _ = buffer.shape
     bd = (box_size - 1) // 2
     k = box_size * box_size * s
     b_max = int(math.floor(math.sqrt(s + k))) + 1
+    hs_static = h // n_dev
+    if bd > hs_static:
+        # halo wider than a shard: fall back to the single-device filter
+        # (tiny shards of a huge box — not a useful sharding anyway)
+        from tpurt.rpf.filter import apply_rpf_filter
+
+        log.warning("rpf_filter_sharded: halo %d > shard rows %d; "
+                    "running unsharded", bd, hs_static)
+        return apply_rpf_filter(buffer, box_size)[:h_orig]
 
     def local(buf_shard, shard_idx):
         # exchange halo rows with ring neighbors
@@ -132,11 +201,10 @@ def rpf_filter_sharded(mesh: Mesh, buffer: jnp.ndarray, box_size: int,
         down = jnp.where(idx == 0, 0.0, down)  # rows above shard 0
         up = jnp.where(idx == n_dev - 1, 0.0, up)  # rows below the last
         ext = jnp.concatenate([down, buf_shard, up], axis=0)
-        valid_rows = jnp.concatenate([
-            jnp.broadcast_to(idx > 0, (bd,)),
-            jnp.ones((hs,), bool),
-            jnp.broadcast_to(idx < n_dev - 1, (bd,)),
-        ])
+        # GLOBAL row index of every ext row -> validity (masks both the
+        # image-boundary halos and the ragged pad rows at the bottom)
+        g_rows = idx * hs + jnp.arange(-bd, hs + bd)
+        valid_rows = (g_rows >= 0) & (g_rows < h_orig)
 
         padded = jnp.pad(ext, ((0, 0), (bd, bd), (0, 0), (0, 0)))
         valid = jnp.pad(
@@ -165,4 +233,5 @@ def rpf_filter_sharded(mesh: Mesh, buffer: jnp.ndarray, box_size: int,
         in_specs=P(axis), out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(fn)(buffer)
+    out = jax.jit(fn)(buffer)
+    return out[:h_orig] if row_pad else out

@@ -38,8 +38,13 @@ from tpurt.render.integrator import (
     _emitted,
     _escape_pdf,
     _escape_radiance,
+    _hg_phase,
+    _hg_sample,
     _infinite_L,
     _lift_illum_maybe,
+    _medium_tr,
+    _sample_medium_distance,
+    _shadow_tr_walk,
     _to_rgb_maybe,
     IntegratorConfig,
     make_shade_ctx,
@@ -78,6 +83,11 @@ class VertexSoA(NamedTuple):
     valid: jnp.ndarray    # (D,N)
     escaped: jnp.ndarray  # (D,N) camera ray escaped to infinite lights
     lrow: jnp.ndarray     # (D,N) light-table row (-1 none)
+    is_medium: jnp.ndarray  # (D,N) phase-function vertex (bdpt.h:197)
+    g: jnp.ndarray        # (D,N) HG asymmetry at medium vertices
+    med: jnp.ndarray      # (D,N) medium id the path ARRIVED in (-1 none);
+                          # connection-ray Tr uses it (single-segment
+                          # approximation, same as volpath's NEE)
     shade: Any            # ShadeCtx, every leaf (D,N,...) — full material
                           # context incl. hair/fourier (no gray fallback)
 
@@ -93,23 +103,37 @@ def _dir_to(a_p, b_p):
     return w / jnp.sqrt(d2)[:, None], d2
 
 
-def _convert_density(pdf_dir, from_p, to_p, to_ng, to_escaped=None):
+def _convert_density(pdf_dir, from_p, to_p, to_ng, to_escaped=None,
+                     to_medium=None):
     """Solid-angle pdf at from -> area density at to
     (Vertex::ConvertDensity, bdpt.h:177; infinite vertices keep the
-    solid-angle measure)."""
+    solid-angle measure; medium vertices drop the |cos| factor —
+    bdpt.h:182 `if (v.IsOnSurface())`)."""
     w, d2 = _dir_to(from_p, to_p)
-    area = pdf_dir * jnp.abs(dot(to_ng, w)) / d2
+    cos = jnp.abs(dot(to_ng, w))
+    if to_medium is not None:
+        cos = jnp.where(to_medium, 1.0, cos)
+    area = pdf_dir * cos / d2
     if to_escaped is None:
         return area
     return jnp.where(to_escaped, pdf_dir, area)
 
 
-def _bsdf_dir(scene, shade, ns, w_out, w_in, want_pdf=False):
-    """Evaluate f (and optionally pdf) at a surface vertex for world
-    directions w_out (toward the previous vertex) and w_in — through the
-    FULL material context (lobe mixture + hair + fourier), like the
-    reference's Vertex::f over ComputeScatteringFunctions output."""
-    return shade_f(scene, shade, ns, w_out, w_in, want_pdf=want_pdf)
+def _vertex_f(scene, v, w_out, w_in, want_pdf=False, has_media=False):
+    """Vertex::f / Vertex::Pdf directional part (bdpt.h:204-234): surface
+    vertices evaluate the FULL material context (lobe mixture + hair +
+    fourier) like the reference's ComputeScatteringFunctions output;
+    medium vertices evaluate the HG phase function (f == pdf).  w_out
+    points toward the previous vertex, w_in toward the connection."""
+    f, pdf = shade_f(scene, v.shade, v.ns, w_out, w_in, want_pdf=True)
+    if has_media:
+        # propagation direction into the vertex = -w_out
+        ph = _hg_phase(dot(-w_out, w_in), v.g)
+        f = jnp.where(v.is_medium[:, None], ph[:, None], f)
+        pdf = jnp.where(v.is_medium, ph, pdf)
+    if want_pdf:
+        return f, pdf
+    return f
 
 
 def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
@@ -122,12 +146,23 @@ def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
     this roughly halves the walk cost vs two sequential n-lane scans.
     Per-half sampler dims stay separate (different dim bases).
 
-    cam/lit: dicts of o, d, beta0, pdf0, alive0, n_steps, dim_base.
+    cam/lit: dicts of o, d, beta0, pdf0, alive0, med0, n_steps, dim_base.
     Returns (cam_verts, lit_verts): per-half (n_steps, N, ...) vertex
     stacks plus per-step reverse-pdf emissions (GenerateCameraSubpath /
-    GenerateLightSubpath -> RandomWalk, bdpt.cpp:69-160)."""
+    GenerateLightSubpath -> RandomWalk, bdpt.cpp:69-160).
+
+    Media (bdpt.cpp:87-99): each step distance-samples the lane's
+    current medium along the segment; a scatter event creates a MEDIUM
+    vertex (Vertex::CreateMedium, bdpt.h:197) whose continuation is an
+    HG phase sample with f == pdf.  Null-material boundaries become
+    delta pass-through vertices that switch the carried medium (the
+    reference's `bounces--` retry does not fit a fixed scan — same
+    documented deviation as volpath).  Dims per bounce: 3 without
+    media, 5 with (+u_channel, +u_distance)."""
     n = px.shape[0]
     has_inf = scene.lights.has_infinite
+    has_media = scene.has_media
+    dpb = 5 if has_media else 3
     is_rad = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(n, bool)])
     c_steps, l_steps = cam["n_steps"], lit["n_steps"]
     n_steps = max(c_steps, l_steps)
@@ -135,7 +170,7 @@ def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
     cat = lambda a, b: jnp.concatenate([a, b], axis=0)
 
     def step(carry, b):
-        o, d, beta, pdf_dir, alive, prev_p = carry
+        o, d, beta, pdf_dir, alive, prev_p, med = carry
         # bound each half to its own walk length
         alive = (alive & (is_rad | (b < l_steps))
                  & (~is_rad | (b < c_steps)))
@@ -144,66 +179,128 @@ def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
         si = compute_interaction(scene.geo, hit, o, d,
                                  tangents=scene.has_tangents, time=time2)
 
-        escaped = (alive & ~si.valid & is_rad if has_inf
-                   else jnp.zeros(2 * n, bool))
-        vvalid = alive & si.valid
-        pdf_fwd = _convert_density(pdf_dir, prev_p, si.p, si.ng)
-        pdf_fwd = jnp.where(escaped, pdf_dir, pdf_fwd)
-
-        shade = make_shade_ctx(scene, si, texture_eval, channels=nch)
-        lrow = jnp.where(vvalid,
-                         scene.lights.prim_to_light[jnp.maximum(si.prim, 0)],
-                         -1)
-
-        dc = cam["dim_base"] + 3 * b
-        dl = lit["dim_base"] + 3 * b
+        dc = cam["dim_base"] + dpb * b
+        dl = lit["dim_base"] + dpb * b
 
         def dim2(off):
             return cat(sampler.dim_dyn(px, py, sidx, dc + off, sctx),
                        sampler.dim_dyn(px, py, sidx, dl + off, sctx))
 
-        u_lobe, u1, u2 = dim2(0), dim2(1), dim2(2)
-        wi, f, pdf, is_spec, is_trans = shade_sample(
-            scene, shade, si.ns, si.wo, u_lobe, u1, u2)
-        _, pdf_rev_dir = shade_f(scene, shade, si.ns, wi, si.wo,
-                                 want_pdf=True)
-        prev_rev_dir = jnp.where(is_spec, 0.0, pdf_rev_dir)
+        if has_media:
+            t_surf = jnp.where(si.valid, hit.t, INF)
+            lane2 = jnp.arange(2 * n, dtype=jnp.uint32)
+            scattered, t_min, thru, g_med = _sample_medium_distance(
+                scene, med, o, d, t_surf, dim2(3), dim2(4), lane2, b, nch)
+            sampled_med = alive & scattered
+            beta = jnp.where((alive & (med >= 0))[:, None],
+                             beta * thru, beta)
+        else:
+            sampled_med = jnp.zeros(2 * n, bool)
+            g_med = jnp.zeros(2 * n, jnp.float32)
 
-        ok = vvalid & (pdf > 0) & jnp.any(f > 0, axis=-1)
+        escaped = (alive & ~si.valid & ~sampled_med & is_rad if has_inf
+                   else jnp.zeros(2 * n, bool))
+        surf_valid = alive & si.valid & ~sampled_med
+        vvalid = surf_valid | sampled_med
+        if has_media:
+            p_v = jnp.where(sampled_med[:, None], o + t_min[:, None] * d,
+                            si.p)
+            pdf_fwd = _convert_density(pdf_dir, prev_p, p_v, si.ng,
+                                       to_medium=sampled_med)
+        else:
+            p_v = si.p
+            pdf_fwd = _convert_density(pdf_dir, prev_p, p_v, si.ng)
+        pdf_fwd = jnp.where(escaped, pdf_dir, pdf_fwd)
+
+        shade = make_shade_ctx(scene, si, texture_eval, channels=nch)
+        lrow = jnp.where(surf_valid,
+                         scene.lights.prim_to_light[jnp.maximum(si.prim, 0)],
+                         -1)
+
+        u_lobe, u1, u2 = dim2(0), dim2(1), dim2(2)
+        wi_s, f, pdf, is_spec, is_trans = shade_sample(
+            scene, shade, si.ns, si.wo, u_lobe, u1, u2)
+        _, pdf_rev_dir = shade_f(scene, shade, si.ns, wi_s, si.wo,
+                                 want_pdf=True)
+
+        ok_surf = surf_valid & (pdf > 0) & jnp.any(f > 0, axis=-1)
+        if has_media:
+            # null-material interface: pass through, switch media, emit a
+            # delta vertex (deviation from RandomWalk's bounces-- retry)
+            any_lobe = jnp.any(shade.lobes.active, axis=-1)
+            if shade.is_hair is not None:
+                any_lobe = any_lobe | shade.is_hair
+            if shade.is_fourier is not None:
+                any_lobe = any_lobe | shade.is_fourier
+            null_b = (surf_valid & ~any_lobe
+                      & ((si.med_in >= 0) | (si.med_out >= 0)))
+            wi_m, ph = _hg_sample(d, g_med, u1, u2)
+            wi = jnp.where(sampled_med[:, None], wi_m,
+                           jnp.where(null_b[:, None], d, wi_s))
+            pdf_cont = jnp.where(sampled_med, ph, pdf)
+            prev_rev_dir = jnp.where(
+                sampled_med, ph,
+                jnp.where(is_spec | null_b, 0.0, pdf_rev_dir))
+            is_delta = (is_spec & surf_valid & ~null_b) | null_b
+        else:
+            null_b = jnp.zeros(2 * n, bool)
+            wi = wi_s
+            pdf_cont = pdf
+            prev_rev_dir = jnp.where(is_spec, 0.0, pdf_rev_dir)
+            is_delta = is_spec & vvalid
+
         # shading-normal correction on the importance half only
-        num = jnp.abs(dot(si.wo, si.ns) * dot(wi, si.ng))
-        den = jnp.abs(dot(si.wo, si.ng) * dot(wi, si.ns))
+        num = jnp.abs(dot(si.wo, si.ns) * dot(wi_s, si.ng))
+        den = jnp.abs(dot(si.wo, si.ng) * dot(wi_s, si.ns))
         corr_imp = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
         corr = jnp.where(is_rad, 1.0, corr_imp)
+        ok_b = ok_surf & ~null_b
         beta_next = jnp.where(
-            ok[:, None],
-            beta * f * (jnp.abs(dot(wi, si.ns)) * corr
+            ok_b[:, None],
+            beta * f * (jnp.abs(dot(wi_s, si.ns)) * corr
                         / jnp.maximum(pdf, 1e-20))[:, None],
-            beta)
+            beta)  # medium scatter: phase f/pdf == 1; null: unchanged
+
+        ok = ok_b | sampled_med | null_b
+        if has_media:
+            # medium handoff: null pass-through and surface transmission
+            entering = dot(d, si.ng) < 0
+            new_med = jnp.where(entering, si.med_in, si.med_out)
+            crossed = null_b | (ok_b & is_trans)
+            med_next = jnp.where(crossed, new_med, med)
+        else:
+            med_next = med
 
         vert = dict(
-            p=jnp.where(escaped[:, None], d, si.p),
-            ng=jnp.where(vvalid[:, None], si.ng, 0.0),
-            ns=jnp.where(vvalid[:, None], si.ns, 0.0),
+            p=jnp.where(escaped[:, None], d, p_v),
+            ng=jnp.where(surf_valid[:, None], si.ng, 0.0),
+            ns=jnp.where(surf_valid[:, None], si.ns, 0.0),
             beta=jnp.where((vvalid | escaped)[:, None], beta, 0.0),
             pdf_fwd=jnp.where(vvalid | escaped, pdf_fwd, 0.0),
-            delta=is_spec & vvalid,
+            delta=is_delta,
             valid=vvalid,
             escaped=escaped,
             lrow=lrow,
+            is_medium=sampled_med,
+            g=g_med,
+            med=med,
             shade=shade,
             prev_rev_dir=prev_rev_dir,
-            prev_rev_from=si.p,
+            prev_rev_from=p_v,
         )
-        carry = (offset_ray_origin(si.p, si.ng, wi), wi, beta_next,
-                 jnp.where(is_spec, 0.0, pdf), ok, si.p)
+        o_next = offset_ray_origin(si.p, si.ng, wi)
+        if has_media:
+            o_next = jnp.where(sampled_med[:, None], p_v, o_next)
+        carry = (o_next, wi, beta_next,
+                 jnp.where(is_delta, 0.0, pdf_cont), ok, p_v, med_next)
         return carry, vert
 
     o0 = cat(cam["o"], lit["o"])
+    med0 = cat(cam["med0"], lit["med0"])
     init = (o0, cat(cam["d"], lit["d"]),
             cat(cam["beta0"], lit["beta0"]),
             cat(cam["pdf0"], lit["pdf0"]),
-            cat(cam["alive0"], lit["alive0"]), o0)
+            cat(cam["alive0"], lit["alive0"]), o0, med0)
     _, verts = jax.lax.scan(step, init,
                             jnp.arange(n_steps, dtype=jnp.int32))
     cam_v = jax.tree_util.tree_map(lambda a: a[:c_steps, :n], verts)
@@ -211,14 +308,15 @@ def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
     return cam_v, lit_v
 
 
-def _assemble(v0: dict, walk: dict, n_steps: int) -> VertexSoA:
+def _assemble(v0: dict, walk: dict, n_steps: int,
+              has_media: bool = False) -> VertexSoA:
     """Stack v0 + walk vertices and wire up pdf_rev: the walk emits, at
     step i, the solid-angle reverse pdf toward vertex i-1; convert with
-    vertex i-1's own position/normal."""
+    vertex i-1's own position/normal (cos dropped at medium vertices)."""
     cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)
     fields = {}
     for k in ("p", "ng", "ns", "beta", "pdf_fwd", "delta", "valid",
-              "escaped", "lrow"):
+              "escaped", "lrow", "is_medium", "g", "med"):
         fields[k] = cat(v0[k], walk[k])
     fields["shade"] = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a[None], b], axis=0),
@@ -233,7 +331,8 @@ def _assemble(v0: dict, walk: dict, n_steps: int) -> VertexSoA:
         # emitted by walk step i (vertex i+1), aimed at vertex i
         rd = walk["prev_rev_dir"][i]
         src = walk["prev_rev_from"][i]
-        rev[i] = _convert_density(rd, src, p[i], ng[i])
+        to_med = fields["is_medium"][i] if has_media else None
+        rev[i] = _convert_density(rd, src, p[i], ng[i], to_medium=to_med)
     fields["pdf_rev"] = jnp.stack(rev, axis=0)
     return VertexSoA(**fields)
 
@@ -258,13 +357,18 @@ def _pdf_light_origin(lt, v_lrow, v_escaped, v_p, w_escape, strategy_pmf):
     return finite
 
 
-def _pdf_light(lt, v_lrow, v_escaped, v_p, v_ng, to_p, to_ng, world_r):
+def _pdf_light(lt, v_lrow, v_escaped, v_p, v_ng, to_p, to_ng, world_r,
+               to_medium=None):
     """Vertex::PdfLight: emission direction density converted to area at
-    the receiver; infinite lights use 1/(pi r^2) (bdpt.h:232)."""
+    the receiver; infinite lights use 1/(pi r^2) (bdpt.h:232); medium
+    receivers drop the |cos| factor."""
     w, d2 = _dir_to(v_p, to_p)
     lrow_c = jnp.maximum(v_lrow, 0)
     _, pdf_dir = pdf_le(lt, lrow_c, v_p, v_ng, w)
-    pdf = pdf_dir / d2 * jnp.abs(dot(to_ng, w))
+    cos = jnp.abs(dot(to_ng, w))
+    if to_medium is not None:
+        cos = jnp.where(to_medium, 1.0, cos)
+    pdf = pdf_dir / d2 * cos
     pdf = jnp.where(v_lrow >= 0, pdf, 0.0)
     inf_pdf = 1.0 / (np.pi * world_r * world_r)
     return jnp.where(v_escaped, inf_pdf, pdf)
@@ -292,6 +396,8 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     max_depth = cfg.max_depth
     t_max_v = max_depth + 2  # camera vertices
     s_max_v = max_depth + 1  # light vertices
+    has_media = scene.has_media
+    dpb = 5 if has_media else 3  # walk dims per bounce (see _random_walk_pair)
     strategy_pmf = lt.power_pmf  # bdpt default lightsamplestrategy "power"
 
     p_film, p_film_crop, p_lens, o, d, ray_w, sctx, l_time = _camera_setup(
@@ -305,15 +411,20 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     _, cam_pdf_dir = camera_pdf_we(camera, d)
     zsh = zero_shade_ctx(scene, n, channels=nch)
     onesc = jnp.ones((n, nch), jnp.float32)
+    med_cam = jnp.full(n, scene.camera_medium, jnp.int32)
+    no_med = jnp.full(n, -1, jnp.int32)
+    zb = jnp.zeros(n, bool)
+    zf = jnp.zeros(n, jnp.float32)
     cam_v0 = dict(
         p=jnp.broadcast_to(cam_o[None, :], (n, 3)),
         ng=jnp.broadcast_to(cam_fwd[None, :], (n, 3)),
         ns=jnp.broadcast_to(cam_fwd[None, :], (n, 3)),
         beta=onesc, pdf_fwd=jnp.ones(n), delta=jnp.zeros(n, bool),
         valid=jnp.ones(n, bool), escaped=jnp.zeros(n, bool),
-        lrow=jnp.full(n, -1, jnp.int32), shade=zsh)
+        lrow=jnp.full(n, -1, jnp.int32),
+        is_medium=zb, g=zf, med=med_cam, shade=zsh)
     # ---- light subpath endpoint ----
-    bl = 5 + 3 * (t_max_v - 1)
+    bl = 5 + dpb * (t_max_v - 1)
     u_choice = sampler.dim(px, py, sidx, bl, sctx)
     u1 = sampler.dim(px, py, sidx, bl + 1, sctx)
     u2 = sampler.dim(px, py, sidx, bl + 2, sctx)
@@ -323,12 +434,15 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     le = sample_le(lt, lidx, u1, u2, u3, u4)
     l_valid = (le.pdf_pos > 0) & (le.pdf_dir > 0) & jnp.any(le.le > 0, -1)
     le_c = _lift_illum_maybe(le.le, nch)
+    # lights share the camera medium (the reference tracks a per-light
+    # mediumInterface.inside; a single ambient medium is the common case
+    # and the wavefront v1 scope — exact for global-fog scenes)
     lit_v0 = dict(
         p=le.p, ng=le.n, ns=le.n,
         beta=le_c / jnp.maximum(le.pdf_pos * lpmf, 1e-20)[:, None],
         pdf_fwd=le.pdf_pos * lpmf, delta=jnp.zeros(n, bool),
         valid=l_valid, escaped=jnp.zeros(n, bool),
-        lrow=lidx, shade=zsh)
+        lrow=lidx, is_medium=zb, g=zf, med=med_cam, shade=zsh)
     beta0 = (le_c * (jnp.abs(dot(le.n, le.d))
                      / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
                                    1e-20))[:, None])
@@ -343,12 +457,13 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         scene, texture_eval, sampler, px, py, sidx, sctx,
         cam=dict(o=o, d=d, beta0=onesc * ray_w[:, None],
                  pdf0=cam_pdf_dir, alive0=jnp.ones(n, bool),
-                 n_steps=t_max_v - 1, dim_base=5),
+                 med0=med_cam, n_steps=t_max_v - 1, dim_base=5),
         lit=dict(o=o_l, d=le.d, beta0=beta0, pdf0=le.pdf_dir,
-                 alive0=l_valid, n_steps=s_max_v - 1, dim_base=bl + 5),
+                 alive0=l_valid, med0=med_cam,
+                 n_steps=s_max_v - 1, dim_base=bl + 5),
         time=l_time, nch=nch)
-    CAM = _assemble(cam_v0, cam_walk, t_max_v - 1)
-    LIT = _assemble(lit_v0, lit_walk, s_max_v - 1)
+    CAM = _assemble(cam_v0, cam_walk, t_max_v - 1, has_media)
+    LIT = _assemble(lit_v0, lit_walk, s_max_v - 1, has_media)
     lit_delta_light = jnp.take(
         (lt.kind != LIGHT_AREA_TRI) & (lt.kind != LIGHT_AREA_SPHERE)
         & (lt.kind != LIGHT_INFINITE), jnp.maximum(lidx, 0))
@@ -397,7 +512,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     L = jnp.zeros((n, 3), jnp.float32)
     splat_p = []
     splat_L = []
-    bc = bl + 5 + 3 * (s_max_v - 1)
+    bc = bl + 5 + dpb * (s_max_v - 1)
     mlt_mode = depth_select is not None
     n_strat = (depth_select + 2) if mlt_mode else 1
 
@@ -424,11 +539,16 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     # (~(maxdepth+2)^2/2 separate n-lane calls otherwise; the gather
     # engine amortizes with batch size and the traversal schedule's
     # fixed costs are paid once).  val is the strategy's full weighted
-    # contribution assuming UNOCCLUDED; occlusion only masks it.
-    pending = []  # (s, t, val, o_sh, d_sh, t_sh, p_raster)
+    # contribution assuming UNOCCLUDED; occlusion only masks it.  In
+    # media scenes the batch also computes each connection segment's
+    # transmittance (ConnectBDPT's vis.Tr / G(), bdpt.cpp:302-571) from
+    # the originating vertex's medium (single-segment approximation
+    # unless null boundaries force the full interface walk).
+    pending = []  # (s, t, val, o_sh, d_sh, t_sh, med, p_raster)
 
-    def deposit_shadowed(s, t, val, o_sh, d_sh, t_sh, p_raster=None):
-        pending.append((s, t, val, o_sh, d_sh, t_sh, p_raster))
+    def deposit_shadowed(s, t, val, o_sh, d_sh, t_sh, med=None,
+                         p_raster=None):
+        pending.append((s, t, val, o_sh, d_sh, t_sh, med, p_raster))
 
     def resolve_pending():
         if not pending:
@@ -438,9 +558,27 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         T = jnp.concatenate([p[5] for p in pending], axis=0)
         tf = (jnp.tile(l_time, len(pending))
               if l_time is not None else None)
-        occ = intersect_any(scene.geo, O, D, T, time=tf)
-        for i, (s, t, val, _, _, _, p_raster) in enumerate(pending):
+        tr = None
+        if has_media:
+            MED = jnp.concatenate(
+                [p[6] if p[6] is not None else jnp.full(n, -1, jnp.int32)
+                 for p in pending], axis=0)
+            lanes = jnp.arange(O.shape[0], dtype=jnp.uint32)
+            zbounce = jnp.zeros(O.shape[0], jnp.int32)
+            if scene.has_null_boundaries:
+                occ, tr = _shadow_tr_walk(scene, O, D, T, MED, lanes,
+                                          zbounce, usable=T > 0, time=tf,
+                                          channels=nch)
+            else:
+                occ = intersect_any(scene.geo, O, D, T, time=tf)
+                tr = _medium_tr(scene, MED, T, O, D, lanes, zbounce,
+                                channels=nch)
+        else:
+            occ = intersect_any(scene.geo, O, D, T, time=tf)
+        for i, (s, t, val, _, _, _, _, p_raster) in enumerate(pending):
             occ_i = occ[i * n:(i + 1) * n]
+            if tr is not None:
+                val = val * tr[i * n:(i + 1) * n]
             deposit(s, t, jnp.where(occ_i[:, None], 0.0, val), p_raster)
 
     def mis_weight_dbg(*a, **k):
@@ -484,8 +622,10 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 else:
                     pt_rev = _pdf_light_origin(lt, pt.lrow, pt.escaped,
                                                pt.p, pt.p, strategy_pmf)
-                    ptm_rev = _pdf_light(lt, pt.lrow, pt.escaped, pt.p,
-                                         pt.ng, ptm.p, ptm.ng, world_r)
+                    ptm_rev = _pdf_light(
+                        lt, pt.lrow, pt.escaped, pt.p, pt.ng, ptm.p,
+                        ptm.ng, world_r,
+                        to_medium=ptm.is_medium if has_media else None)
                     w = mis_weight_dbg(0, t, pt, None, pt_rev, ptm_rev,
                                    None, None)
                 deposit(s, t, jnp.where(usable[:, None],
@@ -504,33 +644,40 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                         [jnp.full(n, 0.5), jnp.full(n, 0.5)], -1))
                 qsm = _v(LIT, s - 2)
                 w_to_prev, _ = _dir_to(qs.p, qsm.p)
-                f_qs = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev, wi)
+                f_qs = _vertex_f(scene, qs, w_to_prev, wi,
+                                 has_media=has_media)
                 # importance-transport shading-normal correction
                 num = jnp.abs(dot(w_to_prev, qs.ns) * dot(wi, qs.ng))
                 den = jnp.abs(dot(w_to_prev, qs.ng) * dot(wi, qs.ns))
                 corr = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+                # surface: |cos(wi, ns)| * correction; medium: neither
+                amp = jnp.abs(dot(wi, qs.ns)) * corr
+                if has_media:
+                    amp = jnp.where(qs.is_medium, 1.0, amp)
                 contrib = (qs.beta * f_qs * we[:, None]
-                           * (jnp.abs(dot(wi, qs.ns)) * corr
-                              / jnp.maximum(pdf_cam, 1e-20))[:, None])
+                           * (amp / jnp.maximum(pdf_cam, 1e-20))[:, None])
                 usable = (ok & (pdf_cam > 0) & (we > 0)
                           & jnp.any(contrib > 0, axis=-1))
                 o_sh = offset_ray_origin(qs.p, qs.ng, wi)
                 dist = jnp.linalg.norm(p_lens_w - o_sh, axis=-1)
                 t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS), 0.0)
                 # MIS: camera side has no interior vertices (t=1)
-                qs_rev = _convert_density(camera_pdf_we(camera, -wi)[1],
-                                          p_lens_w, qs.p, qs.ng)
+                qs_rev = _convert_density(
+                    camera_pdf_we(camera, -wi)[1], p_lens_w, qs.p, qs.ng,
+                    to_medium=qs.is_medium if has_media else None)
                 qsm_rev = None
                 if s > 1:
-                    f2, pdf2 = _bsdf_dir(scene, qs.shade, qs.ns, wi, w_to_prev,
-                                         want_pdf=True)
-                    qsm_rev = _convert_density(pdf2, qs.p, qsm.p, qsm.ng)
+                    f2, pdf2 = _vertex_f(scene, qs, wi, w_to_prev,
+                                         want_pdf=True, has_media=has_media)
+                    qsm_rev = _convert_density(
+                        pdf2, qs.p, qsm.p, qsm.ng,
+                        to_medium=qsm.is_medium if has_media else None)
                 w = mis_weight_dbg(s, 1, None, qs, None, None, qs_rev, qsm_rev)
                 deposit_shadowed(
                     s, t,
                     jnp.where(usable[:, None], contrib * w[:, None], 0.0),
-                    o_sh, wi, t_sh,
-                    p_raster - jnp.asarray(crop_xy, jnp.float32))
+                    o_sh, wi, t_sh, med=qs.med if has_media else None,
+                    p_raster=p_raster - jnp.asarray(crop_xy, jnp.float32))
                 continue
 
             pt = _v(CAM, t - 1)
@@ -548,9 +695,13 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 ls = sample_li(lt, lidx2, pt.p,
                                jnp.stack([ua, ub], axis=-1))
                 w_to_prev, _ = _dir_to(pt.p, ptm.p)
-                f_pt = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev, ls.wi)
+                f_pt = _vertex_f(scene, pt, w_to_prev, ls.wi,
+                                 has_media=has_media)
+                amp = jnp.abs(dot(ls.wi, pt.ns))
+                if has_media:
+                    amp = jnp.where(pt.is_medium, 1.0, amp)
                 contrib = (pt.beta * f_pt * _lift_illum_maybe(ls.li, nch)
-                           * (jnp.abs(dot(ls.wi, pt.ns))
+                           * (amp
                               / jnp.maximum(ls.pdf * pmf2, 1e-20))[:, None])
                 usable = (base_ok & (ls.pdf > 0)
                           & jnp.any(contrib > 0, axis=-1))
@@ -567,16 +718,20 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 pdf_pos_s, _ = pdf_le(lt, jnp.maximum(lidx2, 0),
                                       ls.p_light, n_l, -ls.wi)
                 qs_pdf_fwd = pdf_pos_s * pmf2
+                pt_med = pt.is_medium if has_media else None
+                ptm_med = ptm.is_medium if has_media else None
                 # pt.pdfRev: density of the light generating pt
                 pt_rev = _pdf_light(lt, lidx2, jnp.zeros(n, bool),
-                                    ls.p_light, n_l, pt.p, pt.ng, world_r)
-                # ptm.pdfRev: bsdf at pt toward ptm given incoming wi
-                _, pdf_ptm = _bsdf_dir(scene, pt.shade, pt.ns, ls.wi, w_to_prev,
-                                       want_pdf=True)
-                ptm_rev = _convert_density(pdf_ptm, pt.p, ptm.p, ptm.ng)
+                                    ls.p_light, n_l, pt.p, pt.ng, world_r,
+                                    to_medium=pt_med)
+                # ptm.pdfRev: bsdf/phase at pt toward ptm given incoming wi
+                _, pdf_ptm = _vertex_f(scene, pt, ls.wi, w_to_prev,
+                                       want_pdf=True, has_media=has_media)
+                ptm_rev = _convert_density(pdf_ptm, pt.p, ptm.p, ptm.ng,
+                                           to_medium=ptm_med)
                 # qs.pdfRev: pt generating the light point
-                _, pdf_qs = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev, ls.wi,
-                                      want_pdf=True)
+                _, pdf_qs = _vertex_f(scene, pt, w_to_prev, ls.wi,
+                                      want_pdf=True, has_media=has_media)
                 qs_rev = _convert_density(pdf_qs, pt.p, ls.p_light, n_l)
                 qs_delta_light = ls.is_delta
                 w = mis_weight_dbg(1, t, pt, None, pt_rev, ptm_rev, qs_rev,
@@ -585,7 +740,8 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                 deposit_shadowed(s, t,
                                  jnp.where(usable[:, None],
                                            contrib * w[:, None], 0.0),
-                                 o_sh, ls.wi, t_sh)
+                                 o_sh, ls.wi, t_sh,
+                                 med=pt.med if has_media else None)
                 continue
 
             # ---- general s>=2, t>=2 connection ----
@@ -594,34 +750,50 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             w_c, d2_c = _dir_to(pt.p, qs.p)  # camera vertex -> light vertex
             w_to_prev_c, _ = _dir_to(pt.p, ptm.p)
             w_to_prev_l, _ = _dir_to(qs.p, qsm.p)
-            f_pt = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev_c, w_c)
-            f_qs = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev_l, -w_c)
-            g = (jnp.abs(dot(pt.ns, w_c)) * jnp.abs(dot(qs.ns, w_c))
-                 / d2_c)
+            f_pt = _vertex_f(scene, pt, w_to_prev_c, w_c,
+                             has_media=has_media)
+            f_qs = _vertex_f(scene, qs, w_to_prev_l, -w_c,
+                             has_media=has_media)
+            # G(): cos terms only at surface endpoints (bdpt.cpp:247-253)
+            cos_pt = jnp.abs(dot(pt.ns, w_c))
+            cos_qs = jnp.abs(dot(qs.ns, w_c))
+            if has_media:
+                cos_pt = jnp.where(pt.is_medium, 1.0, cos_pt)
+                cos_qs = jnp.where(qs.is_medium, 1.0, cos_qs)
+            g = cos_pt * cos_qs / d2_c
             contrib = qs.beta * f_qs * f_pt * pt.beta * g[:, None]
             usable = ok & jnp.any(contrib > 0, axis=-1)
             o_sh = offset_ray_origin(pt.p, pt.ng, w_c)
             tgt = offset_ray_origin(qs.p, qs.ng, -w_c)
             dist = jnp.linalg.norm(tgt - o_sh, axis=-1)
             t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS), 0.0)
+            pt_med = pt.is_medium if has_media else None
+            ptm_med = ptm.is_medium if has_media else None
+            qs_med = qs.is_medium if has_media else None
+            qsm_med = qsm.is_medium if has_media else None
             # endpoint pdf overrides
-            _, pdf_a = _bsdf_dir(scene, qs.shade, qs.ns, w_to_prev_l, -w_c,
-                                 want_pdf=True)
-            pt_rev = _convert_density(pdf_a, qs.p, pt.p, pt.ng)
-            _, pdf_b = _bsdf_dir(scene, pt.shade, pt.ns, w_c, w_to_prev_c,
-                                 want_pdf=True)
-            ptm_rev = _convert_density(pdf_b, pt.p, ptm.p, ptm.ng)
-            _, pdf_c = _bsdf_dir(scene, pt.shade, pt.ns, w_to_prev_c, w_c,
-                                 want_pdf=True)
-            qs_rev = _convert_density(pdf_c, pt.p, qs.p, qs.ng)
-            _, pdf_d = _bsdf_dir(scene, qs.shade, qs.ns, -w_c, w_to_prev_l,
-                                 want_pdf=True)
-            qsm_rev = _convert_density(pdf_d, qs.p, qsm.p, qsm.ng)
+            _, pdf_a = _vertex_f(scene, qs, w_to_prev_l, -w_c,
+                                 want_pdf=True, has_media=has_media)
+            pt_rev = _convert_density(pdf_a, qs.p, pt.p, pt.ng,
+                                      to_medium=pt_med)
+            _, pdf_b = _vertex_f(scene, pt, w_c, w_to_prev_c,
+                                 want_pdf=True, has_media=has_media)
+            ptm_rev = _convert_density(pdf_b, pt.p, ptm.p, ptm.ng,
+                                       to_medium=ptm_med)
+            _, pdf_c = _vertex_f(scene, pt, w_to_prev_c, w_c,
+                                 want_pdf=True, has_media=has_media)
+            qs_rev = _convert_density(pdf_c, pt.p, qs.p, qs.ng,
+                                      to_medium=qs_med)
+            _, pdf_d = _vertex_f(scene, qs, -w_c, w_to_prev_l,
+                                 want_pdf=True, has_media=has_media)
+            qsm_rev = _convert_density(pdf_d, qs.p, qsm.p, qsm.ng,
+                                       to_medium=qsm_med)
             w = mis_weight_dbg(s, t, pt, qs, pt_rev, ptm_rev, qs_rev, qsm_rev)
             deposit_shadowed(s, t,
                              jnp.where(usable[:, None],
                                        contrib * w[:, None], 0.0),
-                             o_sh, w_c, t_sh)
+                             o_sh, w_c, t_sh,
+                             med=pt.med if has_media else None)
 
     resolve_pending()
     out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w}

@@ -351,6 +351,59 @@ _RENDER_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _RENDER_CACHE_MAX = 4
 
 
+def _geom_digest(sd: SceneDescription) -> int:
+    """CRC32 over the geometry/material/light CONTENT build_job flattens,
+    so in-place mutation of a cached SceneDescription (procedural
+    animation, material edits) misses the cache instead of silently
+    replaying a stale compiled frame.  ~5 ms on killeroo-scale scenes —
+    noise next to the >1 s flatten it guards."""
+    import zlib
+
+    h = 0
+
+    def u(x):
+        nonlocal h
+        if x is None:
+            h = zlib.crc32(b"-", h)
+        elif isinstance(x, np.ndarray):
+            h = zlib.crc32(np.ascontiguousarray(x), h)
+        else:
+            h = zlib.crc32(repr(x).encode(), h)
+
+    for pr in sd.primitives:
+        sh = pr.shape
+        u(getattr(sh, "kind", type(sh).__name__))
+        for f in ("vertices", "indices", "normals", "uvs", "tangents"):
+            u(getattr(sh, f, None))
+        o2w = getattr(sh, "object_to_world", None)
+        u(o2w.m if o2w is not None else None)
+        for f in ("radius", "z_min", "z_max", "phi_max", "height",
+                  "inner_radius"):
+            u(getattr(sh, f, None))
+        mat = pr.material
+        if mat is not None:
+            u(mat.name)
+            u(sorted((k, repr(v)) for k, v in mat.slots.items()))
+        al = pr.area_light
+        if al is not None:
+            u(al.L)
+            u(al.scale)
+            u((al.n_samples, al.two_sided))
+        u((pr.reverse_orientation, pr.medium_inside, pr.medium_outside,
+           pr.shape_end is not None))
+    for lr in sd.lights:
+        u(lr.kind)
+        u(lr.light_to_world.m if lr.light_to_world is not None else None)
+        u(repr(lr.params._items) if lr.params is not None else None)
+    for name, mr in sorted(sd.media.items()):
+        u(name)
+        u(mr.sigma_a)
+        u(mr.sigma_s)
+        u(mr.g)
+        u(mr.density)
+    return h
+
+
 def _sd_fingerprint(sd: SceneDescription) -> tuple:
     def ps(p):
         return repr(p._items) if p is not None else "-"
@@ -364,7 +417,7 @@ def _sd_fingerprint(sd: SceneDescription) -> tuple:
             sd.transform_times, sd.sampler_name, ps(sd.sampler_params),
             sd.integrator_name, ps(sd.integrator_params),
             sd.accelerator_name, len(sd.primitives), len(sd.lights),
-            len(sd.media), sd.camera_medium)
+            len(sd.media), sd.camera_medium, _geom_digest(sd))
 
 
 def _cached_job_step(sd: SceneDescription, quick, crop_override,

@@ -558,7 +558,12 @@ def _bss_sr_multi(scene, tix, sigma_t, rho3, r):
 BSS_DIMS = 8  # extra sampler dims per bounce when the scene has BSSRDFs
 
 
-_BSS_PROBE_K = 4  # max same-material chain crossings per probe segment
+# Max probe-chain steps per Sample_Sp segment (bssrdf.cpp:294-325 marches
+# unboundedly).  Non-matching hits consume a step too, so the two-sheet
+# geometry (4 same-material crossings + the floor) needs >5; 8 gives
+# margin (measured: 9.2% two-sheet error at K=4 from truncation, <5% at
+# K=8 — tests/test_cpp_parity.py::test_two_sheet_bssrdf_probe_bound).
+_BSS_PROBE_K = 8
 
 
 def _bssrdf_hop(scene: SceneData, si, lobes, t, b, o, d, beta, L, alive,
@@ -766,7 +771,7 @@ def camera_ray_differentials(camera, sampler, p_film, p_lens, l_time, spp):
     dy = jnp.asarray([0.0, 1.0], jnp.float32)
     rx_o, rx_d, _ = camera.generate_rays(p_film + dx, p_lens, l_time)
     ry_o, ry_d, _ = camera.generate_rays(p_film + dy, p_lens, l_time)
-    s = max(0.125, 1.0 / np.sqrt(max(spp, 1)))
+    s = 1.0 / np.sqrt(max(spp, 1))  # no floor: integrator.cpp:285
     return (o + (rx_o - o) * s, d + (rx_d - d) * s,
             o + (ry_o - o) * s, d + (ry_d - d) * s)
 
@@ -1317,6 +1322,51 @@ def _grid_tr(scene: SceneData, med, lane, bounce, o, d, dist, salt: int):
     return tr
 
 
+def _sample_medium_distance(scene: SceneData, med, o, d, t_surf, u_ch,
+                            u_dist, lane, bounce, nch: int,
+                            salt: int = 0x6A1D):
+    """Distance-sample the lane's current medium along [0, t_surf):
+    homogeneous closed-form channel sampling (homogeneous.cpp Sample)
+    with grid delta tracking for grid lanes (grid.cpp:60-96).
+
+    Returns (scattered, t_min, thru, g_med): `scattered` excludes any
+    aliveness mask (caller ANDs it); `t_min` is the vertex distance
+    (scatter point or surface, capped 3.4e37); `thru` is the combined
+    weight beta *= thru for IN-MEDIUM lanes (callers gate on med >= 0);
+    `g_med` the HG asymmetry of the lane's medium."""
+    in_med = med >= 0
+    sig_t = _lift_refl_maybe(scene.med_sigma_t[jnp.maximum(med, 0)], nch)
+    sig_s = _lift_refl_maybe(scene.med_sigma_s[jnp.maximum(med, 0)], nch)
+    g_med = scene.med_g[jnp.maximum(med, 0)]
+    ch = jnp.minimum((u_ch * nch).astype(jnp.int32), nch - 1)
+    sig_ch = jnp.take_along_axis(sig_t, ch[:, None], axis=-1)[:, 0]
+    dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(
+        sig_ch, 1e-20)
+    scattered = in_med & (dist < t_surf) & (sig_ch > 0)
+    t_min = jnp.minimum(jnp.minimum(dist, t_surf), 3.4e37)
+    tr = jnp.exp(-sig_t * t_min[:, None])
+    dens = jnp.where(scattered[:, None], sig_t * tr, tr)
+    pdf_m = jnp.maximum(jnp.mean(dens, axis=-1), 1e-20)
+    thru = jnp.where(scattered[:, None], tr * sig_s, tr) / pdf_m[:, None]
+    if scene.has_grid_media:
+        is_grid = scene.med_is_grid[jnp.maximum(med, 0)]
+        scat_g, t_g, _w_g = _grid_sample_medium(
+            scene, med, lane, bounce, o, d, t_surf, salt=salt)
+        grid_lane = in_med & is_grid
+        scattered = jnp.where(grid_lane, scat_g, scattered)
+        t_min = jnp.where(grid_lane,
+                          jnp.where(scat_g, t_g,
+                                    jnp.minimum(t_surf, 3.4e37)), t_min)
+        # spectral albedo as the PER-BIN ratio of the lifted sigmas (the
+        # lift is linear, the ratio is not — promoting the RGB ratio
+        # biases sampled-spectrum mode); in RGB mode this equals the raw
+        # sigma_s/sigma_t ratio exactly
+        albedo = sig_s / jnp.maximum(sig_t, 1e-20)
+        thru = jnp.where(grid_lane[:, None],
+                         jnp.where(scat_g[:, None], albedo, 1.0), thru)
+    return scattered, t_min, thru, g_med
+
+
 def _medium_tr(scene: SceneData, med, dist, o=None, d=None, lane=None,
                bounce=None, channels: int = 3):
     """Transmittance through the given medium ids over dist: Beer-Lambert
@@ -1491,40 +1541,16 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
 
         d0 = CAMERA_DIMS + bounce * DIMS_PER_BOUNCE_VOL
         # ---- medium sampling (homogeneous.cpp Sample) ----
-        u_ch = sampler.dim_dyn(px, py, sidx, d0, sctx)
-        u_dist = sampler.dim_dyn(px, py, sidx, d0 + 1, sctx)
-        in_med = med >= 0
         # sampled mode: sigma promote through the parse-time reflectance
         # basis, and the distance-sampling channel draws over all bins
         # (homogeneous.cpp Sample picks channel in [0, Spectrum::nSamples))
-        sig_t = _lift_refl_maybe(scene.med_sigma_t[jnp.maximum(med, 0)], nch)
-        sig_s = _lift_refl_maybe(scene.med_sigma_s[jnp.maximum(med, 0)], nch)
-        g_med = scene.med_g[jnp.maximum(med, 0)]
-        ch = jnp.minimum((u_ch * nch).astype(jnp.int32), nch - 1)
-        sig_ch = jnp.take_along_axis(sig_t, ch[:, None], axis=-1)[:, 0]
-        dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / jnp.maximum(
-            sig_ch, 1e-20)
-        sampled_med = alive & in_med & (dist < t_surf) & (sig_ch > 0)
-        t_min = jnp.minimum(jnp.minimum(dist, t_surf), 3.4e37)
-        tr = jnp.exp(-sig_t * t_min[:, None])
-        dens = jnp.where(sampled_med[:, None], sig_t * tr, tr)
-        pdf_m = jnp.maximum(jnp.mean(dens, axis=-1), 1e-20)
-        thru = jnp.where(sampled_med[:, None], tr * sig_s, tr) / pdf_m[:, None]
-        if scene.has_grid_media:
-            # grid lanes use delta tracking instead of the closed form
-            lane = jnp.arange(n, dtype=jnp.uint32)
-            is_grid = scene.med_is_grid[jnp.maximum(med, 0)]
-            scat_g, t_g, w_g = _grid_sample_medium(
-                scene, med, lane, bounce, o, d, t_surf, salt=0x6A1D)
-            grid_lane = in_med & is_grid
-            sampled_med = jnp.where(grid_lane, alive & scat_g, sampled_med)
-            t_min = jnp.where(grid_lane,
-                              jnp.where(scat_g, t_g,
-                                        jnp.minimum(t_surf, 3.4e37)), t_min)
-            # w_g is the sigma_s/sigma_t albedo ratio: promote raw (the
-            # parse-time 0.94 scales cancel in the ratio)
-            thru = jnp.where(grid_lane[:, None], _lift_f_maybe(w_g, nch),
-                             thru)
+        u_ch = sampler.dim_dyn(px, py, sidx, d0, sctx)
+        u_dist = sampler.dim_dyn(px, py, sidx, d0 + 1, sctx)
+        in_med = med >= 0
+        scattered, t_min, thru, g_med = _sample_medium_distance(
+            scene, med, o, d, t_surf, u_ch, u_dist,
+            jnp.arange(n, dtype=jnp.uint32), bounce, nch)
+        sampled_med = alive & scattered
         beta = jnp.where((alive & in_med)[:, None], beta * thru, beta)
 
         # ---- emitted at surfaces (only when the surface was reached) ----

@@ -341,7 +341,16 @@ def _disc_compensated(a, b, c):
     s = p1 - p2
     bb = s - p1  # Knuth two-sum error term for p1 + (-p2)
     err = (p1 - (s - bb)) + ((-p2) - bb)
-    return s + (err + (e1 - e2))
+    comp = s + (err + (e1 - e2))
+    # the Veltkamp split's 4097*x overflows to inf past ~8.3e34 and the
+    # compensation turns into inf-inf NaN, flipping grazing hits into
+    # silent misses; magnitudes that large (|x| > 8e34 in b, 4a, or c)
+    # only arise from enormous world coordinates where 24-bit precision
+    # is the best available anyway — fall back to the plain f32 form
+    thr = jnp.float32(8.0e34)
+    huge = ((jnp.abs(b) > thr) | (jnp.abs(4.0 * a) > thr)
+            | (jnp.abs(c) > thr))
+    return jnp.where(huge, b * b - 4.0 * a * c, comp)
 
 
 def _quadratic(a, b, c):

@@ -64,12 +64,14 @@ from tpurt.pytrees import register_static_pytree  # noqa: E402
 register_static_pytree(VectorSampler, ["X"])
 
 
-def n_dims_for(max_depth: int) -> int:
-    """Length of bdpt's static dimension schedule + 1 strategy-select dim."""
+def n_dims_for(max_depth: int, has_media: bool = False) -> int:
+    """Length of bdpt's static dimension schedule + 1 strategy-select dim.
+    Media scenes use 5 walk dims per bounce (+channel/+distance)."""
+    dpb = 5 if has_media else 3
     t_max_v = max_depth + 2
     s_max_v = max_depth + 1
-    bl = 5 + 3 * (t_max_v - 1)
-    bc = bl + 5 + 3 * (s_max_v - 1)
+    bl = 5 + dpb * (t_max_v - 1)
+    bc = bl + 5 + dpb * (s_max_v - 1)
     return bc + 3 * (t_max_v - 1) + 1
 
 
@@ -141,7 +143,7 @@ def render_mlt(sd, quick: bool = False, crop_override=None,
         mpp = max(1, mpp // 16)
     film = job.film
     scene, camera = job.scene, job.camera
-    dims = n_dims_for(max_depth)
+    dims = n_dims_for(max_depth, has_media=scene.has_media)
     depths = list(range(max_depth + 1))
 
     evals = {d: jax.jit(make_mlt_eval(job, d)) for d in depths}

@@ -194,10 +194,17 @@ def _trilinear_sample(filename: str, gamma: bool, u, v, width, wrap: str):
     return s0 * (1 - dl)[:, None] + s1 * dl[:, None]
 
 
-_EWA_MAX_ANISO = 4.0  # mipmap.h default is 8; clamped harder so the
-# static tap window below covers the ellipse (quality degrades gracefully
-# past it — the ellipse is truncated, not mis-weighted)
-_EWA_TAPS = 9  # static (taps x taps) gather window per level
+# Static (taps x taps) gather window per level, with the max anisotropy
+# chosen so the window PROVABLY bounds the clamped ellipse: the level
+# choice puts the minor axis in [1, 2) texels at the floor level, so the
+# major half-axis is < 2 * MAX_ANISO texels, and the EWA +1-texel
+# widening makes the worst-case half-extent sqrt((2*aniso)^2 + 1).
+# TAPS//2 >= that requires aniso <= sqrt((TAPS//2)^2 - 1)/2 = 2.96 for
+# 13 taps — no silent filter truncation (mipmap.h's dynamic loop can't
+# be expressed with static shapes; we trade its aniso-8 ceiling for a
+# provable window instead of renormalizing away a clipped ellipse).
+_EWA_MAX_ANISO = 2.9
+_EWA_TAPS = 13
 
 
 def _ewa_level(filename: str, gamma: bool, u, v, dst0, dst1, li, wrap: str):
@@ -427,6 +434,8 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
                          jnp.zeros_like(u)], axis=-1)
         return as_out(rgb)
     if name == "checkerboard":
+        tex1 = _eval_slot(prm["tex1"], si, want3)
+        tex2 = _eval_slot(prm["tex2"], si, want3)
         if prm["dimension"] == 2:
             u, v = _apply_mapping2d(prm["mapping"], si)
             even = (jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2 == 0
@@ -434,10 +443,50 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
             p = _tex_p(rec, si)
             even = (jnp.floor(p[:, 0]) + jnp.floor(p[:, 1])
                     + jnp.floor(p[:, 2])).astype(jnp.int32) % 2 == 0
-        t1 = _eval_slot(prm["tex1"], si, want3)
-        t2 = _eval_slot(prm["tex2"], si, want3)
         m = even[:, None] if want3 else even
-        return jnp.where(m, t1, t2)
+        point = jnp.where(m, tex1, tex2)
+        have_diff = (getattr(si, "tex_dst0", None) is not None
+                     or getattr(si, "tex_wu", None) is not None)
+        if (prm["dimension"] == 2 and have_diff
+                and prm.get("aamode", "closedform") == "closedform"):
+            # Closed-form box-filtered checker (checkerboard.cpp:101-140):
+            # filter extent (ds, dt) in checker uv; if it spans a check
+            # boundary, blend tex1/tex2 by the box-filtered area of the
+            # step function via its integral bumpInt.
+            mp = prm["mapping"]
+            if mp.get("type", "uv") == "uv":
+                su_s = abs(mp.get("uscale", 1.0))
+                sv_s = abs(mp.get("vscale", 1.0))
+            else:
+                su_s = sv_s = 1.0  # tex_dst covers the uv mapping only
+            if getattr(si, "tex_dst0", None) is not None:
+                ds = jnp.maximum(jnp.abs(si.tex_dst0[:, 0]),
+                                 jnp.abs(si.tex_dst1[:, 0])) * su_s
+                dt_ = jnp.maximum(jnp.abs(si.tex_dst0[:, 1]),
+                                  jnp.abs(si.tex_dst1[:, 1])) * sv_s
+            else:
+                ds = si.tex_wu * su_s
+                dt_ = si.tex_wv * sv_s
+            ds = jnp.maximum(ds, 1e-8)
+            dt_ = jnp.maximum(dt_, 1e-8)
+            s_lo, s_hi = u - ds, u + ds
+            t_lo, t_hi = v - dt_, v + dt_
+            one_check = ((jnp.floor(s_lo) == jnp.floor(s_hi))
+                         & (jnp.floor(t_lo) == jnp.floor(t_hi)))
+
+            def bump_int(x):
+                return (jnp.floor(x / 2) + 2 * jnp.maximum(
+                    x / 2 - jnp.floor(x / 2) - 0.5, 0.0))
+
+            sint = (bump_int(s_hi) - bump_int(s_lo)) / (2 * ds)
+            tint = (bump_int(t_hi) - bump_int(t_lo)) / (2 * dt_)
+            area2 = sint + tint - 2 * sint * tint
+            area2 = jnp.where((ds > 1) | (dt_ > 1), 0.5, area2)
+            a = area2[:, None] if want3 else area2
+            filtered = tex1 * (1 - a) + tex2 * a
+            oc = one_check[:, None] if want3 else one_check
+            return jnp.where(oc, point, filtered)
+        return point
     if name == "dots":
         u, v = _apply_mapping2d(prm["mapping"], si)
         # pbrt's dots: per-cell noise decides presence + center
