@@ -58,8 +58,25 @@ def main(src_path: str, dst_path: str) -> None:
     src = src.replace(
         "W_r_ck[i] = D_r_ck[i] / (D_r_ck[i] + D_p_ck[i]);",
         "W_r_ck[i] = D_r_ck[i] / std::max(D_r_ck[i] + D_p_ck[i], 1e-12);")
+    # measurement-harness convenience: the multi-scale box schedule is a
+    # compile-time constant in the reference (rpf.cpp:767, the {55,35,17,7}
+    # list is commented out there) — let BASELINE config 3 select it via
+    # RPF_BOX_SIZES=55,35,17,7 without another binary
+    src = src.replace(
+        "std::vector<int> box_sizes = {7};",
+        """std::vector<int> box_sizes = {7};
+    if (const char *bs_env = std::getenv("RPF_BOX_SIZES")) {
+      box_sizes.clear();
+      std::stringstream bs_ss(bs_env);
+      std::string tok;
+      while (std::getline(bs_ss, tok, ',')) box_sizes.push_back(std::stoi(tok));
+    }""", 1)
+    src = src.replace(
+        '#include <algorithm>',
+        '#include <algorithm>\n#include <cstdlib>\n#include <sstream>', 1)
     assert src.count("D_c_fk_fix") == 4, "patch anchors not found"
     assert src.count("std::max(D_") == 3, "division guards not applied"
+    assert src.count("RPF_BOX_SIZES") == 1, "box-size env hook not applied"
     assert len(src) > n0
     open(dst_path, "w").write(src)
     print(f"patched rpf.cpp -> {dst_path}")

@@ -43,8 +43,11 @@ def _build_ref_pbrt():
         return None
     try:
         ncpu = os.cpu_count() or 1
+        # `all` = stock bin/pbrt (what _find_ref_pbrt looks for) + imgtool;
+        # `patched` = bin/pbrt-patched (NaN-guarded RPF) — build both, or
+        # the gate silently keeps skipping with only pbrt-patched on disk
         subprocess.run(
-            ["make", "-C", os.path.join(REPO, "refbuild"), "patched",
+            ["make", "-C", os.path.join(REPO, "refbuild"), "all", "patched",
              f"-j{min(ncpu, 8)}"],
             check=True, timeout=1800, capture_output=True)
     except (subprocess.SubprocessError, OSError):

@@ -156,3 +156,82 @@ def test_filter_preserves_feature_edges():
     right_cols = out[:, w // 2 + 1:, :, 2:5]
     assert left_cols.max() < 1.0, left_cols.max()  # no bleed from the right
     assert right_cols.min() > 9.0, right_cols.min()
+
+
+@pytest.mark.parametrize("fname,radius,params", [
+    ("box", (0.5, 0.5), ()),
+    ("gaussian", (2.0, 2.0), (2.0,)),
+    ("mitchell", (2.0, 2.0), (1 / 3, 1 / 3)),
+])
+def test_structured_splat_matches_scatter(fname, radius, params):
+    """splat_buffer's dense shifted-add formulation must reproduce the
+    generic film.add_samples scatter path (same tap set, bounds drops,
+    NaN scrub, maxsampleluminance clamp)."""
+    from types import SimpleNamespace
+
+    from tpurt.render.film import Film
+    from tpurt.render.filters import Filter
+    from tpurt.rpf.driver import splat_buffer
+
+    rng = np.random.default_rng(11)
+    h, w, s = 9, 13, 4
+    film = Film(full_x=w, full_y=h, crop=(0, w, 0, h),
+                filter=Filter(fname, radius, params), filename="t.exr",
+                scale=1.0, diagonal_m=0.035, max_sample_luminance=3.0)
+    buf = np.zeros((h, w, s, 19), np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    buf[..., 0] = xx[..., None] + rng.uniform(0, 1, (h, w, s))
+    buf[..., 1] = yy[..., None] + rng.uniform(0, 1, (h, w, s))
+    buf[..., 2:5] = rng.uniform(0, 2, (h, w, s, 3))
+    buf[0, 0, 0, 2] = np.nan          # NaN scrub path
+    buf[1, 2, 1, 3] = np.inf          # inf scrub path
+    buf[2, 3, 2, 2:5] = 50.0          # luminance-clamp path
+
+    got = splat_buffer(SimpleNamespace(film=film), jnp.asarray(buf))
+
+    flat = buf.reshape(-1, 19)
+    state = film.add_samples(film.initial_state(),
+                             jnp.asarray(flat[:, 0:2]),
+                             jnp.asarray(flat[:, 2:5]),
+                             jnp.ones(flat.shape[0], jnp.float32))
+    want = film.to_image(state)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_mi_cap_subset_path(monkeypatch):
+    """The MI-subset path for big boxes (full box-55 window would be a
+    100+ MB/pixel one-hot; 26 GB OOM on v5e round 3).  Exercised here by
+    lowering the cap so box 11 triggers it (a real box-55 compile takes
+    minutes on the CPU backend; bench config3 covers it on chip).
+    Output must stay finite and still denoise toward the pixel mean."""
+    import tpurt.rpf.filter as F
+
+    monkeypatch.setattr(F, "MI_MAX_SAMPLES", 64)
+    F._filter_run_call.cache_clear()
+    rng = np.random.default_rng(4)  # test_filter_denoises' construction
+    h, w, s = 10, 10, 4
+    buf = np.zeros((h, w, s, 19), np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    buf[..., 0] = xx[..., None] + rng.uniform(0, 1, (h, w, s))
+    buf[..., 1] = yy[..., None] + rng.uniform(0, 1, (h, w, s))
+    r = rng.uniform(0, 1, (h, w, s, 2)).astype(np.float32)
+    buf[..., 5:7] = r
+    # color noise driven by the random lens parameter -> RPF removes it
+    buf[..., 2:5] = 1.0 + 0.8 * np.sin(2 * np.pi * r[..., :1]) \
+        + 0.2 * np.cos(2 * np.pi * r[..., 1:2])
+    # near-constant features (EXACTLY constant would zero the pixel
+    # f_std and the STRICT 3-sigma test would reject every neighbor)
+    buf[..., 7:19] = 1.0 + 1e-4 * rng.standard_normal((h, w, s, 12))
+
+    assert s + 11 * 11 * s > 64  # the lowered cap is actually hit
+    try:
+        out = np.asarray(F.apply_rpf_filter(jnp.asarray(buf), 11))
+    finally:
+        F._filter_run_call.cache_clear()  # drop the capped build
+    assert np.isfinite(out).all()
+    # gentle-smoothing contract, like test_filter_denoises_random_param
+    # _noise: variance drops, mean preserved, colors actually moved
+    assert out[..., 2:5].var() < buf[..., 2:5].var()
+    np.testing.assert_allclose(out[..., 2:5].mean(), buf[..., 2:5].mean(),
+                               rtol=0.05)
+    assert np.abs(out[..., 2:5] - buf[..., 2:5]).max() > 1e-4

@@ -15,10 +15,10 @@ run() {
 }
 
 run bench_headline python bench.py
-run probe4_sched python tools/perf_probe4.py
-run probe8_fused python tools/perf_probe8.py
-run probe7_shading python tools/perf_probe7.py
-run probe6_chunk18 python tools/perf_probe6.py --chunk-log2 18
-run probe4_wide16 env TPURT_BVH_WIDTH=16 python tools/perf_probe4.py
+run probe_depth python tools/probe.py depth
+run probe_fused python tools/probe.py fused
+run probe_shading python tools/probe.py shading
+run probe_driver18 python tools/probe.py driver --chunk-log2 18
+run probe_rpf_filter python tools/probe.py rpf-filter
 run bench_configs python bench.py --no-rpf --configs 3,4,5
 echo "=== batch done ==="

@@ -23,12 +23,13 @@ class Config:
     # jax.config.update("jax_enable_x64", True) before any tracing.
     dtype: str = "float32"
 
-    # Number of rays processed per wavefront megabatch.  2^17 is the
-    # wide-BVH traversal sweet spot (measured: 2.6 Mrays/s closest-hit at
-    # 2^17 vs 2.0 at 2^15/2^18) and one full render step stays well under
-    # the TPU execution watchdog (~30 s) — the axon tunnel kills longer
-    # device calls.  At 700x700x8spp the frame streams in ~30 chunks.
-    wavefront_size: int = 1 << 17
+    # Number of rays processed per wavefront megabatch.  Round-3 on-chip
+    # A/B (tools/tpu_batch.sh probe6): 2^18 renders killeroo in 8.0 s
+    # pipelined vs 9.3+ s at 2^17 — the bigger batch amortizes the
+    # per-call schedule overhead and the gather engine keeps scaling.
+    # One md=5 step at 2^18 is ~650 ms, well under the ~30 s axon
+    # watchdog that kills long device calls.
+    wavefront_size: int = 1 << 18
 
     # BVH build options (reference: bvh.cpp:740-760 CreateBVHAccelerator).
     bvh_max_prims_per_leaf: int = 4
@@ -73,10 +74,12 @@ class Config:
 
     # Fuse each bounce's NEE shadow ray with the next bounce's closest
     # ray into ONE mixed traversal (per-lane any-hit).  Bit-identical
-    # results; halves traversal calls per bounce and doubles the gather
-    # batch.  Off = separate intersect_closest + intersect_any calls
-    # (the A/B baseline).
-    fuse_shadow_rays: bool = True
+    # results either way (pinned by test); round-3 on-chip A/B (probe8):
+    # the fused 2n-lane mixed traversal measures 0.83x the separate
+    # closest+any calls (73.5 ms vs 61.1 ms at 2^17) — the any-hit rays
+    # terminate much earlier, and fusing them into the closest-hit loop
+    # makes them pay its full step count.  Default OFF.
+    fuse_shadow_rays: bool = False
 
     # Imagemap filtering mode: "ewa" attaches true camera-ray
     # differentials and filters anisotropically (mipmap.h EWA);

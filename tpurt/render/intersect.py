@@ -667,7 +667,7 @@ def _box8_test(rec, o, inv_d, t_max):
 # Traversal schedule: full-width lockstep steps while more than
 # n/COMPACT_DIV lanes are live, then ONE compaction of the survivors
 # run to completion at n/COMPACT_DIV width.  Chosen by the in-jit
-# schedule shootout (tools/perf_probe5.py, killeroo center-chunk
+# schedule shootout (tools/probe.py schedule, killeroo center-chunk
 # shuffled primaries, 2^17 lanes, dispatch excluded):
 #   fixed phase-1 + rung ladder (round-2 prod)  100.2 ms (1328 trips)
 #   full-width to completion                     73.4 ms (48 trips)
@@ -857,7 +857,7 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
         return t, prim, b0, b1
 
     # Occupancy-driven two-phase schedule (replaces the round-2 fixed
-    # phase-1 + compaction ladder; see tools/perf_probe5.py).  Measured
+    # phase-1 + compaction ladder; see tools/probe.py schedule).  Measured
     # in-jit on killeroo center-chunk shuffled primaries at 2^17 lanes
     # (excluding the ~27 ms tunnel dispatch): the old ladder cost 100 ms
     # (its run-to-completion tail looped an n/64-wide compact_run inside

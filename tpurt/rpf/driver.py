@@ -109,20 +109,70 @@ def visualize_sf(buffer: np.ndarray, filename: str) -> None:
 
 def splat_buffer(job, buffer: jnp.ndarray):
     """Splat (filtered) samples to the film through the reconstruction
-    filter (rpf.cpp:779-794 uses FilmTile::AddSample over the full bounds)."""
+    filter (rpf.cpp:779-794 uses FilmTile::AddSample over the full bounds).
+
+    The buffer is PIXEL-MAJOR: sample (y, x, s) was generated inside pixel
+    (y, x), so its filter stamp can only land on pixels within
+    R = ceil(r + 0.5) of its own.  That turns the generic scatter-add
+    (film.add_samples — measured 3.8 s of the 18.8 s RPF frame on the v5e:
+    TPU scatters serialize) into (2R+1)^2 DENSE shifted adds: for each
+    window offset, evaluate the filter at every sample, reduce over spp,
+    and add the (H, W, 3) plane into the film at that offset.  Matches
+    film.add_samples' tap-window semantics exactly (same ceil(dx-r)+i tap
+    set, same bounds drops, same maxsampleluminance clamp)."""
     film = job.film
     h, w, s, _ = buffer.shape
-    flat = buffer.reshape(-1, SD_LEN)
+    rx, ry = film.filter.radius
+    kx = max(1, int(np.ceil(2 * rx - 1e-6)))
+    ky = max(1, int(np.ceil(2 * ry - 1e-6)))
+    # dx in [X-0.5, X+0.5) and taps ceil(dx-r)+i (i<kx) bound the stamp to
+    # own-pixel +/- ceil(r + 0.5) columns (see bound proof in test_rpf.py)
+    Rx = int(np.ceil(rx + 0.5))
+    Ry = int(np.ceil(ry + 0.5))
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def add(rows, state):
-        return film.add_samples(state, rows[:, 0:2], rows[:, 2:5],
-                                jnp.ones(rows.shape[0], jnp.float32))
+    @jax.jit
+    def splat(buf):
+        dx = buf[..., 0] - 0.5  # (H, W, S) continuous raster coords
+        dy = buf[..., 1] - 0.5
+        L = jnp.nan_to_num(buf[..., COL], nan=0.0, posinf=0.0, neginf=0.0)
+        if np.isfinite(film.max_sample_luminance):
+            y = (0.212671 * L[..., 0] + 0.715160 * L[..., 1]
+                 + 0.072169 * L[..., 2])
+            sc = jnp.where(y > film.max_sample_luminance,
+                           film.max_sample_luminance / jnp.maximum(y, 1e-20),
+                           1.0)
+            L = L * sc[..., None]
+        finite = jnp.isfinite(dx) & jnp.isfinite(dy)
+        x0 = jnp.ceil(dx - rx).astype(jnp.int32)
+        y0 = jnp.ceil(dy - ry).astype(jnp.int32)
+        X = jnp.arange(w, dtype=jnp.int32)[None, :, None]
+        Y = jnp.arange(h, dtype=jnp.int32)[:, None, None]
+        rgb = jnp.zeros((h, w, 3), jnp.float32)
+        wsum = jnp.zeros((h, w), jnp.float32)
+        for dj in range(-Ry, Ry + 1):
+            for di in range(-Rx, Rx + 1):
+                px = X + di
+                py = Y + dj
+                fw = film.filter.evaluate(px.astype(jnp.float32) - dx,
+                                          py.astype(jnp.float32) - dy)
+                intap = ((px >= x0) & (px < x0 + kx)
+                         & (py >= y0) & (py < y0 + ky) & finite)
+                fwm = jnp.where(intap, fw, 0.0)  # (H, W, S)
+                c = jnp.sum(L * fwm[..., None], axis=2)  # (H, W, 3)
+                ws = jnp.sum(fwm, axis=2)
+                a0, a1 = max(0, dj), h + min(0, dj)
+                b0, b1 = max(0, di), w + min(0, di)
+                rgb = rgb.at[a0:a1, b0:b1].add(
+                    c[a0 - dj:a1 - dj, b0 - di:b1 - di])
+                wsum = wsum.at[a0:a1, b0:b1].add(
+                    ws[a0 - dj:a1 - dj, b0 - di:b1 - di])
+        return rgb, wsum
 
-    state = film.initial_state()
-    chunk = 1 << 20
-    for start in range(0, flat.shape[0], chunk):
-        state = add(jnp.asarray(flat[start:start + chunk]), state)
+    rgb, wsum = splat(buffer)
+    from tpurt.render.film import FilmState
+
+    state = FilmState(rgb=rgb, weight=wsum,
+                      splat=jnp.zeros((h, w, 3), jnp.float32))
     return film.to_image(state)
 
 

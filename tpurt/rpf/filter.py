@@ -119,16 +119,32 @@ def _mutual_information(cols, mask, n, bins, b_max):
 
     hist = jnp.sum(onehot.astype(jnp.float32), axis=0)  # (19, B) marginals
 
-    # ALL 19x19 joint histograms as ONE matmul over the (19*B) axis — an
+    # Joint histograms as TWO rectangular matmuls over the bin axis — an
     # MXU-shaped contraction; per-pair gathers would materialize a
-    # (pixels, 96, B, N) tensor (measured 12 GB at a 4096-pixel chunk).
-    flat = onehot.reshape(onehot.shape[0], -1)  # (N, 19*B)
-    joint_all = jnp.dot(flat.T, flat,
-                        preferred_element_type=jnp.float32)
-    joint_all = joint_all.reshape(19, b_max, 19, b_max)
+    # (pixels, 96, B, N) tensor (measured 12 GB at a 4096-pixel chunk),
+    # and the full 19x19 joint computes 361 pairs where only 96 are used
+    # (3.8x the MACs).  The 96 _PAIRS factor exactly as
+    # (c u f) x (r u p)  [60 pairs]  +  c x f  [36 pairs].
+    n_rows = onehot.shape[0]
+    cf = onehot[:, 2:19]  # colors + features (17 cols)
+    rp = onehot[:, (0, 1, 5, 6)]  # pFilm + pLens, the random params (4)
+    joint1 = jnp.dot(cf.reshape(n_rows, -1).T, rp.reshape(n_rows, -1),
+                     preferred_element_type=jnp.float32
+                     ).reshape(17, b_max, 4, b_max)
+    joint2 = jnp.dot(onehot[:, 2:5].reshape(n_rows, -1).T,
+                     onehot[:, 7:19].reshape(n_rows, -1),
+                     preferred_element_type=jnp.float32
+                     ).reshape(3, b_max, 12, b_max)
     a_idx = jnp.asarray(_PAIRS[:, 0])
     b_idx = jnp.asarray(_PAIRS[:, 1])
-    joint = joint_all[a_idx, :, b_idx, :]  # (96, B, B)
+    rp_map = np.full(19, -1, np.int32)
+    rp_map[[0, 1, 5, 6]] = [0, 1, 2, 3]
+    j1 = joint1[jnp.clip(a_idx - 2, 0, 16), :,
+                jnp.asarray(rp_map)[jnp.clip(b_idx, 0, 18)], :]
+    j2 = joint2[jnp.clip(a_idx - 2, 0, 2), :,
+                jnp.clip(b_idx - 7, 0, 11), :]
+    is_cf = jnp.asarray(_PAIRS[:, 1] >= 7)  # (c, f) pairs live in joint2
+    joint = jnp.where(is_cf[:, None, None], j2, j1)  # (96, B, B)
 
     total = jnp.maximum(n.astype(jnp.float32), 1.0)
     p_xy = joint / total
@@ -171,12 +187,23 @@ def _cf_weights(mi):
     return alpha_k, beta_k, w_r_c
 
 
-def _filter_pixel(own, window, window_valid, window_center, box_size, b_max):
+def _filter_pixel(own, window, window_valid, window_center, box_size, b_max,
+                  mi_idx=None):
     """Filter one pixel.
 
     own: (S, 19) the pixel's samples; window: (K, 19) all samples in the
     box (K = box^2 * S, INCLUDING the center pixel's); window_valid: (K,)
     in-bounds flags; window_center: (K,) True for the center pixel's rows.
+    mi_idx: optional STATIC row subset (into the S+K neighborhood) used
+    for the mutual-information estimate when the full window would blow
+    HBM — the one-hot joint-histogram tensor scales as N*19*sqrt(N), which
+    is 100+ MB/pixel at box 55 (measured: a 26 GB broadcast OOM on v5e).
+    The bilateral blend still uses every neighborhood sample; only the MI
+    statistics (global per-pixel alpha/beta scalars) are estimated from
+    the subset, with bins = floor(sqrt(subset count)) applied to the
+    subset per the reference's sqrt-N rule.  Deliberate, documented
+    deviation from rpf.cpp for box sizes above the cap; the reference's
+    own default box set {7} (rpf.cpp:767) stays exact.
     Returns (S, 3) filtered colors.
     """
     s = own.shape[0]
@@ -201,8 +228,14 @@ def _filter_pixel(own, window, window_valid, window_center, box_size, b_max):
     own_norm = nb_norm[:s]
 
     # mutual information + dependency weights
-    bins = jnp.maximum(jnp.int32(1), jnp.sqrt(n).astype(jnp.int32))
-    mi = _mutual_information(nb_norm, nb_mask, n, bins, b_max)
+    if mi_idx is not None:
+        mi_rows = nb_norm[mi_idx]
+        mi_mask = nb_mask[mi_idx]
+        n_mi = jnp.sum(mi_mask)
+    else:
+        mi_rows, mi_mask, n_mi = nb_norm, nb_mask, n
+    bins = jnp.maximum(jnp.int32(1), jnp.sqrt(n_mi).astype(jnp.int32))
+    mi = _mutual_information(mi_rows, mi_mask, n_mi, bins, b_max)
     alpha_k, beta_k, w_r_c = _cf_weights(mi)
 
     # bilateral weights (rpf.cpp:637-678); quirks preserved: integer-divided
@@ -229,6 +262,9 @@ def _filter_pixel(own, window, window_valid, window_center, box_size, b_max):
 from functools import lru_cache  # noqa: E402
 
 
+MI_MAX_SAMPLES = 4096  # cap on the MI-estimation subset (see _filter_pixel)
+
+
 @lru_cache(maxsize=32)
 def _filter_run_call(box_size: int, s: int, pixel_chunk: int):
     """Build (once per static config) the jitted chunk runner.  Module-
@@ -237,7 +273,16 @@ def _filter_run_call(box_size: int, s: int, pixel_chunk: int):
     8 s vs 0.2 s for the whole 700x700 pass)."""
     bd = (box_size - 1) // 2
     k = box_size * box_size * s
-    b_max = int(math.floor(math.sqrt(s + k))) + 1
+    n_full = s + k
+    if n_full > MI_MAX_SAMPLES:
+        # all S own rows + an evenly strided window subset (static gather)
+        stride = -(-k // (MI_MAX_SAMPLES - s))
+        mi_idx = np.concatenate([np.arange(s),
+                                 s + np.arange(0, k, stride)]).astype(np.int32)
+        n_mi = len(mi_idx)
+    else:
+        mi_idx, n_mi = None, n_full
+    b_max = int(math.floor(math.sqrt(n_mi))) + 1
 
     # the padded buffer is a jit ARGUMENT — closing over the concrete array
     # bakes it into the HLO as a constant (285 MB at 700x700x8spp, which
@@ -252,7 +297,7 @@ def _filter_run_call(box_size: int, s: int, pixel_chunk: int):
         return _filter_pixel(own, win.reshape(k, SD_LEN),
                              jnp.repeat(val.reshape(-1), s),
                              jnp.repeat(center.reshape(-1), s),
-                             box_size, b_max)
+                             box_size, b_max, mi_idx=mi_idx)
 
     vone = jax.vmap(one, in_axes=(None, None, 0, 0))
 
@@ -287,12 +332,18 @@ def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
     h, w, s, _ = buffer.shape
     bd = (box_size - 1) // 2
 
-    # the gathered window tensor is (pixel_chunk, box^2*S, 19) plus the
-    # pairwise MI intermediates (~6x that); budget ~1.5 GB of HBM for it
-    # so the multi-scale boxes {55,35,17} compile (box 55 at the default
-    # 512-pixel chunk allocated 52 GB and OOMed, round 2)
-    window_bytes = box_size * box_size * s * 19 * 4 * 6
-    cap = max(8, int((1.5e9) // max(window_bytes, 1)))
+    # HBM budget per pixel, from the three dominant intermediates (the old
+    # window-only estimate missed the one-hot and OOMed at box 55 with a
+    # 26 GB broadcast):
+    #  - MI one-hot (N_mi, 19, B) with compare/bf16 staging (~6 B/entry)
+    #  - the (19B, 19B) f32 joint-histogram matmul output
+    #  - the bilateral pairwise diffs (S, N_full, 17 cols, f32, ~3 arrays)
+    n_full = s + box_size * box_size * s
+    n_mi = min(n_full, MI_MAX_SAMPLES)
+    b = int(math.floor(math.sqrt(n_mi))) + 1
+    per_pixel = (n_mi * 19 * b * 6 + (19 * b) ** 2 * 4
+                 + s * n_full * 17 * 4 * 3)
+    cap = max(8, int((1.5e9) // max(per_pixel, 1)))
     while pixel_chunk > cap:
         pixel_chunk //= 2
         chunks_per_call = min(chunks_per_call * 2, 512)
