@@ -247,12 +247,7 @@ WorldEnd
 """
 
 
-def test_curve_tessellation_error_bound(tmp_path):
-    """Bounds the curve-tessellation deviation against the C++ binary's
-    ray-traced curves (curve.cpp:216-400).  Measured round 2 (after the
-    camera-facing flat-ribbon orientation and the Cauchy mean-width
-    hexagon correction): silhouette coverage within 2.5% relative, mean
-    radiance within 9% (was 23% / 26% before those fixes)."""
+def _curve_pair(tmp_path):
     import tpurt.io as tio
     from tpurt.scene import load_scene
     from tpurt.render.driver import render
@@ -266,7 +261,38 @@ def test_curve_tessellation_error_bound(tmp_path):
                    timeout=600)
     ref = tio.read_image(out).astype(np.float64)
     img, _ = render(load_scene(scene), progress=False)
-    img = np.asarray(img, np.float64)
+    return np.asarray(img, np.float64), ref
+
+
+def test_curve_raytrace_matches_cpp_binary(tmp_path):
+    """Ray-traced curves (config.curve_mode="raytrace", the default) vs
+    the C++ binary's recursive-splitting curves (curve.cpp:139-374): the
+    same geometric predicate, so silhouette coverage and mean radiance
+    must agree tightly — far inside the old tessellation bounds (which
+    were 2.5% coverage / 9% mean)."""
+    img, ref = _curve_pair(tmp_path)
+    cov_t = float((img.max(-1) > 0.01).mean())
+    cov_r = float((ref.max(-1) > 0.01).mean())
+    assert abs(cov_t - cov_r) / cov_r < 0.01, (cov_t, cov_r)
+    mean_rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert mean_rel < 0.03, f"curve mean off by {mean_rel:.2%}"
+    # pixelwise: identical halton sequences, so interiors should be close
+    mse = float(((img - ref) ** 2).mean())
+    rel = mse / max(float((ref ** 2).mean()), 1e-12)
+    assert rel < 2e-2, f"curve MSE rel {rel:.3e}"
+
+
+def test_curve_tessellation_error_bound(tmp_path):
+    """The tessellation fallback (config.curve_mode="tessellate") keeps
+    its measured round-2 bounds: coverage within 2.5% relative, mean
+    radiance within 9%."""
+    from tpurt.config import set_config
+
+    try:
+        set_config(curve_mode="tessellate")
+        img, ref = _curve_pair(tmp_path)
+    finally:
+        set_config(curve_mode="raytrace")
     cov_t = float((img.max(-1) > 0.01).mean())
     cov_r = float((ref.max(-1) > 0.01).mean())
     assert abs(cov_t - cov_r) / cov_r < 0.05, (cov_t, cov_r)

@@ -81,6 +81,14 @@ class Config:
     # makes them pay its full step count.  Default OFF.
     fuse_shadow_rays: bool = False
 
+    # Curve geometry mode: "raytrace" intersects cubic Bezier spans
+    # analytically on device (the reference's recursive-splitting
+    # semantics, shapes/curve.cpp:188-374, with the data-dependent
+    # refinement moved to build-time pre-splitting); "tessellate" is the
+    # round-1/2 behavior (host-side ribbons/tubes through the triangle
+    # kernels), kept as the A/B fallback.
+    curve_mode: str = "raytrace"
+
     # Imagemap filtering mode: "ewa" attaches true camera-ray
     # differentials and filters anisotropically (mipmap.h EWA);
     # "trilinear" keeps the isotropic footprint-cone + trilinear MIP

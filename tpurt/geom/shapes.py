@@ -477,6 +477,141 @@ def _bspline_to_bezier(cp: np.ndarray, degree: int) -> List[np.ndarray]:
     return segs
 
 
+def _elevate_to_cubic(seg: np.ndarray) -> np.ndarray:
+    """Degree-elevate a quadratic Bezier to cubic (curve.cpp:491-497)."""
+    if len(seg) == 4:
+        return np.asarray(seg, np.float64)
+    p0, p1, p2 = np.asarray(seg, np.float64)
+    return np.stack([p0, p0 + (2.0 / 3.0) * (p1 - p0),
+                     p1 + (1.0 / 3.0) * (p2 - p1), p2])
+
+
+def _blossom_cubic(cp: np.ndarray, u0: np.ndarray, u1: np.ndarray) -> np.ndarray:
+    """Blossomed control points of the cubic Bezier sub-spans [u0_i, u1_i]
+    (BlossomBezier, curve.cpp:43-53).  cp (4,3); u0,u1 (M,) -> (M,4,3)."""
+    def blossom(ua, ub, uc):
+        a = [cp[i] + ua[:, None] * (cp[i + 1] - cp[i]) for i in range(3)]
+        b = [a[i] + ub[:, None] * (a[i + 1] - a[i]) for i in range(2)]
+        return b[0] + uc[:, None] * (b[1] - b[0])
+    return np.stack([blossom(u0, u0, u0), blossom(u0, u0, u1),
+                     blossom(u0, u1, u1), blossom(u1, u1, u1)], axis=1)
+
+
+def _curve_refinement_depth(spans: np.ndarray, eps: float) -> np.ndarray:
+    """The reference's per-intersect refinement depth (curve.cpp:204-225),
+    evaluated at build time on the span control points.  The C++ takes the
+    max per-AXIS second difference of the RAY-space points; the vector
+    norm used here upper-bounds that for every ray orientation, so the
+    resulting depth is always >= the reference's."""
+    d1 = spans[:, 0] - 2.0 * spans[:, 1] + spans[:, 2]
+    d2 = spans[:, 1] - 2.0 * spans[:, 2] + spans[:, 3]
+    l0 = np.maximum(np.linalg.norm(d1, axis=-1), np.linalg.norm(d2, axis=-1))
+    v = np.maximum(1.41421356237 * 6.0 * l0 / (8.0 * max(eps, 1e-12)),
+                   1e-30).astype(np.float32)
+    bits = v.view(np.int32)
+    # round-to-nearest integer log2 via the float exponent bit trick
+    # (curve.cpp:215-222), then log4 = log2 / 2
+    log2 = ((bits >> 23) - 127) + ((bits >> 22) & 1)
+    log2 = np.where(v < 1.0, 0, log2)
+    return np.clip(log2 // 2, 0, 10)
+
+
+def _slerp_normals(n0: np.ndarray, n1: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Spherical lerp between unit normals (curve.cpp:313-319 sin-weight
+    form).  t (M,) -> (M,3)."""
+    cos_a = float(np.clip(np.dot(n0, n1), 0.0, 1.0))
+    ang = np.arccos(cos_a)
+    if ang < 1e-6:
+        out = (1 - t)[:, None] * n0 + t[:, None] * n1
+    else:
+        inv_sin = 1.0 / np.sin(ang)
+        out = (np.sin((1 - t) * ang) * inv_sin)[:, None] * n0 + \
+              (np.sin(t * ang) * inv_sin)[:, None] * n1
+    return out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+
+
+def _curve_records(o2w: Transform, segs, width0: float, width1: float,
+                   ctype: str, norms, splitdepth: int):
+    """Build pre-split world-space CurveRecord spans for the ray-traced
+    curve path (config.curve_mode="raytrace").
+
+    Mirrors CreateCurveShape (curve.cpp:397-557): per cubic segment the
+    widths are lerped to the segment ends and ribbons take the segment's
+    two endpoint normals; CreateCurve's 2^splitdepth static u-spans
+    become the top-level spans here.  On top of that, each span is
+    pre-split until its residual refinement depth (the width/20 criterion
+    of curve.cpp:204-225) fits the device kernel's fixed unroll
+    (geometry_build.CURVE_LEAF_SUBDIV), so device leaf tests need no
+    data-dependent recursion."""
+    from tpurt.render.geometry_build import CURVE_LEAF_SUBDIV
+    from tpurt.scene.records import CurveRecord
+
+    n_seg = len(segs)
+    # uniform-scale factor for widths: the reference intersects in object
+    # space; baking o2w into the control points means widths scale by the
+    # transform's (assumed uniform) scale
+    lin = np.asarray(o2w.m, np.float64)[:3, :3]
+    svals = np.linalg.svd(lin, compute_uv=False)
+    if svals[0] > 1.01 * max(svals[-1], 1e-12):
+        log.warning("curve: non-uniform transform scale (%.3g..%.3g); "
+                    "ray-traced widths use the mean scale", svals[-1], svals[0])
+    wscale = float(np.mean(svals))
+
+    all_cp, all_w, all_u, all_n = [], [], [], []
+    max_presplit = 7  # storage cap; beyond this the device unroll absorbs
+    for seg_i, seg in enumerate(segs):
+        cp = _elevate_to_cubic(seg)
+        w0 = width0 + (width1 - width0) * (seg_i / n_seg)
+        w1 = width0 + (width1 - width0) * ((seg_i + 1) / n_seg)
+        if ctype == "ribbon" and norms is not None:
+            if len(norms) == n_seg + 1:
+                sn0, sn1 = norms[seg_i], norms[seg_i + 1]
+            else:
+                sn0, sn1 = norms[0], norms[-1]
+            sn0 = sn0 / max(np.linalg.norm(sn0), 1e-12)
+            sn1 = sn1 / max(np.linalg.norm(sn1), 1e-12)
+        else:
+            sn0 = sn1 = None
+
+        ns = 1 << splitdepth
+        iu = np.arange(ns, dtype=np.float64)
+        u0, u1 = iu / ns, (iu + 1) / ns
+        spans = _blossom_cubic(cp, u0, u1)
+        eps = max(w0, w1) * 0.05
+        depth = _curve_refinement_depth(spans, eps)
+        m = np.clip(depth - CURVE_LEAF_SUBDIV, 0, max_presplit)
+        for mm in np.unique(m):
+            sel = m == mm
+            k = 1 << int(mm)
+            js = np.arange(k, dtype=np.float64)
+            du = (u1[sel] - u0[sel])[:, None]
+            uu0 = (u0[sel][:, None] + du * (js / k)[None]).reshape(-1)
+            uu1 = (u0[sel][:, None] + du * ((js + 1) / k)[None]).reshape(-1)
+            sub = _blossom_cubic(cp, uu0, uu1)
+            all_cp.append(sub)
+            all_u.append(np.stack([uu0, uu1], axis=1))
+            all_w.append(np.stack([w0 + (w1 - w0) * uu0,
+                                   w0 + (w1 - w0) * uu1], axis=1))
+            if sn0 is not None:
+                all_n.append(np.stack([_slerp_normals(sn0, sn1, uu0),
+                                       _slerp_normals(sn0, sn1, uu1)], axis=1))
+
+    cp = np.concatenate(all_cp)
+    cp_w = o2w.apply_point(cp.reshape(-1, 3)).reshape(-1, 4, 3)
+    u = np.concatenate(all_u)
+    w = np.concatenate(all_w) * wscale
+    normals = None
+    if all_n:
+        nrm = o2w.apply_normal(np.concatenate(all_n).reshape(-1, 3))
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                               1e-12)
+        normals = nrm.reshape(-1, 2, 3).astype(np.float32)
+    return [CurveRecord(cp=cp_w.astype(np.float32),
+                        width=w.astype(np.float32),
+                        u=u.astype(np.float32),
+                        normals=normals, ctype=ctype)]
+
+
 def _parallel_frames(tangents: np.ndarray, n0=None) -> np.ndarray:
     """Rotation-minimizing normals along a polyline of tangents (M,3)."""
     t = tangents / np.maximum(np.linalg.norm(tangents, axis=-1,
@@ -547,6 +682,20 @@ def _create_curve(o2w: Transform, ps: ParamSet,
         return []
 
     splitdepth = ps.find_one_int("splitdepth", 3)
+
+    from tpurt.config import get_config
+
+    if get_config().curve_mode == "raytrace":
+        if ctype == "ribbon" and norms is None:
+            log.error('curve: must provide normals "N" at curve endpoints '
+                      'with ribbon curves')
+            return []
+        if ctype not in ("flat", "cylinder", "ribbon"):
+            log.warning('curve: unknown type "%s"; using "cylinder"', ctype)
+            ctype = "cylinder"
+        return _curve_records(o2w, segs, width0, width1, ctype, norms,
+                              splitdepth)
+
     steps = max(2, 1 << splitdepth)
     n_seg = len(segs)
     # sample all segments: global u in [0,1] across the whole curve

@@ -52,6 +52,129 @@ REC = {8: 128, 16: 256}[WIDTH]    # f32 slots per record
 SLOT_KIND = REC - 2
 
 
+def _collapse_tree(bvh: LinearBVH, leaf_k: int):
+    """Collapse a binary BVH (1-prim leaves, prims in leaf order) into
+    WIDTH-ary rows.  Returns (rows, max_depth) where rows[i] is either
+    ('leaf', first_prim, count) or ('interior', [bin node ids], [row ids]).
+    Shared by the triangle and curve table builders."""
+    m = bvh.n_nodes
+    n_prims = bvh.n_prims
+    right = bvh.right_child
+    is_leaf = n_prims > 0
+
+    cnt = np.zeros(m, np.int64)
+    first = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if is_leaf[i]:
+            cnt[i] = n_prims[i]
+            first[i] = bvh.prim_offset[i]
+        else:
+            cnt[i] = cnt[i + 1] + cnt[right[i]]
+            first[i] = first[i + 1]
+
+    rows: list = []
+
+    def alloc() -> int:
+        rows.append(None)
+        return len(rows) - 1
+
+    max_depth = 0
+    stack = [(0, alloc(), 0)]
+    while stack:
+        b, row, d = stack.pop()
+        max_depth = max(max_depth, d)
+        if cnt[b] <= leaf_k or is_leaf[b]:
+            rows[row] = ("leaf", int(first[b]), int(cnt[b]))
+            continue
+        children = [b + 1, int(right[b])]
+        while len(children) < WIDTH:
+            cand = [c for c in children if not is_leaf[c] and cnt[c] > leaf_k]
+            if not cand:
+                break
+            c = max(cand, key=lambda x: cnt[x])
+            children.remove(c)
+            children.extend([c + 1, int(right[c])])
+        child_rows = [alloc() for _ in children]
+        rows[row] = ("interior", children, child_rows)
+        for c, cr in zip(children, child_rows):
+            stack.append((c, cr, d + 1))
+    return rows, max_depth
+
+
+def _pack_interior(rec: np.ndarray, bvh: LinearBVH, children, child_rows):
+    lo = np.full((3, WIDTH), np.nan, np.float32)
+    hi = np.full((3, WIDTH), np.nan, np.float32)
+    cref = np.zeros(WIDTH, np.int32)
+    for k, (c, cr) in enumerate(zip(children, child_rows)):
+        lo[:, k] = bvh.bounds_lo[c]
+        hi[:, k] = bvh.bounds_hi[c]
+        cref[k] = cr
+    rec[0:3 * WIDTH] = lo.reshape(-1)
+    rec[3 * WIDTH:6 * WIDTH] = hi.reshape(-1)
+    rec[6 * WIDTH:7 * WIDTH] = cref.view(np.float32)
+    rec[SLOT_KIND] = 0.0
+
+
+def build_curve_table(bvh: LinearBVH, cp: np.ndarray, w: np.ndarray,
+                      aux: np.ndarray, prim_base: int, ribbons: bool
+                      ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pack the curve-span BVH into the wide record table.
+
+    Leaf record (WIDTH curve spans fused; W = WIDTH, K = 12 cp coords):
+      [0:12W]     control points, coordinate-major SoA: slot c*W + k is
+                  coordinate c (point i*3+axis) of span k; pads NaN
+      [12W:13W]   span-start width   [13W:14W] span-end width
+      [14W:15W]   absolute prim row, bitcast int32 (pads -1)
+      [SLOT_KIND] 1.0
+    Interior records share the triangle-table layout, so the device
+    traversal reuses the same box test and stack machinery.  For ribbon
+    scenes a parallel aux table holds per-leaf-slot [n0(3W) n1(3W)
+    angle(W) invSin(W)] for the width-projection test (curve.cpp:313-321).
+
+    Returns (table, aux_table_or_None, depth)."""
+    rows, max_depth = _collapse_tree(bvh, WIDTH)
+    mw = len(rows)
+    cap = 64
+    while cap < mw:
+        cap *= 2
+    tab = np.zeros((cap, REC), np.float32)
+    tab[:, 0:6 * WIDTH] = np.nan
+    aux_tab = np.zeros((cap, 8 * WIDTH), np.float32) if ribbons else None
+
+    cp = cp.reshape(len(cp), 12)
+    for row, r in enumerate(rows):
+        rec = np.zeros(REC, np.float32)
+        if r[0] == "leaf":
+            _, lo, n = r
+            n = min(n, WIDTH)
+            cps = np.full((12, WIDTH), np.nan, np.float32)
+            w0 = np.zeros(WIDTH, np.float32)
+            w1 = np.zeros(WIDTH, np.float32)
+            prim = np.full(WIDTH, -1, np.int32)
+            sl = slice(lo, lo + n)
+            cps[:, :n] = cp[sl].T
+            w0[:n] = w[sl, 0]
+            w1[:n] = w[sl, 1]
+            prim[:n] = np.arange(prim_base + lo, prim_base + lo + n,
+                                 dtype=np.int32)
+            rec[0:12 * WIDTH] = cps.reshape(-1)
+            rec[12 * WIDTH:13 * WIDTH] = w0
+            rec[13 * WIDTH:14 * WIDTH] = w1
+            rec[14 * WIDTH:15 * WIDTH] = prim.view(np.float32)
+            rec[SLOT_KIND] = 1.0
+            if ribbons:
+                a = np.zeros((8, WIDTH), np.float32)
+                a[0:6, :n] = aux[sl, 0:6].T
+                a[6, :n] = aux[sl, 6]
+                a[7, :n] = aux[sl, 7]
+                aux_tab[row] = a.reshape(-1)
+        else:
+            _, children, child_rows = r
+            _pack_interior(rec, bvh, children, child_rows)
+        tab[row] = rec
+    return tab, aux_tab, max_depth + 1
+
+
 def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
                      tri_v2: np.ndarray, tri_e0: np.ndarray = None,
                      tri_e1: np.ndarray = None, tri_e2: np.ndarray = None
@@ -68,52 +191,9 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
     motion-union bounds by the caller — need no delta.
     """
     motion = tri_e0 is not None
-    m = bvh.n_nodes
-    n_prims = bvh.n_prims
-    right = bvh.right_child
-    is_leaf = n_prims > 0
-
-    # Subtree prim count and first prim row.  Children follow their parent
-    # in depth-first order, so a reverse sweep sees children first.  The
-    # depth-first flatten also makes every subtree's prims a contiguous
-    # range of rows.
-    cnt = np.zeros(m, np.int64)
-    first = np.zeros(m, np.int64)
-    for i in range(m - 1, -1, -1):
-        if is_leaf[i]:
-            cnt[i] = n_prims[i]
-            first[i] = bvh.prim_offset[i]
-        else:
-            cnt[i] = cnt[i + 1] + cnt[right[i]]
-            first[i] = first[i + 1]
-
-    rows: list = []  # ('leaf', lo, n) | ('interior', [bin children], [rows])
-
-    def alloc() -> int:
-        rows.append(None)
-        return len(rows) - 1
-
-    max_depth = 0
-    stack = [(0, alloc(), 0)]
-    while stack:
-        b, row, d = stack.pop()
-        max_depth = max(max_depth, d)
-        if cnt[b] <= LEAF_K or is_leaf[b]:
-            rows[row] = ("leaf", int(first[b]), int(cnt[b]))
-            continue
-        children = [b + 1, int(right[b])]
-        while len(children) < WIDTH:
-            cand = [c for c in children if not is_leaf[c] and cnt[c] > LEAF_K]
-            if not cand:
-                break
-            c = max(cand, key=lambda x: cnt[x])
-            children.remove(c)
-            children.extend([c + 1, int(right[c])])
-        child_rows = [alloc() for _ in children]
-        rows[row] = ("interior", children, child_rows)
-        for c, cr in zip(children, child_rows):
-            stack.append((c, cr, d + 1))
-
+    # Subtree prim counts/offsets and the WIDTH-ary collapse are shared
+    # with the curve table builder (_collapse_tree).
+    rows, max_depth = _collapse_tree(bvh, LEAF_K)
     mw = len(rows)
     cap = 64
     while cap < mw:
@@ -151,16 +231,6 @@ def build_wide_table(bvh: LinearBVH, tri_v0: np.ndarray, tri_v1: np.ndarray,
         else:
             _, children, child_rows = r
             rec = np.zeros(REC, np.float32)
-            lo = np.full((3, WIDTH), np.nan, np.float32)
-            hi = np.full((3, WIDTH), np.nan, np.float32)
-            cref = np.zeros(WIDTH, np.int32)
-            for k, (c, cr) in enumerate(zip(children, child_rows)):
-                lo[:, k] = bvh.bounds_lo[c]
-                hi[:, k] = bvh.bounds_hi[c]
-                cref[k] = cr
-            rec[0:3 * WIDTH] = lo.reshape(-1)
-            rec[3 * WIDTH:6 * WIDTH] = hi.reshape(-1)
-            rec[6 * WIDTH:7 * WIDTH] = cref.view(np.float32)
-            rec[SLOT_KIND] = 0.0
+            _pack_interior(rec, bvh, children, child_rows)
             tab[row] = rec
     return tab, tab_delta, max_depth + 1

@@ -241,7 +241,8 @@ def build_job(sd: SceneDescription, quick: bool = False,
         mt_mix=jnp.asarray(mt.mix) if mt.has_mix else None,
         mt_hair=jnp.asarray(mt.hair) if mt.has_hair else None,
         has_hair=mt.has_hair,
-        has_tangents=bool((geo_h.flags & FLAG_HAS_TANGENTS).any()),
+        has_tangents=bool((geo_h.flags & FLAG_HAS_TANGENTS).any()
+                          or geo_h.n_curves),
         mt_bss=jnp.asarray(mt.bss) if mt.has_bssrdf else None,
         mt_bss_tix=jnp.asarray(mt.bss_tix) if mt.has_bssrdf else None,
         bss_rho=(jnp.asarray(np.stack([t.rho_samples for t in mt.bss_tables])
@@ -373,7 +374,8 @@ def _geom_digest(sd: SceneDescription) -> int:
     for pr in sd.primitives:
         sh = pr.shape
         u(getattr(sh, "kind", type(sh).__name__))
-        for f in ("vertices", "indices", "normals", "uvs", "tangents"):
+        for f in ("vertices", "indices", "normals", "uvs", "tangents",
+                  "cp", "width", "u", "ctype"):
             u(getattr(sh, f, None))
         o2w = getattr(sh, "object_to_world", None)
         u(o2w.m if o2w is not None else None)

@@ -15,6 +15,7 @@ import numpy as np
 
 from tpurt.geom.bvh import LinearBVH, build_bvh
 from tpurt.scene.records import (
+    CurveRecord,
     PrimitiveRecord,
     QuadricRecord,
     SceneDescription,
@@ -29,6 +30,20 @@ PT_DISK = 3
 PT_CONE = 4
 PT_PARABOLOID = 5
 PT_HYPERBOLOID = 6
+PT_CURVE = 7
+
+# Fixed subdivision depth of the device curve leaf test: each stored
+# curve span is tested as 2^CURVE_LEAF_SUBDIV linear segments (the
+# reference's depth-0 test, curve.cpp:289-373).  Build-time pre-splitting
+# (geom/shapes._curve_records) guarantees every span's residual
+# refinement depth fits this unroll, so total refinement >= the
+# reference's width/20 criterion (curve.cpp:204-225).
+CURVE_LEAF_SUBDIV = 3
+
+# curve subtypes (CurveType, curve.h:51)
+CURVE_FLAT = 0
+CURVE_CYLINDER = 1
+CURVE_RIBBON = 2
 _QUADRIC_CODES = {
     "sphere": PT_SPHERE,
     "cylinder": PT_CYLINDER,
@@ -96,6 +111,16 @@ class GeometryArrays:
     quad_trs: np.ndarray = None  # (Q, 2, 16) f32
     quad_animated: np.ndarray = None  # (Q,) bool
     has_quad_motion: bool = False
+    # ray-traced curve spans (prim rows [n_tris+n_quads, +n_curves), in
+    # curve-BVH leaf order; table index = prim_row - n_tris - n_quads)
+    n_curves: int = 0
+    curve_cp: np.ndarray = None  # (C, 12) f32 world control points
+    curve_w: np.ndarray = None  # (C, 2) f32 span-end widths
+    curve_u: np.ndarray = None  # (C, 2) f32 span u-range in its segment
+    curve_aux: np.ndarray = None  # (C, 8) f32 n0(3) n1(3) angle invSin
+    curve_subtype: np.ndarray = None  # (C,) i32 CURVE_FLAT/CYLINDER/RIBBON
+    curve_bvh: "LinearBVH" = None
+    has_ribbons: bool = False
 
     @property
     def n_prims(self) -> int:
@@ -151,6 +176,7 @@ def flatten_geometry(
     vert_n, vert_uv, vert_s, vert_ne = [], [], [], []
     quads_w2o, quads_o2w, quads_params = [], [], []
     quads_trs, quads_anim = [], []
+    curves_cp, curves_w, curves_u, curves_aux, curves_sub = [], [], [], [], []
     has_quad_motion = False
     blo, bhi = [], []
     vert_base = 0
@@ -311,6 +337,54 @@ def flatten_geometry(
             qlo, qhi = quadric_bounds(shape)
             blo.append(qlo[None])
             bhi.append(qhi[None])
+        elif isinstance(shape, CurveRecord):
+            s = len(shape.cp)
+            cp = shape.cp.astype(np.float32)  # (S, 4, 3)
+            w = shape.width.astype(np.float32)  # (S, 2)
+            curves_cp.append(cp.reshape(s, 12))
+            curves_w.append(w)
+            curves_u.append(shape.u.astype(np.float32))
+            aux = np.zeros((s, 8), np.float32)
+            sub = {"flat": CURVE_FLAT, "cylinder": CURVE_CYLINDER,
+                   "ribbon": CURVE_RIBBON}[shape.ctype]
+            if shape.ctype == "ribbon" and shape.normals is not None:
+                n0 = shape.normals[:, 0]
+                n1 = shape.normals[:, 1]
+                aux[:, 0:3] = n0
+                aux[:, 3:6] = n1
+                cosang = np.clip(np.sum(n0 * n1, axis=-1), 0.0, 1.0)
+                ang = np.arccos(cosang)
+                aux[:, 6] = ang
+                aux[:, 7] = 1.0 / np.maximum(np.sin(ang), 1e-8)
+            curves_aux.append(aux)
+            curves_sub.append(np.full(s, sub, np.int32))
+            if prim.shape_end is not None:
+                import logging
+
+                logging.getLogger("tpurt.render").warning(
+                    "animated transform on a ray-traced curve is not "
+                    "supported; using the start transform")
+            a = arealight_index(prim, None)
+            if a >= 0:
+                import logging
+
+                logging.getLogger("tpurt.render").warning(
+                    "area light on a curve shape is not sampled")
+            prim_type.append(np.full(s, PT_CURVE, np.int32))
+            mat_id.append(np.full(s, m, np.int32))
+            al_id.append(np.full(s, -1, np.int32))
+            flags.append(np.full(s, base_flags, np.int32))
+            quad_id.append(np.full(s, -1, np.int32))
+            med_in.append(np.full(s, mi_in, np.int32))
+            med_out.append(np.full(s, mi_out, np.int32))
+            for tarr in (tri_v0, tri_v1, tri_v2, tri_e0, tri_e1, tri_e2):
+                tarr.append(np.full((s, 3), np.nan, np.float32))
+            tri_vi.append(np.zeros((s, 3), np.int64))
+            # span bounds: cp hull expanded by max(width)/2
+            # (Curve::ObjectBound, curve.cpp:124-136)
+            half = 0.5 * w.max(axis=1)[:, None]
+            blo.append(cp.min(axis=1) - half)
+            bhi.append(cp.max(axis=1) + half)
         else:
             raise TypeError(f"unknown shape record {type(shape)}")
 
@@ -370,7 +444,9 @@ def flatten_geometry(
     # appended after the triangles.
     all_rows = np.arange(len(prim_type))
     tri_rows = all_rows[prim_type == PT_TRIANGLE]
-    quad_rows = all_rows[prim_type != PT_TRIANGLE]
+    quad_rows = all_rows[(prim_type != PT_TRIANGLE)
+                         & (prim_type != PT_CURVE)]
+    curve_rows = all_rows[prim_type == PT_CURVE]
     if len(tri_rows) == 0:
         # always have at least the degenerate triangle so the BVH exists
         prim_type = np.concatenate([prim_type, [PT_TRIANGLE]]).astype(np.int32)
@@ -397,8 +473,32 @@ def flatten_geometry(
     bvh.bounds_lo = np.nextafter(bvh.bounds_lo, -np.inf).astype(np.float32)
     bvh.bounds_hi = np.nextafter(bvh.bounds_hi, np.inf).astype(np.float32)
 
-    # final prim order: triangles in BVH leaf order, then quadrics
-    perm = np.concatenate([tri_rows[bvh.prim_order], quad_rows]).astype(np.int64)
+    # curve BVH over the curve spans (separate tree with its own packed
+    # wide table; intersect.py runs it as a statically-gated second pass)
+    n_curves = len(curve_rows)
+    curve_bvh = None
+    c_cp = c_w = c_u = c_aux = c_sub = None
+    has_ribbons = False
+    if n_curves:
+        curve_bvh = build_bvh(blo[curve_rows], bhi[curve_rows], 1,
+                              split_method)
+        curve_bvh.bounds_lo = np.nextafter(
+            curve_bvh.bounds_lo, -np.inf).astype(np.float32)
+        curve_bvh.bounds_hi = np.nextafter(
+            curve_bvh.bounds_hi, np.inf).astype(np.float32)
+        corder = curve_bvh.prim_order
+        c_cp = np.concatenate(curves_cp)[corder]
+        c_w = np.concatenate(curves_w)[corder]
+        c_u = np.concatenate(curves_u)[corder]
+        c_aux = np.concatenate(curves_aux)[corder]
+        c_sub = np.concatenate(curves_sub)[corder]
+        has_ribbons = bool((c_sub == CURVE_RIBBON).any())
+        curve_rows = curve_rows[corder]
+
+    # final prim order: triangles in BVH leaf order, then quadrics, then
+    # curves in curve-BVH leaf order
+    perm = np.concatenate([tri_rows[bvh.prim_order], quad_rows,
+                           curve_rows]).astype(np.int64)
     n_tris = len(tri_rows)
     n_quads = len(quad_rows)
 
@@ -472,5 +572,13 @@ def flatten_geometry(
         world_hi=(bhi.max(axis=0) if len(bhi) else np.zeros(3)),
         n_tris=n_tris,
         n_quads=n_quads,
+        n_curves=n_curves,
+        curve_cp=c_cp,
+        curve_w=c_w,
+        curve_u=c_u,
+        curve_aux=c_aux,
+        curve_subtype=c_sub,
+        curve_bvh=curve_bvh,
+        has_ribbons=has_ribbons,
     )
     return geo

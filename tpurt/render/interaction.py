@@ -13,10 +13,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurt.render.geometry_build import (
+    CURVE_CYLINDER,
+    CURVE_RIBBON,
     FLAG_HAS_NORMALS,
     FLAG_HAS_UV,
     FLAG_REVERSE_ORIENTATION,
     FLAG_XFORM_SWAPS_HANDEDNESS,
+    PT_CURVE,
     PT_TRIANGLE,
 )
 from tpurt.render.intersect import DeviceGeometry, Hit
@@ -194,10 +197,20 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     ng_quad = normalize(xn(w2o, grad))
     uv_quad = jnp.stack([hit.b0, hit.b1], axis=-1)
 
+    # --- ray-traced curves (statically gated: zero cost without them) ---
+    curve_vals = None
+    if geo.n_curves:
+        curve_vals = _curve_shading(rows, ints, hit, d)
+
     p = jnp.where(is_tri[:, None], p_tri, p_ray)
     ng = jnp.where(is_tri[:, None], ng_tri, ng_quad)
     ns = jnp.where(is_tri[:, None], ns_tri, ng_quad)
     uv = jnp.where(is_tri[:, None], uv_tri, uv_quad)
+    if curve_vals is not None:
+        is_crv = (ptype == PT_CURVE)[:, None]
+        ng = jnp.where(is_crv, curve_vals["n"], ng)
+        ns = jnp.where(is_crv, curve_vals["n"], ns)
+        uv = jnp.where(is_crv, curve_vals["uv"], uv)
 
     # reverse orientation ^ transform swaps handedness flips both normals
     # (shape.h:97, interaction.cpp SurfaceInteraction ctor)
@@ -214,20 +227,31 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     if tangents:
         from tpurt.render.geometry_build import FLAG_HAS_TANGENTS
 
-        has_s = (flags & FLAG_HAS_TANGENTS) != 0
-        srow = geo.shade_s[prim]  # (N, 9) vi-resolved tangents
-        s_interp = (b0[:, None] * srow[:, 0:3]
-                    + b1[:, None] * srow[:, 3:6]
-                    + b2[:, None] * srow[:, 6:9])
-        # orthogonalize against the shading normal
-        s_perp = s_interp - jnp.sum(s_interp * ns, axis=-1, keepdims=True) * ns
-        s_len = jnp.linalg.norm(s_perp, axis=-1, keepdims=True)
-        s_ok = has_s & is_tri & (s_len[:, 0] > 1e-6)
         from tpurt.render.sampling_warps import build_onb
 
         t_def, _ = build_onb(ns)
-        ss = jnp.where((s_ok & valid)[:, None], s_perp / jnp.maximum(s_len, F32_EPS),
-                       t_def)
+        if geo.shade_s is not None:
+            has_s = (flags & FLAG_HAS_TANGENTS) != 0
+            srow = geo.shade_s[prim]  # (N, 9) vi-resolved tangents
+            s_interp = (b0[:, None] * srow[:, 0:3]
+                        + b1[:, None] * srow[:, 3:6]
+                        + b2[:, None] * srow[:, 6:9])
+            # orthogonalize against the shading normal
+            s_perp = s_interp - jnp.sum(s_interp * ns, axis=-1,
+                                        keepdims=True) * ns
+            s_len = jnp.linalg.norm(s_perp, axis=-1, keepdims=True)
+            s_ok = has_s & is_tri & (s_len[:, 0] > 1e-6)
+            ss = jnp.where((s_ok & valid)[:, None],
+                           s_perp / jnp.maximum(s_len, F32_EPS), t_def)
+        else:
+            ss = t_def
+        if curve_vals is not None:
+            # curve lanes: fiber tangent = dpdu, orthogonalized vs ns
+            ct = curve_vals["dpdu"]
+            ct = ct - jnp.sum(ct * ns, axis=-1, keepdims=True) * ns
+            ctl = jnp.linalg.norm(ct, axis=-1, keepdims=True)
+            c_ok = (ptype == PT_CURVE) & valid & (ctl[:, 0] > 1e-9)
+            ss = jnp.where(c_ok[:, None], ct / jnp.maximum(ctl, F32_EPS), ss)
     dpdu = dpdv = None
     if dpduv:
         # triangle uv-parameterization derivatives (triangle.cpp:160-190)
@@ -252,6 +276,10 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         dpdv_q = b_f * (np.pi * r_q)[:, None]
         dpdu = jnp.where(is_tri[:, None], dpdu_t, dpdu_q)
         dpdv = jnp.where(is_tri[:, None], dpdv_t, dpdv_q)
+        if curve_vals is not None:
+            is_crv = (ptype == PT_CURVE)[:, None]
+            dpdu = jnp.where(is_crv, curve_vals["dpdu"], dpdu)
+            dpdv = jnp.where(is_crv, curve_vals["dpdv"], dpdv)
 
     return SurfaceInteraction(
         p=jnp.where(safe, p, 0.0),
@@ -269,6 +297,101 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         dpdu=dpdu,
         dpdv=dpdv,
     )
+
+
+def _curve_shading(rows, ints, hit, d):
+    """Curve shading quantities from the fused shade row + (s, v) =
+    (hit.b0, hit.b1): span-local parameter and width coordinate.
+
+    Mirrors the tHit!=nullptr tail of Curve::recursiveIntersect
+    (curve.cpp:309-369): dpdu from the Bezier derivative (rescaled from
+    the stored span to the segment parameterization, same direction and
+    the reference's magnitude), dpdv per curve subtype, and the
+    geometric normal = normalize(cross(dpdu, dpdv)) (the reference's
+    SurfaceInteraction ctor).  The ray-plane frame is rebuilt exactly as
+    the leaf test builds it (curve.cpp:162-174)."""
+    import jax
+
+    n = rows.shape[0]
+    s = hit.b0
+    v = hit.b1
+    cp = rows[:, 7:19].reshape(n, 4, 3)
+    w0, w1 = rows[:, 19], rows[:, 20]
+    u0, u1 = rows[:, 21], rows[:, 22]
+    sub = jax.lax.bitcast_convert_type(rows[:, 23], jnp.int32)
+    u_global = u0 + s * (u1 - u0)
+    hw = w0 + (w1 - w0) * s
+
+    # span Bezier derivative at s; EvalBezier degenerate fallback
+    # (curve.cpp:71-77)
+    ss_ = s[:, None]
+    c1 = [cp[:, i] + ss_ * (cp[:, i + 1] - cp[:, i]) for i in range(3)]
+    c2 = [c1[i] + ss_ * (c1[i + 1] - c1[i]) for i in range(2)]
+    deriv = 3.0 * (c2[1] - c2[0])
+    degen = (jnp.sum(deriv * deriv, axis=-1, keepdims=True) <= 0)
+    v30 = cp[:, 3] - cp[:, 0]
+    deriv = jnp.where(degen, v30, deriv)
+    dpdu = deriv / jnp.maximum((u1 - u0), 1e-9)[:, None]
+
+    # ray-plane frame (LookAt basis, curve.cpp:162-174)
+    dhat = normalize(d)
+    up = jnp.cross(d, v30)
+    deg_up = (jnp.sum(up * up, axis=-1, keepdims=True) < 1e-18)
+    pick = (jnp.abs(d[:, 0]) > jnp.abs(d[:, 1]))[:, None]
+    zeros = jnp.zeros_like(d[:, 0:1])
+    alt = jnp.where(pick,
+                    jnp.concatenate([-d[:, 2:3], zeros, d[:, 0:1]], -1),
+                    jnp.concatenate([zeros, d[:, 2:3], -d[:, 1:2]], -1))
+    up = jnp.where(deg_up, alt, up)
+    x_axis = normalize(jnp.cross(up, dhat))
+    y_axis = jnp.cross(dhat, x_axis)
+
+    # ribbon: slerped frame normal scales the width and sets dpdv
+    # (curve.cpp:313-321, :351-352)
+    n0 = rows[:, 24:27]
+    n1 = rows[:, 27:30]
+    ang = rows[:, 30]
+    inv_sin = rows[:, 31]
+    small = (ang < 1e-4)[:, None]
+    s0 = jnp.where(small, (1.0 - s)[:, None],
+                   jnp.sin((1.0 - s)[:, None] * ang[:, None]) * inv_sin[:, None])
+    s1 = jnp.where(small, s[:, None],
+                   jnp.sin(s[:, None] * ang[:, None]) * inv_sin[:, None])
+    nhit = s0 * n0 + s1 * n1
+    hw_rib = hw * jnp.abs(jnp.sum(nhit * dhat, axis=-1))
+    dpdv_rib = normalize(jnp.cross(nhit, dpdu)) * hw_rib[:, None]
+
+    # flat / cylinder: dpdv ⟂ dpdu in the ray plane, rotated for the
+    # cylindrical appearance (curve.cpp:354-365)
+    dpu_x = jnp.sum(dpdu * x_axis, axis=-1)
+    dpu_y = jnp.sum(dpdu * y_axis, axis=-1)
+    dpu_z = jnp.sum(dpdu * dhat, axis=-1)
+    pl = jnp.maximum(jnp.sqrt(dpu_x * dpu_x + dpu_y * dpu_y), 1e-12)
+    dvx = -dpu_y / pl * hw
+    dvy = dpu_x / pl * hw
+    dvz = jnp.zeros_like(dvx)
+    # cylinder: Rodrigues rotation of (dvx,dvy,0) about the plane dpdu
+    # by -theta, theta = Lerp(v, -90, 90) degrees (curve.cpp:359-363)
+    theta = jnp.deg2rad(-90.0 + v * 180.0)
+    phi = -theta
+    al = jnp.maximum(jnp.sqrt(dpu_x ** 2 + dpu_y ** 2 + dpu_z ** 2), 1e-12)
+    ax, ay, az = dpu_x / al, dpu_y / al, dpu_z / al
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    adw = ax * dvx + ay * dvy  # a . w  (dvz = 0)
+    rx = dvx * cphi + (ay * dvz - az * dvy) * sphi + ax * adw * (1 - cphi)
+    ry = dvy * cphi + (az * dvx - ax * dvz) * sphi + ay * adw * (1 - cphi)
+    rz = dvz * cphi + (ax * dvy - ay * dvx) * sphi + az * adw * (1 - cphi)
+    is_cyl = (sub == CURVE_CYLINDER)
+    pvx = jnp.where(is_cyl, rx, dvx)
+    pvy = jnp.where(is_cyl, ry, dvy)
+    pvz = jnp.where(is_cyl, rz, dvz)
+    dpdv_fc = (pvx[:, None] * x_axis + pvy[:, None] * y_axis
+               + pvz[:, None] * dhat)
+    is_rib = (sub == CURVE_RIBBON)[:, None]
+    dpdv = jnp.where(is_rib, dpdv_rib, dpdv_fc)
+    nrm = normalize(jnp.cross(dpdu, dpdv))
+    uv = jnp.stack([u_global, v], axis=-1)
+    return {"n": nrm, "uv": uv, "dpdu": dpdu, "dpdv": dpdv}
 
 
 def offset_ray_origin(p, ng, w):

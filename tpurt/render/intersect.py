@@ -114,9 +114,19 @@ class DeviceGeometry(NamedTuple):
     shade_delta: jnp.ndarray = None
     shade_s: jnp.ndarray = None
 
+    # ray-traced curves: a SECOND wide-BVH over pre-split Bezier spans,
+    # run as a statically-gated extra pass (zero cost for curve-free
+    # scenes).  cnodes shares the interior layout with wnodes; leaves
+    # inline WIDTH spans (wbvh.build_curve_table).  cnodes_aux carries
+    # ribbon frame normals, present only for ribbon scenes.
+    cnodes: jnp.ndarray = None
+    cnodes_aux: jnp.ndarray = None
+
     n_tris: int = 0
     n_quads: int = 0
+    n_curves: int = 0
     wstack_depth: int = 64
+    cstack_depth: int = 64
 
     @staticmethod
     def from_host(g: GeometryArrays) -> "DeviceGeometry":
@@ -165,9 +175,33 @@ class DeviceGeometry(NamedTuple):
                 rows[:nt, 16:25] = g.vert_n[vi].reshape(nt, 9)
                 rows[:nt, 25:31] = g.vert_uv[vi].reshape(nt, 6)
         if g.n_quads:
-            qi = np.maximum(g.quad_id[nt:], 0)
-            rows[nt:, 7:19] = g.quad_w2o[qi][:, :3, :].reshape(-1, 12)
-            rows[nt:, 19:27] = g.quad_params[qi][:, :8]
+            nq = nt + g.n_quads
+            qi = np.maximum(g.quad_id[nt:nq], 0)
+            rows[nt:nq, 7:19] = g.quad_w2o[qi][:, :3, :].reshape(-1, 12)
+            rows[nt:nq, 19:27] = g.quad_params[qi][:, :8]
+        cnodes = caux = None
+        cdepth = 64
+        if g.n_curves:
+            from tpurt.geom.wbvh import build_curve_table
+
+            base = g.n_tris + g.n_quads
+            cnodes, caux, cd = build_curve_table(
+                g.curve_bvh, g.curve_cp, g.curve_w, g.curve_aux, base,
+                g.has_ribbons)
+            need_c = max(8, (cd - 1) * (WIDTH - 1) + 2)
+            cdepth = 8
+            while cdepth < min(need_c, 192):
+                cdepth *= 2
+            # curve shade rows: [7:19] span cp, [19:21] w0,w1,
+            # [21:23] u0,u1, [23] subtype (bitcast i32), [24:30] ribbon
+            # n0,n1, [30] normalAngle, [31] invSinNormalAngle
+            ce = base + g.n_curves
+            rows[base:ce, 7:19] = g.curve_cp
+            rows[base:ce, 19:21] = g.curve_w
+            rows[base:ce, 21:23] = g.curve_u
+            rows[base:ce, 23] = g.curve_subtype.astype(np.int32).view(
+                np.float32)
+            rows[base:ce, 24:32] = g.curve_aux
         shade_delta = None
         if g.has_motion:
             shade_delta = np.zeros((p, 18), np.float32)
@@ -183,7 +217,10 @@ class DeviceGeometry(NamedTuple):
             shade_s[:nt] = g.vert_s[g.tri_vi[:nt]].reshape(nt, 9)
 
         return DeviceGeometry(
-            n_tris=g.n_tris, n_quads=g.n_quads, wstack_depth=sdepth,
+            n_tris=g.n_tris, n_quads=g.n_quads, n_curves=g.n_curves,
+            wstack_depth=sdepth, cstack_depth=cdepth,
+            cnodes=f(cnodes) if cnodes is not None else None,
+            cnodes_aux=f(caux) if caux is not None else None,
             wnodes=f(wnodes), prims_packed=f(prims),
             shade_rows=f(rows),
             shade_delta=f(shade_delta) if shade_delta is not None else None,
@@ -215,7 +252,8 @@ from tpurt.pytrees import register_static_pytree  # noqa: E402
 register_static_pytree(
     DeviceGeometry,
     [f for f in DeviceGeometry._fields
-     if f not in ("n_tris", "n_quads", "wstack_depth")],
+     if f not in ("n_tris", "n_quads", "n_curves",
+                  "wstack_depth", "cstack_depth")],
 )
 
 
@@ -646,6 +684,177 @@ def _tri_bundle_test(o, d, t_max, rec, drec=None, time=None):
             e0 * inv_det, e1 * inv_det)
 
 
+def _curve_blossom_weights() -> np.ndarray:
+    """Constant (2^CURVE_LEAF_SUBDIV, 4, 4) blossom weights turning a
+    span's 4 control points into each uniform sub-segment's 4 control
+    points (BlossomBezier over [j/K, (j+1)/K]; curve.cpp:43-53)."""
+    from tpurt.render.geometry_build import CURVE_LEAF_SUBDIV
+
+    k = 1 << CURVE_LEAF_SUBDIV
+
+    def bw(u1, u2, u3):
+        e1 = u1 + u2 + u3
+        e2 = u1 * u2 + u1 * u3 + u2 * u3
+        e3 = u1 * u2 * u3
+        return [1 - e1 + e2 - e3, e1 - 2 * e2 + 3 * e3, e2 - 3 * e3, e3]
+
+    out = np.zeros((k, 4, 4), np.float64)
+    for j in range(k):
+        a, b = j / k, (j + 1) / k
+        out[j] = [bw(a, a, a), bw(a, a, b), bw(a, b, b), bw(b, b, b)]
+    return out
+
+
+_CURVE_W = _curve_blossom_weights()
+
+
+def _curve_bundle_test(o, d, t_max, rec, aux=None):
+    """Test the WIDTH curve spans fused in a curve leaf record.
+
+    Vectorized form of the reference's per-ray curve recursion
+    (curve.cpp:139-374): each span's 4 control points are projected to
+    the per-(lane, span) ray coordinate system (LookAt frame,
+    curve.cpp:162-174), subdivided 2^CURVE_LEAF_SUBDIV ways with constant
+    blossom weights (build-time pre-splitting guarantees this fixed
+    unroll reaches the reference's width/20 refinement depth), and each
+    sub-segment runs the depth-0 width test (curve.cpp:289-373).
+
+    o, d: (N, 3); t_max: (N,); rec: (N, REC); aux: (N, 8*WIDTH) ribbon
+    frame normals or None.  Returns (hit, t, s, v) each (N, WIDTH) where
+    s is the span-local curve parameter (shading maps it to the global u
+    via the shade row's span u-range).  NaN control-point pads never
+    pass any comparison, so absent slots can't hit.
+
+    Deviation (documented): within one span, overlapping sub-segment
+    hits resolve to the CLOSEST; the reference keeps the last one in
+    u-order because its recursion never shrinks tMax (curve.cpp:282-287
+    with zMax fixed at :273).  Differs only when a single span crosses
+    the ray twice."""
+    W_ = WIDTH
+    c = [rec[:, i * W_:(i + 1) * W_] for i in range(12)]  # (N, W) each
+    w0 = rec[:, 12 * W_:13 * W_]
+    w1 = rec[:, 13 * W_:14 * W_]
+
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dxx, dyy, dzz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    dl = jnp.sqrt(dxx * dxx + dyy * dyy + dzz * dzz)
+    hx, hy, hz = dxx / dl, dyy / dl, dzz / dl
+
+    # "up" = cross(d, cp3-cp0) orients the frame so the curve is roughly
+    # parallel to x (minimal y extent); degenerate -> CoordinateSystem(d)
+    v30x = c[9] - c[0]
+    v30y = c[10] - c[1]
+    v30z = c[11] - c[2]
+    ux = dyy * v30z - dzz * v30y
+    uy = dzz * v30x - dxx * v30z
+    uz = dxx * v30y - dyy * v30x
+    deg = (ux * ux + uy * uy + uz * uz) < 1e-18
+    pick = jnp.abs(dxx) > jnp.abs(dyy)
+    altx = jnp.where(pick, -dzz, jnp.zeros_like(dzz))
+    alty = jnp.where(pick, jnp.zeros_like(dzz), dzz)
+    altz = jnp.where(pick, dxx, -dyy)
+    ux = jnp.where(deg, altx, ux)
+    uy = jnp.where(deg, alty, uy)
+    uz = jnp.where(deg, altz, uz)
+    # x = normalize(cross(up, dhat)); y = cross(dhat, x)  (LookAt basis)
+    xx = uy * hz - uz * hy
+    xy = uz * hx - ux * hz
+    xz = ux * hy - uy * hx
+    xl = jnp.maximum(jnp.sqrt(xx * xx + xy * xy + xz * xz), 1e-20)
+    xx, xy, xz = xx / xl, xy / xl, xz / xl
+    yx = hy * xz - hz * xy
+    yy = hz * xx - hx * xz
+    yz = hx * xy - hy * xx
+
+    # project the 4 control points into the ray frame
+    rx, ry, rz = [], [], []
+    for i in range(4):
+        qx = c[3 * i] - ox
+        qy = c[3 * i + 1] - oy
+        qz = c[3 * i + 2] - oz
+        rx.append(qx * xx + qy * xy + qz * xz)
+        ry.append(qx * yx + qy * yy + qz * yz)
+        rz.append(qx * hx + qy * hy + qz * hz)
+
+    z_lim = dl * t_max[:, None]
+    if aux is not None:
+        n0x, n0y, n0z = aux[:, 0:W_], aux[:, W_:2 * W_], aux[:, 2 * W_:3 * W_]
+        n1x, n1y, n1z = (aux[:, 3 * W_:4 * W_], aux[:, 4 * W_:5 * W_],
+                         aux[:, 5 * W_:6 * W_])
+        ang = aux[:, 6 * W_:7 * W_]
+        inv_sin = aux[:, 7 * W_:8 * W_]
+        has_n = (n0x * n0x + n0y * n0y + n0z * n0z) > 0.5
+
+    t_best = jnp.full_like(w0, INF)
+    s_best = jnp.zeros_like(w0)
+    v_best = jnp.zeros_like(w0)
+    n_sub = _CURVE_W.shape[0]
+    for j in range(n_sub):
+        wj = _CURVE_W[j]
+        a, b = j / n_sub, (j + 1) / n_sub
+        sx = [sum(float(wj[k, m]) * rx[m] for m in range(4)) for k in range(4)]
+        sy = [sum(float(wj[k, m]) * ry[m] for m in range(4)) for k in range(4)]
+        sz = [sum(float(wj[k, m]) * rz[m] for m in range(4)) for k in range(4)]
+
+        # endpoint tangent-perpendicular culling (curve.cpp:294-301)
+        e_ok0 = (sy[1] - sy[0]) * (-sy[0]) + sx[0] * (sx[0] - sx[1]) >= 0
+        e_ok1 = (sy[2] - sy[3]) * (-sy[3]) + sx[3] * (sx[3] - sx[2]) >= 0
+        # closest-point parameter on the chord (curve.cpp:303-307)
+        cdx = sx[3] - sx[0]
+        cdy = sy[3] - sy[0]
+        denom = cdx * cdx + cdy * cdy
+        den_ok = denom > 0
+        wp = -(sx[0] * cdx + sy[0] * cdy) / jnp.where(den_ok, denom, 1.0)
+        s = jnp.clip(a + (b - a) * wp, a, b)  # span-local u (clamped)
+        hw = w0 + (w1 - w0) * s  # span-end widths pre-lerped at build
+        if aux is not None:
+            # ribbon: scale width by the projection of the slerped frame
+            # normal onto the ray (curve.cpp:313-321)
+            small = ang < 1e-4
+            s0 = jnp.where(small, 1.0 - s,
+                           jnp.sin((1.0 - s) * ang) * inv_sin)
+            s1 = jnp.where(small, s, jnp.sin(s * ang) * inv_sin)
+            nhx = s0 * n0x + s1 * n1x
+            nhy = s0 * n0y + s1 * n1y
+            nhz = s0 * n0z + s1 * n1z
+            proj = jnp.abs(nhx * dxx + nhy * dyy + nhz * dzz) / dl
+            hw = jnp.where(has_n, hw * proj, hw)
+
+        # evaluate the sub-segment at clamp(wp, 0, 1) with derivative
+        ww = jnp.clip(wp, 0.0, 1.0)
+        c1x = [sx[i] + ww * (sx[i + 1] - sx[i]) for i in range(3)]
+        c1y = [sy[i] + ww * (sy[i + 1] - sy[i]) for i in range(3)]
+        c1z = [sz[i] + ww * (sz[i + 1] - sz[i]) for i in range(3)]
+        c2x = [c1x[i] + ww * (c1x[i + 1] - c1x[i]) for i in range(2)]
+        c2y = [c1y[i] + ww * (c1y[i + 1] - c1y[i]) for i in range(2)]
+        c2z = [c1z[i] + ww * (c1z[i + 1] - c1z[i]) for i in range(2)]
+        pcx = c2x[0] + ww * (c2x[1] - c2x[0])
+        pcy = c2y[0] + ww * (c2y[1] - c2y[0])
+        pcz = c2z[0] + ww * (c2z[1] - c2z[0])
+        dvx = c2x[1] - c2x[0]
+        dvy = c2y[1] - c2y[0]
+        dv0 = (dvx * dvx + dvy * dvy) == 0  # EvalBezier fallback (:71-77)
+        dvx = jnp.where(dv0, sx[3] - sx[0], dvx)
+        dvy = jnp.where(dv0, sy[3] - sy[0], dvy)
+
+        dist2 = pcx * pcx + pcy * pcy
+        ok = (e_ok0 & e_ok1 & den_ok
+              & (dist2 <= hw * hw * 0.25)
+              & (pcz > 0) & (pcz < z_lim))
+        t_j = pcz / dl
+        dist = jnp.sqrt(dist2)
+        edge_f = dvx * (-pcy) + pcx * dvy
+        v_j = jnp.where(edge_f > 0, 0.5 + dist / jnp.maximum(hw, 1e-20),
+                        0.5 - dist / jnp.maximum(hw, 1e-20))
+        better = ok & (t_j < t_best)
+        t_best = jnp.where(better, t_j, t_best)
+        s_best = jnp.where(better, s, s_best)
+        v_best = jnp.where(better, v_j, v_best)
+
+    hit = jnp.isfinite(t_best)
+    return hit, t_best, s_best, v_best
+
+
 def _box8_test(rec, o, inv_d, t_max):
     """Slab tests of the 8 child boxes in an interior record.
     Returns (hit, t_near) each (N, 8); NaN boxes (invalid children)
@@ -681,7 +890,7 @@ COMPACT_DIV = 8
 
 
 def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
-                   time=None):
+                   time=None, tree: str = "tri"):
     """Build the traversal (cond, body) closures over a fixed ray set.
     State: (cur, sp, stack, t_best, prim_best, b0_best, b1_best) — all
     sized to o's lane count, so the same closures serve the full-width
@@ -693,12 +902,21 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
     straight to the nearest hit child (no stack round-trip); the other
     hit children are pushed far-to-near.  Per-lane stacks are accessed
     via one-hot masks over the static depth axis (dynamic minor-axis
-    indexing scalarizes on TPU)."""
-    S = geo.wstack_depth
-    nodes = geo.wnodes
-    nodes_delta = geo.wnodes_delta
+    indexing scalarizes on TPU).
+
+    tree="curve" walks the curve-span table instead: same interior
+    layout (shared _box8_test + stack machinery), leaf test =
+    _curve_bundle_test, b0/b1 = span-local parameter s and width
+    coordinate v."""
+    curve = tree == "curve"
+    S = geo.cstack_depth if curve else geo.wstack_depth
+    nodes = geo.cnodes if curve else geo.wnodes
+    nodes_aux = geo.cnodes_aux if curve else None
+    nodes_delta = None if curve else geo.wnodes_delta
+    leaf_k = WIDTH if curve else LEAF_K
+    prim_lo = 14 * WIDTH if curve else 9 * LEAF_K
     iota_s = jnp.arange(S, dtype=jnp.int32)[None, :]
-    iota_k = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :]
+    iota_k = jnp.arange(leaf_k, dtype=jnp.int32)[None, :]
 
     def cond(state):
         return jnp.any(state[0] >= 0)
@@ -709,8 +927,12 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
         rec = jnp.take(nodes, jnp.maximum(cur, 0), axis=0)  # (N, REC)
         is_leaf = rec[:, SLOT_KIND] > 0
 
-        # --- leaf: test the fused triangle bundle, keep the closest ---
-        if nodes_delta is not None and time is not None:
+        # --- leaf: test the fused primitive bundle, keep the closest ---
+        if curve:
+            arec = (jnp.take(nodes_aux, jnp.maximum(cur, 0), axis=0)
+                    if nodes_aux is not None else None)
+            h, t, b0, b1 = _curve_bundle_test(o, d, t_best, rec, arec)
+        elif nodes_delta is not None and time is not None:
             drec = jnp.take(nodes_delta, jnp.maximum(cur, 0), axis=0)
             h, t, b0, b1 = _tri_bundle_test(o, d, t_best, rec, drec, time)
         else:
@@ -720,7 +942,7 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
         kbest = jnp.argmin(tk, axis=1)
         ohk = iota_k == kbest[:, None]
         prim_rows = jax.lax.bitcast_convert_type(
-            rec[:, 9 * LEAF_K:10 * LEAF_K], jnp.int32)
+            rec[:, prim_lo:prim_lo + leaf_k], jnp.int32)
         better = live & is_leaf & (t_min < t_best)
         t_best = jnp.where(better, t_min, t_best)
         prim_best = jnp.where(
@@ -815,7 +1037,7 @@ REORDER_MIN_LANES = 1 << 62
 
 
 def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
-                   time=None, reorder: bool = None):
+                   time=None, reorder: bool = None, tree: str = "tri"):
     """Wide-BVH traversal over (N,) ray lanes: optional coherence sort,
     full-width lockstep steps while occupancy exceeds n/COMPACT_DIV,
     then one straggler compaction run to completion (gather surviving
@@ -837,10 +1059,11 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
         if not isinstance(any_hit, bool):
             any_hit = jnp.take(any_hit, perm, axis=0)
         t, prim, b0, b1 = _traverse_wide(geo, o, d, t_max, any_hit,
-                                         time=time, reorder=False)
+                                         time=time, reorder=False,
+                                         tree=tree)
         unscatter = lambda a: jnp.zeros_like(a).at[perm].set(a)
         return unscatter(t), unscatter(prim), unscatter(b0), unscatter(b1)
-    S = geo.wstack_depth
+    S = geo.cstack_depth if tree == "curve" else geo.wstack_depth
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
 
@@ -849,7 +1072,7 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
              t_max, jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
              jnp.zeros(n, jnp.float32))
 
-    cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit, time)
+    cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit, time, tree)
 
     if n // COMPACT_DIV < 1024:
         # narrow wavefronts gain nothing from compaction: run to completion
@@ -886,7 +1109,8 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
                 else None)
     sub_any = (any_hit if isinstance(any_hit, bool)
                else jnp.take(any_hit, idxc, axis=0))
-    sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, sub_any, sub_time)
+    sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, sub_any, sub_time,
+                                        tree)
     sub = jax.lax.while_loop(sub_cond, sub_body, sub)
     state = tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
     _, _, _, t, prim, b0, b1 = state
@@ -994,7 +1218,20 @@ def intersect_closest(geo: DeviceGeometry, o, d, t_max, time=None) -> Hit:
     if geo.n_quads:
         t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1,
                                         time=time)
+    if geo.n_curves:
+        t, prim, b0, b1 = _curve_pass(geo, o, d, t, prim, b0, b1,
+                                      any_hit=False)
     return Hit(t=t, prim=jnp.where(jnp.isfinite(t), prim, -1), b0=b0, b1=b1)
+
+
+def _curve_pass(geo: DeviceGeometry, o, d, t, prim, b0, b1, any_hit):
+    """Second statically-gated traversal over the curve-span tree; the
+    current best t doubles as the entry t_max so farther curve subtrees
+    are culled.  b0/b1 for curve hits are (span-local s, width v)."""
+    tc, pc, sc, vc = _traverse_wide(geo, o, d, t, any_hit, tree="curve")
+    better = (pc >= 0) & (tc < t)
+    return (jnp.where(better, tc, t), jnp.where(better, pc, prim),
+            jnp.where(better, sc, b0), jnp.where(better, vc, b1))
 
 
 def intersect_mixed(geo: DeviceGeometry, o, d, t_max, anyhit_mask,
@@ -1011,6 +1248,9 @@ def intersect_mixed(geo: DeviceGeometry, o, d, t_max, anyhit_mask,
     if geo.n_quads:
         t, prim, b0, b1 = _quadric_pass(geo, o, d, t, prim, b0, b1,
                                         time=time)
+    if geo.n_curves:
+        t, prim, b0, b1 = _curve_pass(geo, o, d, t, prim, b0, b1,
+                                      any_hit=anyhit_mask)
     return Hit(t=t, prim=jnp.where(jnp.isfinite(t), prim, -1), b0=b0, b1=b1)
 
 
@@ -1028,4 +1268,10 @@ def intersect_any(geo: DeviceGeometry, o, d, t_max, time=None) -> jnp.ndarray:
         t_max = jnp.where(occ, 0.0, t_max)
     _, prim, _, _ = _traverse_wide(geo, o, d, t_max, any_hit=True,
                                    time=time)
-    return occ | (prim >= 0)
+    occ = occ | (prim >= 0)
+    if geo.n_curves:
+        t_max = jnp.where(occ, 0.0, t_max)
+        _, primc, _, _ = _traverse_wide(geo, o, d, t_max, any_hit=True,
+                                        tree="curve")
+        occ = occ | (primc >= 0)
+    return occ

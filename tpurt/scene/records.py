@@ -32,6 +32,36 @@ class TriangleMeshRecord:
 
 
 @dataclasses.dataclass
+class CurveRecord:
+    """Ray-traced cubic Bezier curve spans, pre-split at build time.
+
+    The reference intersects each Curve prim by recursive splitting at
+    render time (shapes/curve.cpp:232-374, refinement depth from the
+    width/20 criterion at curve.cpp:204-225).  The TPU design moves the
+    data-dependent part of that recursion to the BUILD: every span below
+    is already subdivided far enough that the residual refinement depth
+    is <= the device kernel's fixed unroll (intersect.CURVE_LEAF_SUBDIV),
+    so the device leaf test is a branch-free fixed-depth subdivision +
+    the reference's depth-0 segment test.  Control points are WORLD
+    space (widths scaled by the transform's uniform scale).
+
+    Arrays are per-span (S spans total for this shape):
+      cp (S, 4, 3)  cubic Bezier control points of the span
+      width (S, 2)  curve width at the span's two ends
+      u (S, 2)      span's parameter range within its segment [0,1]
+      normals (S, 2, 3) or None  ribbon frame normals at span ends
+      ctype: "flat" | "cylinder" | "ribbon"
+    """
+
+    cp: np.ndarray
+    width: np.ndarray
+    u: np.ndarray
+    normals: Optional[np.ndarray] = None
+    ctype: str = "flat"
+    kind: str = "curve"
+
+
+@dataclasses.dataclass
 class QuadricRecord:
     """Analytic quadric kept in object space with its transform pair.
     Covers sphere/cylinder/disk/cone/paraboloid/hyperboloid via ``kind``."""
