@@ -288,7 +288,7 @@ def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
             prev_rev_dir=prev_rev_dir,
             prev_rev_from=p_v,
         )
-        o_next = offset_ray_origin(si.p, si.ng, wi)
+        o_next = offset_ray_origin(si.p, si.ng, wi, si.p_eps)
         if has_media:
             o_next = jnp.where(sampled_med[:, None], p_v, o_next)
         carry = (o_next, wi, beta_next,

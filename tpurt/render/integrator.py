@@ -479,7 +479,7 @@ def _nee_prepare(scene: SceneData, si: SurfaceInteraction, lobes, u_choice,
               & jnp.any(ls.li > 0, axis=-1) & jnp.any(f > 0, axis=-1))
 
     # shadow ray: offset endpoints, shortened by ShadowEpsilon
-    o_sh = offset_ray_origin(si.p, si.ng, ls.wi)
+    o_sh = offset_ray_origin(si.p, si.ng, ls.wi, si.p_eps)
     dist = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
     t_max = jnp.where(usable, dist * (1.0 - SHADOW_EPS) - 2e-3
                       * jnp.maximum(1.0, jnp.max(jnp.abs(ls.p_light), axis=-1)),
@@ -1013,7 +1013,7 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         specular = is_spec
         prev_pdf = jnp.maximum(pdf, 1e-20)
         prev_p = si.p
-        o = offset_ray_origin(si.p, si.ng, wi)
+        o = offset_ray_origin(si.p, si.ng, wi, si.p_eps)
         d = wi
 
         # ---- subsurface hop (path.cpp:153-174) ----
@@ -1124,7 +1124,7 @@ def ao_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             w_l = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
             weight = 2.0 * w_l[:, 2]
         w = to_world(t, b, ns, w_l)
-        o_sh = offset_ray_origin(si.p, si.ng, w)
+        o_sh = offset_ray_origin(si.p, si.ng, w, si.p_eps)
         occ = intersect_any(scene.geo, o_sh, w,
                             jnp.full((n,), 1e8, jnp.float32))
         return acc + jnp.where(si.valid & ~occ, weight, 0.0), None
@@ -1425,7 +1425,7 @@ def _shadow_tr_walk(scene: SceneData, o, d, dist, med0, lane, bounce,
         crossed = hv & ~blocker & ~done
         med = jnp.where(crossed, med_next, med)
         o_cur = jnp.where(crossed[:, None],
-                          offset_ray_origin(si_k.p, si_k.ng, d), o_cur)
+                          offset_ray_origin(si_k.p, si_k.ng, d, si_k.p_eps), o_cur)
         rem = jnp.where(crossed, jnp.maximum(rem - seg, 0.0), rem)
         done = done | ~hv | blocker
     _report_budget_overflow("Media/Shadow walk budget exhausted", ~done)
@@ -1489,7 +1489,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         usable = (alive & (ls.pdf > 0) & jnp.any(ls.li > 0, axis=-1)
                   & jnp.any(f > 0, axis=-1))
         o_sh = jnp.where(is_medium[:, None], si.p,
-                         offset_ray_origin(si.p, si.ng, ls.wi))
+                         offset_ray_origin(si.p, si.ng, ls.wi, si.p_eps))
         dist = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
         t_max = jnp.where(usable, dist * (1.0 - SHADOW_EPS) - 2e-3
                           * jnp.maximum(1.0,
@@ -1639,7 +1639,7 @@ def volpath_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         # null boundary keeps direction; medium scatter from p_med
         d_new = jnp.where(null_boundary[:, None], d, wi)
         o_new = jnp.where(sampled_med[:, None], p_med,
-                          offset_ray_origin(si.p, si.ng, d_new))
+                          offset_ray_origin(si.p, si.ng, d_new, si.p_eps))
         alive = (alive_shade & (sampled_med | ok_surf)) | null_boundary
         o = o_new
         d = d_new

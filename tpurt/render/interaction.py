@@ -60,6 +60,10 @@ class SurfaceInteraction(NamedTuple):
     # the fused shade row so volpath needs no extra per-prim gathers
     med_in: jnp.ndarray = None  # (N,) i32
     med_out: jnp.ndarray = None  # (N,) i32
+    # per-lane spawn-offset floor: curve hits sit ON the span's axis
+    # plane and carry pError = 2*hitWidth (curve.cpp:342), so spawned
+    # rays must clear the tube; None for curve-free scenes
+    p_eps: jnp.ndarray = None  # (N,)
 
 
 def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
@@ -206,11 +210,13 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     ng = jnp.where(is_tri[:, None], ng_tri, ng_quad)
     ns = jnp.where(is_tri[:, None], ns_tri, ng_quad)
     uv = jnp.where(is_tri[:, None], uv_tri, uv_quad)
+    p_eps = None
     if curve_vals is not None:
         is_crv = (ptype == PT_CURVE)[:, None]
         ng = jnp.where(is_crv, curve_vals["n"], ng)
         ns = jnp.where(is_crv, curve_vals["n"], ns)
         uv = jnp.where(is_crv, curve_vals["uv"], uv)
+        p_eps = jnp.where(is_crv[:, 0] & valid, curve_vals["p_eps"], 0.0)
 
     # reverse orientation ^ transform swaps handedness flips both normals
     # (shape.h:97, interaction.cpp SurfaceInteraction ctor)
@@ -293,6 +299,7 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         valid=valid,
         med_in=jnp.where(valid, med_in, -1),
         med_out=jnp.where(valid, med_out, -1),
+        p_eps=p_eps,
         ss=ss,
         dpdu=dpdu,
         dpdv=dpdv,
@@ -391,15 +398,24 @@ def _curve_shading(rows, ints, hit, d):
     dpdv = jnp.where(is_rib, dpdv_rib, dpdv_fc)
     nrm = normalize(jnp.cross(dpdu, dpdv))
     uv = jnp.stack([u_global, v], axis=-1)
-    return {"n": nrm, "uv": uv, "dpdu": dpdu, "dpdv": dpdv}
+    # spawn-offset magnitude: OffsetRayOrigin's d = Dot(Abs(n), pError)
+    # with pError = (2*hitWidth,)*3 (interaction.h:51, curve.cpp:342);
+    # ribbons use the projected width like the reference
+    hw_eff = jnp.where(sub == CURVE_RIBBON, hw_rib, hw)
+    p_eps = 2.0 * hw_eff * jnp.sum(jnp.abs(nrm), axis=-1)
+    return {"n": nrm, "uv": uv, "dpdu": dpdu, "dpdv": dpdv, "p_eps": p_eps}
 
 
-def offset_ray_origin(p, ng, w):
+def offset_ray_origin(p, ng, w, eps_min=None):
     """Offset a spawned ray's origin along the geometric normal to escape
     self-intersection.  The reference computes exact error bounds
     (interaction.h:51 OffsetRayOrigin + EFloat); in f32 we use a
-    magnitude-relative epsilon, validated by the reintersection tests."""
+    magnitude-relative epsilon, validated by the reintersection tests.
+    eps_min (N,), when given, floors the offset — curve hits sit on the
+    span axis plane and need pError = 2*hitWidth (si.p_eps)."""
     scale = jnp.maximum(1.0, jnp.max(jnp.abs(p), axis=-1))
     eps = (2e-4 * scale)[:, None]
+    if eps_min is not None:
+        eps = jnp.maximum(eps, eps_min[:, None])
     sign = jnp.where(dot(ng, w)[:, None] >= 0, 1.0, -1.0)
     return p + sign * eps * ng

@@ -252,7 +252,7 @@ def _camera_chunk(scene: SceneData, camera, smplr, px, py, sidx, mask,
         specular = is_spec
         prev_pdf = jnp.maximum(pdf, 1e-20)
         prev_p = si.p
-        o = offset_ray_origin(si.p, si.ng, wi)
+        o = offset_ray_origin(si.p, si.ng, wi, si.p_eps)
         d = wi
 
         # beta-threshold termination (sppm.cpp:225-230), skipped on probes
@@ -441,7 +441,7 @@ def _photon_chunk(scene: SceneData, pix: SPPMPixels, es_keys, es_vals,
         beta = jnp.where((ok & ~killed)[:, None],
                          bnew / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
         alive = ok & ~killed
-        o = offset_ray_origin(si.p, si.ng, wi)
+        o = offset_ray_origin(si.p, si.ng, wi, si.p_eps)
         return (o, wi, beta, alive), rec
 
     init = (o0, le.d, beta0, ok0)
