@@ -561,8 +561,10 @@ BSS_DIMS = 8  # extra sampler dims per bounce when the scene has BSSRDFs
 # Max probe-chain steps per Sample_Sp segment (bssrdf.cpp:294-325 marches
 # unboundedly).  Non-matching hits consume a step too, so the two-sheet
 # geometry (4 same-material crossings + the floor) needs >5; 8 gives
-# margin (measured: 9.2% two-sheet error at K=4 from truncation, <5% at
-# K=8 — tests/test_cpp_parity.py::test_two_sheet_bssrdf_probe_bound).
+# margin (K=12 measures identically — the historical two-sheet error was
+# per-shape material records breaking the chain's identity match, fixed
+# in scene/api.py; tests/test_cpp_parity.py::test_two_sheet_bssrdf_probe_bound
+# now bounds it at 5% with 0.6% measured).
 _BSS_PROBE_K = 8
 
 

@@ -38,6 +38,34 @@ ALL_TRANSFORMS_BITS = (1 << MAX_TRANSFORMS) - 1
 
 _UNINITIALIZED, _OPTIONS_BLOCK, _WORLD_BLOCK = 0, 1, 2
 
+# per-value element counts for pbrt's nValues semantics (one point3 = 1
+# value = 3 floats in the flat store)
+_ELEMS = {"point2": 2, "vector2": 2, "point3": 3, "vector3": 3,
+          "normal": 3, "rgb": 3, "xyz": 3, "blackbody": 2}
+
+
+def _shape_may_set_material_parameters(ps: ParamSet) -> bool:
+    """shapeMaySetMaterialParameters (api.cpp:1428-1477): heuristically
+    detect shape ParamSets that shadow material parameters, forcing a
+    one-off material.  Texture refs (except alpha masks), any
+    single-valued param, and strings other than the known shape ones
+    ("filename"/"type"/"scheme") count; "radius" floats don't."""
+    for name in ps.keys():
+        t = ps.declared_type(name)
+        n = len(ps._items[name][1]) // _ELEMS.get(t, 1)
+        if t == "texture":
+            if name not in ("alpha", "shadowalpha"):
+                return True
+        elif t == "float":
+            if n == 1 and name != "radius":
+                return True
+        elif t == "string":
+            if n == 1 and name not in ("filename", "type", "scheme"):
+                return True
+        elif n == 1:  # bool/int/point/vector/normal/spectrum single values
+            return True
+    return False
+
 
 class APIError(RuntimeError):
     pass
@@ -73,6 +101,14 @@ class _GraphicsState:
         self.named_materials: Dict[str, MaterialRecord] = {}
         self.material_name: str = "matte"
         self.material_params: ParamSet = ParamSet()
+        # The resolved record for the current Material directive, created
+        # EAGERLY and shared by every Shape that doesn't shadow material
+        # params (api.cpp:1248 MaterialInstance + GetMaterialForShape
+        # :1479-1491).  Sharing is semantic, not just an optimization: the
+        # BSSRDF probe chain admits crossings by material IDENTITY
+        # (bssrdf.cpp:311 compares Material pointers), so two shapes under
+        # one directive must map to one material id.
+        self.current_material_rec: Optional[MaterialRecord] = None
         self.current_named_material: Optional[str] = None
         self.area_light: Optional[str] = None
         self.area_light_params: ParamSet = ParamSet()
@@ -223,10 +259,11 @@ class PbrtAPI:
 
     def accelerator(self, name: str, params: ParamSet) -> None:
         self._verify_options("Accelerator")
-        if name not in ("bvh", ""):
-            # the reference offers bvh + kdtree (api.cpp:771-784); on TPU
-            # every scene traverses the wide BVH (gather-count optimal)
-            log.info('accelerator "%s" maps to the wide BVH on TPU', name)
+        if name not in ("bvh", "kdtree", ""):
+            # the reference offers bvh + kdtree (api.cpp:771-784)
+            log.warning('accelerator "%s" unknown; using the wide BVH',
+                        name)
+            name = "bvh"
         self.render.accelerator_name = name
         self.render.accelerator_params = params
 
@@ -350,6 +387,11 @@ class PbrtAPI:
         self.graphics.material_name = name
         self.graphics.material_params = params
         self.graphics.current_named_material = None
+        # resolve NOW (textures bind at directive time) and share the one
+        # record across shapes — pbrtMaterial creates the MaterialInstance
+        # immediately (api.cpp:1245-1249)
+        self.graphics.current_material_rec = self._create_material(
+            name, ParamSet(), params)
 
     def make_named_material(self, name: str, params: ParamSet) -> None:
         self._verify_world("MakeNamedMaterial")
@@ -389,8 +431,10 @@ class PbrtAPI:
         return rec
 
     def _material_for_shape(self, geom_params: ParamSet) -> Optional[MaterialRecord]:
-        """GraphicsState::GetMaterialForShape — shape params shadow material
-        params via TextureParams."""
+        """GraphicsState::GetMaterialForShape (api.cpp:1479-1491): a shape
+        gets a ONE-OFF material only when its params apparently shadow
+        material params (shapeMaySetMaterialParameters, api.cpp:1428);
+        otherwise it shares the directive's record."""
         g = self.graphics
         if g.current_named_material is not None:
             rec = g.named_materials.get(g.current_named_material)
@@ -399,7 +443,13 @@ class PbrtAPI:
                           g.current_named_material)
                 return self._create_material("matte", geom_params, ParamSet())
             return rec
-        return self._create_material(g.material_name, geom_params, g.material_params)
+        if _shape_may_set_material_parameters(geom_params):
+            return self._create_material(g.material_name, geom_params,
+                                         g.material_params)
+        if g.current_material_rec is None:  # initial default matte
+            g.current_material_rec = self._create_material(
+                g.material_name, ParamSet(), g.material_params)
+        return g.current_material_rec
 
     def light_source(self, name: str, params: ParamSet) -> None:
         self._verify_world("LightSource")
