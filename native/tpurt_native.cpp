@@ -216,6 +216,197 @@ int build_range(BuildCtx& c, int32_t* prims, int count) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// SAH kd-tree build (accelerators/kdtreeaccel.cpp:44-349 semantics:
+// per-axis edge-event sweep, empty bonus, bad-refine retries, prim
+// duplication across leaves).  Nodes are emitted depth-first with the
+// below child adjacent (node+1) and the above child recorded, matching
+// the reference's flat layout (kdtreeaccel.h:55-92).
+// ---------------------------------------------------------------------------
+
+namespace kd {
+
+struct Edge {
+    float t;
+    int prim;
+    bool start;
+    bool operator<(const Edge& o) const {
+        if (t == o.t) return (int)start > (int)o.start;  // starts first
+        return t < o.t;
+    }
+};
+
+struct Ctx {
+    const float* lo;
+    const float* hi;
+    int isect_cost, trav_cost, max_prims, max_depth;
+    double empty_bonus;
+    // outputs
+    std::vector<float> split;
+    std::vector<int32_t> axis;     // 0..2 interior, 3 leaf
+    std::vector<int32_t> above;    // above-child node id (interior)
+    std::vector<int32_t> prim_off;
+    std::vector<int32_t> n_prims;
+    std::vector<int32_t> indices;
+};
+
+double sa(const double b[6]) {
+    double d0 = std::max(0.0, b[3] - b[0]);
+    double d1 = std::max(0.0, b[4] - b[1]);
+    double d2 = std::max(0.0, b[5] - b[2]);
+    return 2.0 * (d0 * d1 + d0 * d2 + d1 * d2);
+}
+
+int make_leaf(Ctx& c, const int32_t* prims, int n) {
+    int node = (int)c.split.size();
+    c.split.push_back(0.f);
+    c.axis.push_back(3);
+    c.above.push_back(-1);
+    c.prim_off.push_back((int32_t)c.indices.size());
+    c.n_prims.push_back(n);
+    for (int i = 0; i < n; ++i) c.indices.push_back(prims[i]);
+    return node;
+}
+
+int build(Ctx& c, const double bounds[6], const int32_t* prims, int n,
+          int depth, std::vector<Edge>& edges, int bad_refines) {
+    if (n <= c.max_prims || depth == 0) return make_leaf(c, prims, n);
+
+    // pick best split: start at the largest extent, retry other axes
+    int best_axis = -1, best_edge = -1;
+    double best_cost = 1e300;
+    double old_cost = (double)c.isect_cost * n;
+    double inv_sa = 1.0 / std::max(sa(bounds), 1e-300);
+    double d[3] = {bounds[3] - bounds[0], bounds[4] - bounds[1],
+                   bounds[5] - bounds[2]};
+    int axis0 = 0;
+    if (d[1] > d[axis0]) axis0 = 1;
+    if (d[2] > d[axis0]) axis0 = 2;
+    std::vector<Edge> best_edges;
+    for (int retry = 0; retry < 3; ++retry) {
+        int axis = (axis0 + retry) % 3;
+        edges.clear();
+        edges.reserve(2 * n);
+        for (int i = 0; i < n; ++i) {
+            int p = prims[i];
+            edges.push_back({c.lo[3 * p + axis], p, true});
+            edges.push_back({c.hi[3 * p + axis], p, false});
+        }
+        std::sort(edges.begin(), edges.end());
+        int n_below = 0, n_above = n;
+        for (int i = 0; i < 2 * n; ++i) {
+            if (!edges[i].start) --n_above;
+            double t = edges[i].t;
+            if (t > bounds[axis] && t < bounds[3 + axis]) {
+                int o1 = (axis + 1) % 3, o2 = (axis + 2) % 3;
+                double bsa = 2.0 * (d[o1] * d[o2]
+                             + (t - bounds[axis]) * (d[o1] + d[o2]));
+                double asa = 2.0 * (d[o1] * d[o2]
+                             + (bounds[3 + axis] - t) * (d[o1] + d[o2]));
+                double pb = bsa * inv_sa, pa = asa * inv_sa;
+                double eb = (n_above == 0 || n_below == 0) ? c.empty_bonus
+                                                           : 0.0;
+                double cost = c.trav_cost + c.isect_cost * (1.0 - eb)
+                              * (pb * n_below + pa * n_above);
+                if (cost < best_cost) {
+                    best_cost = cost;
+                    best_axis = axis;
+                    best_edge = i;
+                }
+            }
+            if (edges[i].start) ++n_below;
+        }
+        if (best_axis != -1) {
+            if (best_axis == axis) best_edges = edges;
+            break;
+        }
+    }
+    if (best_cost > old_cost) ++bad_refines;
+    if ((best_cost > 4.0 * old_cost && n < 16) || best_axis == -1 ||
+        bad_refines == 3)
+        return make_leaf(c, prims, n);
+
+    // classify prims against the chosen edge
+    std::vector<int32_t> below;
+    std::vector<int32_t> above_p;
+    for (int i = 0; i < best_edge; ++i)
+        if (best_edges[i].start) below.push_back(best_edges[i].prim);
+    for (int i = best_edge + 1; i < 2 * n; ++i)
+        if (!best_edges[i].start) above_p.push_back(best_edges[i].prim);
+
+    float tsplit = best_edges[best_edge].t;
+    int node = (int)c.split.size();
+    c.split.push_back(tsplit);
+    c.axis.push_back(best_axis);
+    c.above.push_back(-1);
+    c.prim_off.push_back(0);
+    c.n_prims.push_back(0);
+
+    double b0[6], b1[6];
+    std::memcpy(b0, bounds, sizeof b0);
+    std::memcpy(b1, bounds, sizeof b1);
+    b0[3 + best_axis] = tsplit;
+    b1[best_axis] = tsplit;
+    build(c, b0, below.data(), (int)below.size(), depth - 1, edges,
+          bad_refines);
+    c.above[node] = build(c, b1, above_p.data(), (int)above_p.size(),
+                          depth - 1, edges, bad_refines);
+    return node;
+}
+
+}  // namespace kd
+
+// SAH kd-tree over n primitive bounds.  Node outputs are capped at
+// node_cap entries and leaf prim indices at idx_cap; returns the node
+// count, or -(needed_nodes) when a cap is too small (caller retries with
+// bigger buffers).  n_indices_out receives the index count.
+int32_t build_kdtree_sah(const float* lo, const float* hi, int32_t n,
+                         int32_t isect_cost, int32_t trav_cost,
+                         float empty_bonus, int32_t max_prims,
+                         int32_t max_depth, int32_t node_cap,
+                         int32_t idx_cap, float* split_out,
+                         int32_t* axis_out, int32_t* above_out,
+                         int32_t* prim_off_out, int32_t* n_prims_out,
+                         int32_t* indices_out, float* bounds_out,
+                         int32_t* n_indices_out) {
+    if (n <= 0) return -1;
+    kd::Ctx c;
+    c.lo = lo;
+    c.hi = hi;
+    c.isect_cost = isect_cost;
+    c.trav_cost = trav_cost;
+    c.empty_bonus = empty_bonus;
+    c.max_prims = std::max(1, (int)max_prims);
+    c.max_depth = max_depth > 0
+        ? max_depth
+        : (int)std::lround(8.0 + 1.3 * std::log2((double)n));
+
+    double bounds[6] = {1e300, 1e300, 1e300, -1e300, -1e300, -1e300};
+    for (int i = 0; i < n; ++i)
+        for (int k = 0; k < 3; ++k) {
+            bounds[k] = std::min(bounds[k], (double)lo[3 * i + k]);
+            bounds[3 + k] = std::max(bounds[3 + k], (double)hi[3 * i + k]);
+        }
+    std::vector<int32_t> prims(n);
+    for (int i = 0; i < n; ++i) prims[i] = i;
+    std::vector<kd::Edge> edges;
+    kd::build(c, bounds, prims.data(), n, c.max_depth, edges, 0);
+
+    int m = (int)c.split.size();
+    if (m > node_cap || (int)c.indices.size() > idx_cap)
+        return -std::max(m, (int)c.indices.size());
+    std::memcpy(split_out, c.split.data(), m * sizeof(float));
+    std::memcpy(axis_out, c.axis.data(), m * sizeof(int32_t));
+    std::memcpy(above_out, c.above.data(), m * sizeof(int32_t));
+    std::memcpy(prim_off_out, c.prim_off.data(), m * sizeof(int32_t));
+    std::memcpy(n_prims_out, c.n_prims.data(), m * sizeof(int32_t));
+    std::memcpy(indices_out, c.indices.data(),
+                c.indices.size() * sizeof(int32_t));
+    for (int k = 0; k < 6; ++k) bounds_out[k] = (float)bounds[k];
+    *n_indices_out = (int32_t)c.indices.size();
+    return m;
+}
+
 // Returns the number of nodes written, or -1 on error.  Output buffers must
 // have capacity for 2*n nodes; order for n entries.
 int32_t build_bvh_sah(const float* lo, const float* hi, int32_t n,

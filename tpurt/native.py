@@ -66,6 +66,16 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.build_kdtree_sah.restype = ctypes.c_int32
+        lib.build_kdtree_sah.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.gen_halton_perms.restype = None
         lib.gen_halton_perms.argtypes = [
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
@@ -107,6 +117,48 @@ def build_bvh_native(lo: np.ndarray, hi: np.ndarray, max_leaf: int = 1):
         return None
     return (nb_lo[:m].copy(), nb_hi[:m].copy(), right[:m].copy(),
             prim_off[:m].copy(), n_prims[:m].copy(), axis[:m].copy(), order)
+
+
+def build_kdtree_native(lo: np.ndarray, hi: np.ndarray,
+                        isect_cost: int = 80, trav_cost: int = 1,
+                        empty_bonus: float = 0.5, max_prims: int = 1,
+                        max_depth: int = -1):
+    """Native SAH kd-tree build (kdtreeaccel.cpp semantics); returns
+    (split, axis, above, prim_off, n_prims, indices, bounds(2,3)) or
+    None when the library is unavailable.  axis == 3 marks leaves."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(lo)
+    lo32 = np.ascontiguousarray(lo, np.float32)
+    hi32 = np.ascontiguousarray(hi, np.float32)
+    node_cap = max(4 * n, 1024)
+    idx_cap = max(8 * n, 1024)
+    for _ in range(4):  # retry with doubled caps on overflow
+        split = np.zeros(node_cap, np.float32)
+        axis = np.zeros(node_cap, np.int32)
+        above = np.zeros(node_cap, np.int32)
+        prim_off = np.zeros(node_cap, np.int32)
+        n_prims = np.zeros(node_cap, np.int32)
+        indices = np.zeros(idx_cap, np.int32)
+        bounds = np.zeros(6, np.float32)
+        n_idx = np.zeros(1, np.int32)
+        m = lib.build_kdtree_sah(
+            _fptr(lo32), _fptr(hi32), n, isect_cost, trav_cost,
+            ctypes.c_float(empty_bonus), max_prims, max_depth,
+            node_cap, idx_cap, _fptr(split), _iptr(axis), _iptr(above),
+            _iptr(prim_off), _iptr(n_prims), _iptr(indices), _fptr(bounds),
+            _iptr(n_idx))
+        if m > 0:
+            k = int(n_idx[0])
+            return (split[:m].copy(), axis[:m].copy(), above[:m].copy(),
+                    prim_off[:m].copy(), n_prims[:m].copy(),
+                    indices[:k].copy(), bounds.reshape(2, 3))
+        if m == -1:
+            return None
+        node_cap = max(node_cap, -m) * 2
+        idx_cap = max(idx_cap, -m) * 2
+    return None
 
 
 def gen_halton_perms_native(primes: np.ndarray):

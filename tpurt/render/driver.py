@@ -229,7 +229,8 @@ def build_job(sd: SceneDescription, quick: bool = False,
     from tpurt.render.materials_build import fuse_material_rows
 
     scene = SceneData(
-        geo=DeviceGeometry.from_host(geo_h),
+        geo=DeviceGeometry.from_host(geo_h, accel=sd.accelerator_name,
+                                     accel_params=sd.accelerator_params),
         lights=lights,
         # fused rows: constants + kind + k3 + mix ids + hair + fourier
         # tix in ONE row per material (one gather per lane per lookup)

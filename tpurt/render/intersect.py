@@ -122,14 +122,24 @@ class DeviceGeometry(NamedTuple):
     cnodes: jnp.ndarray = None
     cnodes_aux: jnp.ndarray = None
 
+    # kd-tree accelerator (Accelerator "kdtree"): packed node/leaf table
+    # (geom/kdtree.py layout; leaves share the BVH fused-triangle bundle
+    # format) + the root clip bounds.  None under the default wide BVH.
+    knodes: jnp.ndarray = None
+    knodes_delta: jnp.ndarray = None
+    kbounds: jnp.ndarray = None  # (2, 3)
+
     n_tris: int = 0
     n_quads: int = 0
     n_curves: int = 0
     wstack_depth: int = 64
     cstack_depth: int = 64
+    kstack_depth: int = 32
+    accel: str = "bvh"
 
     @staticmethod
-    def from_host(g: GeometryArrays) -> "DeviceGeometry":
+    def from_host(g: GeometryArrays, accel: str = "bvh",
+                  accel_params=None) -> "DeviceGeometry":
         from tpurt.geom.wbvh import WIDTH, build_wide_table
 
         f = jnp.asarray
@@ -146,6 +156,29 @@ class DeviceGeometry(NamedTuple):
         sdepth = 8
         while sdepth < min(need, 192):
             sdepth *= 2
+
+        knodes = kdelta = kbounds = None
+        kdepth = 32
+        if accel == "kdtree":
+            from tpurt.geom.kdtree import build_kd_table
+
+            nt = g.n_tris
+            p = accel_params
+            kw = dict(
+                isect_cost=p.find_one_int("intersectcost", 80) if p else 80,
+                trav_cost=p.find_one_int("traversalcost", 1) if p else 1,
+                empty_bonus=p.find_one_float("emptybonus", 0.5) if p else 0.5,
+                max_prims=(p.find_one_int("maxprims", 0) or None) if p
+                else None,
+                max_depth=p.find_one_int("maxdepth", -1) if p else -1,
+            )
+            if g.has_motion:
+                knodes, kdelta, kbounds, kdepth = build_kd_table(
+                    g.tri_v0[:nt], g.tri_v1[:nt], g.tri_v2[:nt],
+                    g.tri_e0[:nt], g.tri_e1[:nt], g.tri_e2[:nt], **kw)
+            else:
+                knodes, kdelta, kbounds, kdepth = build_kd_table(
+                    g.tri_v0[:nt], g.tri_v1[:nt], g.tri_v2[:nt], **kw)
 
         p = len(g.prim_type)
         prims = np.zeros((p, 16), np.float32)
@@ -219,6 +252,10 @@ class DeviceGeometry(NamedTuple):
         return DeviceGeometry(
             n_tris=g.n_tris, n_quads=g.n_quads, n_curves=g.n_curves,
             wstack_depth=sdepth, cstack_depth=cdepth,
+            kstack_depth=kdepth, accel=accel if knodes is not None else "bvh",
+            knodes=f(knodes) if knodes is not None else None,
+            knodes_delta=f(kdelta) if kdelta is not None else None,
+            kbounds=f(kbounds) if kbounds is not None else None,
             cnodes=f(cnodes) if cnodes is not None else None,
             cnodes_aux=f(caux) if caux is not None else None,
             wnodes=f(wnodes), prims_packed=f(prims),
@@ -253,7 +290,7 @@ register_static_pytree(
     DeviceGeometry,
     [f for f in DeviceGeometry._fields
      if f not in ("n_tris", "n_quads", "n_curves",
-                  "wstack_depth", "cstack_depth")],
+                  "wstack_depth", "cstack_depth", "kstack_depth", "accel")],
 )
 
 
@@ -995,6 +1032,133 @@ def _wide_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
     return cond, body
 
 
+def _kd_step_fns(geo: DeviceGeometry, o, d, inv_d, any_hit: bool,
+                 time=None):
+    """kd-tree traversal (cond, body) closures (KdTreeAccel::Intersect,
+    kdtreeaccel.cpp:410-484, vectorized over ray lanes): binary descent
+    with a per-lane (node, tMin, tMax) interval stack, near child first,
+    far child pushed with the clipped interval.  Leaf rows reuse the
+    BVH's fused-triangle bundle test; oversized leaves walk their
+    continuation chain before popping.  State (last 4 slots match the
+    wide-BVH convention): (cur, sp, st_node, st_tmin, st_tmax, tmin,
+    tmax, t_best, prim_best, b0_best, b1_best)."""
+    from tpurt.geom.kdtree import (SLOT_ABOVE, SLOT_AXIS, SLOT_BELOW,
+                                   SLOT_CONT, SLOT_SPLIT)
+
+    nodes = geo.knodes
+    nodes_delta = geo.knodes_delta
+    S = geo.kstack_depth
+    iota_s = jnp.arange(S, dtype=jnp.int32)[None, :]
+    iota_k = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :]
+    prim_lo = 9 * LEAF_K
+
+    def cond(state):
+        return jnp.any(state[0] >= 0)
+
+    def body(state):
+        (cur, sp, stn, stmin, stmax, tmin, tmax,
+         t_best, prim_best, b0_best, b1_best) = state
+        live = cur >= 0
+        rec = jnp.take(nodes, jnp.maximum(cur, 0), axis=0)
+        is_leaf = rec[:, SLOT_KIND] > 0
+
+        # --- leaf: fused triangle bundle (shared with the BVH table) ---
+        if nodes_delta is not None and time is not None:
+            drec = jnp.take(nodes_delta, jnp.maximum(cur, 0), axis=0)
+            h, t, b0, b1 = _tri_bundle_test(o, d, t_best, rec, drec, time)
+        else:
+            h, t, b0, b1 = _tri_bundle_test(o, d, t_best, rec)
+        tk = jnp.where(h, t, INF)
+        t_min_leaf = jnp.min(tk, axis=1)
+        kbest = jnp.argmin(tk, axis=1)
+        ohk = iota_k == kbest[:, None]
+        prim_rows = jax.lax.bitcast_convert_type(
+            rec[:, prim_lo:prim_lo + LEAF_K], jnp.int32)
+        better = live & is_leaf & (t_min_leaf < t_best)
+        t_best = jnp.where(better, t_min_leaf, t_best)
+        prim_best = jnp.where(
+            better, jnp.sum(jnp.where(ohk, prim_rows, 0), axis=1), prim_best)
+        b0_best = jnp.where(
+            better, jnp.sum(jnp.where(ohk, b0, 0.0), axis=1), b0_best)
+        b1_best = jnp.where(
+            better, jnp.sum(jnp.where(ohk, b1, 0.0), axis=1), b1_best)
+        cont = jax.lax.bitcast_convert_type(rec[:, SLOT_CONT], jnp.int32)
+
+        # --- interior: split-plane interval descent ---
+        split = rec[:, SLOT_SPLIT]
+        axis = jax.lax.bitcast_convert_type(rec[:, SLOT_AXIS], jnp.int32)
+        below = jax.lax.bitcast_convert_type(rec[:, SLOT_BELOW], jnp.int32)
+        above = jax.lax.bitcast_convert_type(rec[:, SLOT_ABOVE], jnp.int32)
+        oh_ax = axis[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :]
+        o_a = jnp.sum(jnp.where(oh_ax, o, 0.0), axis=1)
+        d_a = jnp.sum(jnp.where(oh_ax, d, 0.0), axis=1)
+        inv_a = jnp.sum(jnp.where(oh_ax, inv_d, 0.0), axis=1)
+        tplane = (split - o_a) * inv_a
+        below_first = (o_a < split) | ((o_a == split) & (d_a <= 0))
+        near = jnp.where(below_first, below, above)
+        far = jnp.where(below_first, above, below)
+        # a popped cell past the current best can't improve: pop again
+        dead = tmin > t_best
+        no_far = (tplane > tmax) | (tplane <= 0)
+        no_near = tplane < tmin
+        nxt_int = jnp.where(no_far | ~no_near, near, far)
+        push = live & ~is_leaf & ~dead & ~no_far & ~no_near
+
+        # push the far child's (node, tplane, tmax) interval
+        oh_sp = (iota_s == sp[:, None]) & push[:, None]
+        stn = jnp.where(oh_sp, far[:, None], stn)
+        stmin = jnp.where(oh_sp, tplane[:, None], stmin)
+        stmax = jnp.where(oh_sp, tmax[:, None], stmax)
+        sp_pushed = jnp.where(push, sp + 1, sp)
+
+        # pop values (read before the sp update; pushes and pops are
+        # mutually exclusive per lane)
+        pop_req = live & ((is_leaf & (cont < 0)) | (~is_leaf & dead))
+        can_pop = pop_req & (sp > 0)
+        sp_top = jnp.maximum(sp - 1, 0)
+        oh_top = iota_s == sp_top[:, None]
+        top_n = jnp.sum(jnp.where(oh_top, stn, 0), axis=1)
+        top_tmin = jnp.sum(jnp.where(oh_top, stmin, 0.0), axis=1)
+        top_tmax = jnp.sum(jnp.where(oh_top, stmax, 0.0), axis=1)
+
+        descend = live & ~is_leaf & ~dead
+        nxt = jnp.where(descend, nxt_int,
+                        jnp.where(is_leaf & (cont >= 0), cont,
+                                  jnp.where(can_pop, top_n, -1)))
+        tmin = jnp.where(can_pop, top_tmin, tmin)
+        tmax = jnp.where(can_pop, top_tmax,
+                         jnp.where(push, tplane, tmax))
+        sp = jnp.where(can_pop, sp - 1, sp_pushed)
+        if isinstance(any_hit, bool):
+            if any_hit:
+                nxt = jnp.where(prim_best >= 0, -1, nxt)
+        else:
+            nxt = jnp.where(any_hit & (prim_best >= 0), -1, nxt)
+        cur = jnp.where(live, nxt, cur)
+        return (cur, sp, stn, stmin, stmax, tmin, tmax,
+                t_best, prim_best, b0_best, b1_best)
+
+    return cond, body
+
+
+def _kd_init_state(geo: DeviceGeometry, o, d, inv_d, t_max):
+    """Root-bounds clip (Bounds3::IntersectP) + initial kd state."""
+    n = o.shape[0]
+    S = geo.kstack_depth
+    t0 = (geo.kbounds[0][None, :] - o) * inv_d
+    t1 = (geo.kbounds[1][None, :] - o) * inv_d
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=1) * _BOX_T_SCALE
+    tmin = jnp.maximum(tnear, 0.0)
+    tmax = jnp.minimum(tfar, t_max)
+    cur = jnp.where((t_max > 0) & (tmin <= tmax), 0, -1).astype(jnp.int32)
+    return (cur, jnp.zeros(n, jnp.int32),
+            jnp.zeros((n, S), jnp.int32), jnp.zeros((n, S), jnp.float32),
+            jnp.zeros((n, S), jnp.float32), tmin, tmax,
+            t_max, jnp.full(n, -1, jnp.int32),
+            jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
+
+
 def _spread3(x):
     """Spread the low 10 bits of x so consecutive bits land 3 apart
     (Morton interleave building block)."""
@@ -1063,20 +1227,27 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
                                          tree=tree)
         unscatter = lambda a: jnp.zeros_like(a).at[perm].set(a)
         return unscatter(t), unscatter(prim), unscatter(b0), unscatter(b1)
-    S = geo.cstack_depth if tree == "curve" else geo.wstack_depth
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     inv_d = jnp.where(d != 0, 1.0 / d, jnp.where(d >= 0, INF, -INF))
 
-    cur = jnp.where(t_max > 0, 0, -1).astype(jnp.int32)
-    state = (cur, jnp.zeros(n, jnp.int32), jnp.zeros((n, S), jnp.int32),
-             t_max, jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
-             jnp.zeros(n, jnp.float32))
+    kd = tree == "tri" and geo.accel == "kdtree"
+    if kd:
+        state = _kd_init_state(geo, o, d, inv_d, t_max)
+        step_fns = lambda g, oo, dd, ii, ah, tt, _tr: _kd_step_fns(
+            g, oo, dd, ii, ah, tt)
+    else:
+        S = geo.cstack_depth if tree == "curve" else geo.wstack_depth
+        cur = jnp.where(t_max > 0, 0, -1).astype(jnp.int32)
+        state = (cur, jnp.zeros(n, jnp.int32), jnp.zeros((n, S), jnp.int32),
+                 t_max, jnp.full(n, -1, jnp.int32),
+                 jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
+        step_fns = _wide_step_fns
 
-    cond, body = _wide_step_fns(geo, o, d, inv_d, any_hit, time, tree)
+    cond, body = step_fns(geo, o, d, inv_d, any_hit, time, tree)
 
     if n // COMPACT_DIV < 1024:
         # narrow wavefronts gain nothing from compaction: run to completion
-        _, _, _, t, prim, b0, b1 = jax.lax.while_loop(cond, body, state)
+        *_, t, prim, b0, b1 = jax.lax.while_loop(cond, body, state)
         return t, prim, b0, b1
 
     # Occupancy-driven two-phase schedule (replaces the round-2 fixed
@@ -1109,11 +1280,10 @@ def _traverse_wide(geo: DeviceGeometry, o, d, t_max, any_hit,
                 else None)
     sub_any = (any_hit if isinstance(any_hit, bool)
                else jnp.take(any_hit, idxc, axis=0))
-    sub_cond, sub_body = _wide_step_fns(geo, *sub_rays, sub_any, sub_time,
-                                        tree)
+    sub_cond, sub_body = step_fns(geo, *sub_rays, sub_any, sub_time, tree)
     sub = jax.lax.while_loop(sub_cond, sub_body, sub)
     state = tuple(a.at[idxc].set(s) for a, s in zip(state, sub))
-    _, _, _, t, prim, b0, b1 = state
+    *_, t, prim, b0, b1 = state
     return t, prim, b0, b1
 
 
