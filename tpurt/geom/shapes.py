@@ -94,8 +94,8 @@ def _create_quadric(kind: str, o2w: Transform, ps: ParamSet) -> List[QuadricReco
 
 # -- triangle meshes -----------------------------------------------------------
 
-def _mesh_from_arrays(o2w: Transform, P, indices, N=None, UV=None, S=None
-                      ) -> List[TriangleMeshRecord]:
+def _mesh_from_arrays(o2w: Transform, P, indices, N=None, UV=None, S=None,
+                      face_indices=None) -> List[TriangleMeshRecord]:
     P = np.asarray(P, dtype=np.float64).reshape(-1, 3)
     indices = np.asarray(indices, dtype=np.int64).reshape(-1, 3)
     if indices.size and (indices.min() < 0 or indices.max() >= len(P)):
@@ -117,6 +117,8 @@ def _mesh_from_arrays(o2w: Transform, P, indices, N=None, UV=None, S=None
         normals=None if world_N is None else world_N.astype(np.float32),
         uvs=None if uv is None else uv.astype(np.float32),
         tangents=None if world_S is None else world_S.astype(np.float32),
+        face_indices=(None if face_indices is None
+                      else np.asarray(face_indices, np.int32).reshape(-1)),
     )]
 
 
@@ -145,7 +147,12 @@ def _create_triangle_mesh(o2w: Transform, ps: ParamSet) -> List[TriangleMeshReco
     S = ps.find_vector3_array("S")
     if S is not None and len(S) != len(P):
         S = None
-    return _mesh_from_arrays(o2w, P, indices, N, uv, S)
+    fi = ps.find_int_array("faceIndices")
+    if fi is not None and len(fi) != len(indices) // 3:
+        log.error("# of face indices != # of triangles; discarding "
+                  "(triangle.cpp:710-716)")
+        fi = None
+    return _mesh_from_arrays(o2w, P, indices, N, uv, S, face_indices=fi)
 
 
 def _create_heightfield(o2w: Transform, ps: ParamSet) -> List[TriangleMeshRecord]:

@@ -98,6 +98,8 @@ class GeometryArrays:
     # media interface per prim (-1 = vacuum)
     medium_inside: np.ndarray = None  # (P,) i32
     medium_outside: np.ndarray = None  # (P,) i32
+    # per-triangle ptex face ids (triangle.cpp faceIndices; 0 default)
+    face_id: np.ndarray = None  # (P,) i32
     # animated meshes (TransformedPrimitive analog): end-transform verts
     # and normals; equal to the start arrays for static prims
     tri_e0: np.ndarray = None  # (P, 3)
@@ -172,7 +174,7 @@ def flatten_geometry(
     tri_v0, tri_v1, tri_v2, tri_vi = [], [], [], []
     tri_e0, tri_e1, tri_e2 = [], [], []  # end-transform verts (motion)
     prim_type, mat_id, al_id, flags, quad_id = [], [], [], [], []
-    med_in, med_out = [], []
+    med_in, med_out, face_id = [], [], []
     vert_n, vert_uv, vert_s, vert_ne = [], [], [], []
     quads_w2o, quads_o2w, quads_params = [], [], []
     quads_trs, quads_anim = [], []
@@ -237,6 +239,9 @@ def flatten_geometry(
             quad_id.append(np.full(n_tri, -1, np.int32))
             med_in.append(np.full(n_tri, mi_in, np.int32))
             med_out.append(np.full(n_tri, mi_out, np.int32))
+            face_id.append(shape.face_indices.astype(np.int32)
+                           if shape.face_indices is not None
+                           else np.zeros(n_tri, np.int32))
             lo0 = np.minimum(np.minimum(v0, v1), v2)
             hi0 = np.maximum(np.maximum(v0, v1), v2)
             lo1 = np.minimum(np.minimum(e0, e1), e2)
@@ -327,6 +332,7 @@ def flatten_geometry(
             quad_id.append(np.array([qi], np.int32))
             med_in.append(np.array([mi_in], np.int32))
             med_out.append(np.array([mi_out], np.int32))
+            face_id.append(np.zeros(1, np.int32))
             tri_v0.append(np.full((1, 3), np.nan, np.float32))
             tri_v1.append(np.full((1, 3), np.nan, np.float32))
             tri_v2.append(np.full((1, 3), np.nan, np.float32))
@@ -377,6 +383,7 @@ def flatten_geometry(
             quad_id.append(np.full(s, -1, np.int32))
             med_in.append(np.full(s, mi_in, np.int32))
             med_out.append(np.full(s, mi_out, np.int32))
+            face_id.append(np.zeros(s, np.int32))
             for tarr in (tri_v0, tri_v1, tri_v2, tri_e0, tri_e1, tri_e2):
                 tarr.append(np.full((s, 3), np.nan, np.float32))
             tri_vi.append(np.zeros((s, 3), np.int64))
@@ -399,6 +406,7 @@ def flatten_geometry(
         quad_id.append(np.array([-1], np.int32))
         med_in.append(np.array([-1], np.int32))
         med_out.append(np.array([-1], np.int32))
+        face_id.append(np.zeros(1, np.int32))
         for t in (tri_v0, tri_v1, tri_v2, tri_e0, tri_e1, tri_e2):
             t.append(np.full((1, 3), np.nan, np.float32))
         tri_vi.append(np.zeros((1, 3), np.int64))
@@ -418,6 +426,7 @@ def flatten_geometry(
     quad_idx = cat(quad_id, np.int32, (0,))
     med_in = cat(med_in, np.int32, (0,))
     med_out = cat(med_out, np.int32, (0,))
+    face_id = cat(face_id, np.int32, (0,))
     tri_v0 = cat(tri_v0, np.float32, (0, 3))
     tri_v1 = cat(tri_v1, np.float32, (0, 3))
     tri_v2 = cat(tri_v2, np.float32, (0, 3))
@@ -456,6 +465,7 @@ def flatten_geometry(
         quad_idx = np.concatenate([quad_idx, [-1]]).astype(np.int32)
         med_in = np.concatenate([med_in, [-1]]).astype(np.int32)
         med_out = np.concatenate([med_out, [-1]]).astype(np.int32)
+        face_id = np.concatenate([face_id, [0]]).astype(np.int32)
         tri_v0 = np.concatenate([tri_v0, np.full((1, 3), np.nan, np.float32)])
         tri_v1 = np.concatenate([tri_v1, np.full((1, 3), np.nan, np.float32)])
         tri_v2 = np.concatenate([tri_v2, np.full((1, 3), np.nan, np.float32)])
@@ -560,6 +570,7 @@ def flatten_geometry(
         has_motion=has_motion,
         medium_inside=pad_rows(med_in[perm], p_bucket, -1),
         medium_outside=pad_rows(med_out[perm], p_bucket, -1),
+        face_id=pad_rows(face_id[perm], p_bucket),
         quad_id=pad_rows(quad_idx[perm], p_bucket, -1),
         quad_w2o=pad_rows(q_w2o, q_bucket),
         quad_o2w=pad_rows(q_o2w, q_bucket),

@@ -64,6 +64,8 @@ class SurfaceInteraction(NamedTuple):
     # plane and carry pError = 2*hitWidth (curve.cpp:342), so spawned
     # rays must clear the tube; None for curve-free scenes
     p_eps: jnp.ndarray = None  # (N,)
+    # ptex source face id (triangle.cpp faceIndices; 0 when absent)
+    face_index: jnp.ndarray = None  # (N,) i32
 
 
 def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
@@ -96,6 +98,10 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
     med_in = ints[:, 5]
     med_out = ints[:, 6]
     is_tri = ptype == PT_TRIANGLE
+    # ptex face id rides slot 31 for triangles (curves store invSin there)
+    face_index = jnp.where(
+        is_tri & valid,
+        jax.lax.bitcast_convert_type(rows[:, 31], jnp.int32), 0)
 
     # --- triangle attributes (lerped to the ray time for motion blur) ---
     v0 = rows[:, 7:10]
@@ -300,6 +306,7 @@ def compute_interaction(geo: DeviceGeometry, hit: Hit, o, d,
         med_in=jnp.where(valid, med_in, -1),
         med_out=jnp.where(valid, med_out, -1),
         p_eps=p_eps,
+        face_index=face_index,
         ss=ss,
         dpdu=dpdu,
         dpdv=dpdv,

@@ -200,6 +200,9 @@ class DeviceGeometry(NamedTuple):
         rows[:, 0:7] = ints.view(np.float32)
         nt = g.n_tris
         if nt:
+            if g.face_id is not None:  # ptex face ids (slot 31, tris only)
+                rows[:nt, 31] = g.face_id[:nt].astype(np.int32).view(
+                    np.float32)
             vi = g.tri_vi[:nt]
             rows[:nt, 7:10] = g.tri_v0[:nt]
             rows[:nt, 10:13] = g.tri_v1[:nt]

@@ -306,6 +306,66 @@ def _ewa_sample(filename: str, gamma: bool, u, v, dst0, dst1, wrap: str):
     return s0 * (1 - dl)[:, None] + s1 * dl[:, None]
 
 
+@lru_cache(maxsize=32)
+def _load_ptex(filename: str):
+    """Load a Ptex file into flat device-friendly arrays: (texels (T, 3)
+    f32, face_offset (F,) i64, face_ru (F,), face_rv (F,)).  Single-channel
+    files replicate to gray (fromResult, ptex.cpp:113-135)."""
+    from tpurt.io.ptex import read_ptex
+
+    data = read_ptex(filename)
+    offs = np.zeros(data.nfaces, np.int64)
+    rus = np.zeros(data.nfaces, np.int32)
+    rvs = np.zeros(data.nfaces, np.int32)
+    parts = []
+    t = 0
+    for i, face in enumerate(data.faces):
+        rv, ru, nc = face.shape
+        if nc == 1:
+            face = np.repeat(face, 3, axis=2)
+        elif nc == 2:
+            face = np.concatenate([face, face[:, :, :1]], axis=2)
+        offs[i], rus[i], rvs[i] = t, ru, rv
+        parts.append(face[:, :, :3].reshape(-1, 3))
+        t += ru * rv
+    return (np.concatenate(parts).astype(np.float32), offs, rus, rvs)
+
+
+def _ptex_sample(filename: str, gamma: float, face_index, u, v):
+    """Per-face bilinear lookup at level 0 with clamped face-local uv.
+    The reference filters with Ptex's f_bspline kernel over the ray
+    footprint (ptex.cpp:146-151); tpurt's deviation is bilinear at the
+    stored res with border clamp (no cross-face adjacency filtering).
+    Gamma is applied AFTER filtering to values in [0, 1], like
+    ptex.cpp:154-158."""
+    texels, offs, rus, rvs = _load_ptex(filename)
+    tex = jnp.asarray(texels)
+    fi = jnp.clip(face_index, 0, len(offs) - 1)
+    off = jnp.take(jnp.asarray(offs), fi)
+    ru = jnp.take(jnp.asarray(rus), fi)
+    rv = jnp.take(jnp.asarray(rvs), fi)
+    x = jnp.clip(u, 0.0, 1.0) * ru.astype(jnp.float32) - 0.5
+    y = jnp.clip(v, 0.0, 1.0) * rv.astype(jnp.float32) - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, ru - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, rv - 1)
+    x1 = jnp.minimum(x0 + 1, ru - 1)
+    y1 = jnp.minimum(y0 + 1, rv - 1)
+    fx = jnp.clip(x - x0.astype(jnp.float32), 0.0, 1.0)[:, None]
+    fy = jnp.clip(y - y0.astype(jnp.float32), 0.0, 1.0)[:, None]
+
+    def fetch(xi, yi):
+        return jnp.take(tex, off + yi.astype(jnp.int64) * ru + xi, axis=0)
+
+    out = ((1 - fx) * (1 - fy) * fetch(x0, y0)
+           + fx * (1 - fy) * fetch(x1, y0)
+           + (1 - fx) * fy * fetch(x0, y1)
+           + fx * fy * fetch(x1, y1))
+    if gamma != 1.0:
+        out = jnp.where((out >= 0) & (out <= 1),
+                        jnp.power(jnp.maximum(out, 1e-10), gamma), out)
+    return out
+
+
 def _apply_mapping2d(mapping: Dict, si):
     """TextureMapping2D::Map (texture.h:51-133)."""
     typ = mapping.get("type", "uv")
@@ -500,6 +560,20 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
         t2 = _eval_slot(prm["outside"], si, want3)
         m = inside[:, None] if want3 else inside
         return jnp.where(m, t1, t2)
+    if name == "ptex":
+        fname = prm["filename"]
+        if not fname:
+            return as_out(jnp.zeros((n,), jnp.float32))
+        try:
+            _load_ptex(fname)
+        except (OSError, ValueError, RuntimeError) as e:
+            log.error("ptex %s unreadable: %s", fname, e)
+            return as_out(jnp.zeros((n,), jnp.float32))
+        fi = (si.face_index if si.face_index is not None
+              else jnp.zeros((n,), jnp.int32))
+        rgb = _ptex_sample(fname, float(prm.get("gamma", 2.2)),
+                           fi, si.uv[:, 0], si.uv[:, 1])
+        return as_out(rgb)
     if name == "imagemap":
         fname = prm["filename"]
         if not fname:

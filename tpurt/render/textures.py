@@ -124,16 +124,13 @@ def make_texture(tex_class: str, tex_type: str, tex2world: Transform,
             "variation": ps.find_one_float("variation", 0.2)},
             world_to_texture=tex2world.inverse())
     if tex_class == "ptex":
-        # textures/ptex.cpp (181 LoC): per-face Ptex lookups need the
-        # vendored ptex library, absent in this environment (the
-        # reference build stubs it too, refbuild/shim/shimsupport.cpp).
-        # Parse-and-warn with a mid-gray stand-in so scenes keep
-        # rendering instead of erroring out.
-        log.warning('Texture "ptex" (%s) is not supported in this build; '
-                    'substituting constant 0.5',
-                    ps.find_one_string("filename", ""))
-        return TextureRecord("constant", tex_type, {
-            "value": 0.5 if tex_type == "float" else
-            ps.find_one_spectrum("substitute", 0.5)})
+        # textures/ptex.cpp:63-183: per-face Ptex lookups keyed by
+        # si.faceIndex, gamma applied post-filter.  tpurt reads the Ptex
+        # container natively (tpurt/io/ptex.py) — the reference snapshot
+        # itself CANNOT (its src/ext/ptex submodule is empty).
+        fname = ps.find_one_filename("filename", "")
+        return TextureRecord("ptex", tex_type, {
+            "filename": fname,
+            "gamma": ps.find_one_float("gamma", 2.2)})
     log.warning('texture class "%s" unknown or unsupported', tex_class)
     return None

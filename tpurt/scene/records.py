@@ -28,6 +28,9 @@ class TriangleMeshRecord:
     uvs: Optional[np.ndarray] = None  # (V, 2)
     tangents: Optional[np.ndarray] = None  # (V, 3)
     alpha_texture: Optional[Any] = None
+    # per-triangle source face ids ("integer faceIndices",
+    # triangle.cpp:710-716) — ptex textures look faces up by this
+    face_indices: Optional[np.ndarray] = None  # (T,) int
     kind: str = "trianglemesh"
 
 
