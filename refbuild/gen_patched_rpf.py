@@ -15,6 +15,16 @@ at rpf.cpp:702-705.  Two genuine bugs in the reference cause this:
    3-element color array D_f_ck with feature index i in [0,12)
    (rpf.cpp:464), reading adjacent stack memory (UB) into Beta_k.
 
+3. SampleData::normalized (sd.h:224-235) divides by the neighborhood
+   stdDev with no zero guard: any channel that is CONSTANT over the
+   neighborhood (flat background color, uniform world-z, ...) yields
+   (x - mean)/0 = 0/0 = NaN in every normalized sample, which reaches
+   the bilateral weights.  Box 7 on sample.pbrt happens to dodge it;
+   the multi-scale {55,35,17,7} schedule (BASELINE config 3) does not.
+   Guard: stdDev channels == 0 are set to 1 before normalizing, so
+   constant channels normalize to 0 — the same convention as tpurt's
+   z-norm (tpurt/rpf/filter.py:227).
+
 This script applies the same two fixes tpurt's filter uses
 (tpurt/rpf/filter.py:_cf_weights): tiny-denominator guards, and a proper
 per-feature dependency D_c_fk[k] = sum_c MI(color_c, feature_k).  The
@@ -53,6 +63,14 @@ def main(src_path: str, dst_path: str) -> None:
         "W_c_fk[i] = D_c_fk_fix[i] / "
         "std::max(D_f_c + D_r_c + D_p_c, 1e-12);")
     src = src.replace(
+        """          auto mean = getMean(vectors);
+          auto stdDev = getStdDev(vectors, mean);""",
+        """          auto mean = getMean(vectors);
+          auto stdDev = getStdDev(vectors, mean);
+          // constant channels normalize to 0, not 0/0 (bug 3)
+          for (size_t zi = 0; zi < stdDev.size(); ++zi)
+            if (!(stdDev[zi] > 0)) stdDev[zi] = 1.0;""")
+    src = src.replace(
         "W_r_fk[i] = D_r_fk[i] / (D_r_fk[i] + D_p_fk[i]);",
         "W_r_fk[i] = D_r_fk[i] / std::max(D_r_fk[i] + D_p_fk[i], 1e-12);")
     src = src.replace(
@@ -76,6 +94,7 @@ def main(src_path: str, dst_path: str) -> None:
         '#include <algorithm>\n#include <cstdlib>\n#include <sstream>', 1)
     assert src.count("D_c_fk_fix") == 4, "patch anchors not found"
     assert src.count("std::max(D_") == 3, "division guards not applied"
+    assert src.count("stdDev[zi]") == 2, "z-norm zero guard not applied"
     assert src.count("RPF_BOX_SIZES") == 1, "box-size env hook not applied"
     assert len(src) > n0
     open(dst_path, "w").write(src)
