@@ -157,7 +157,12 @@ def _mutual_information(cols, mask, n, bins, b_max):
             denom == 0, 1.0, denom), 1.0)), 0.0),
         axis=(1, 2),
     )
-    return mi
+    # MI is mathematically >= 0; TPU f32 log noise at degenerate
+    # histograms yields ~-5e-8, which the 1e-12 denominator clamps in
+    # _cf_weights blow up into alpha/beta far outside [0,1] — a POSITIVE
+    # bilateral exponent, exp->inf, inf*0=NaN (the C++ computes MI in
+    # f64 where the noise is ~1e-16 and the same guard stays benign).
+    return jnp.maximum(mi, 0.0)
 
 
 def _cf_weights(mi):
@@ -222,9 +227,17 @@ def _filter_pixel(own, window, window_valid, window_center, box_size, b_max,
         [jnp.ones((s,), bool), cand_mask], axis=0).astype(jnp.float32)[:, None]
     n = jnp.sum(nb_mask)
 
-    # z-normalize the whole 19-vector over the neighborhood (div0 -> 0)
+    # z-normalize the whole 19-vector over the neighborhood (div0 -> 0).
+    # Masked-out rows are zeroed: the C++ only ever normalizes ACCEPTED
+    # neighbors (rpf.cpp:592-615), while a batched where() normalizes every
+    # window row — a rejected firefly (color ~2000) against a TPU one-pass
+    # f32 std of ~1e-36 (exactly 0 in the C++'s arithmetic) overflows to
+    # inf, and inf * beta_k(=0) = NaN in the bilateral weight even though
+    # the row's weight is masked to 0 afterwards.  Accepted rows are safe:
+    # |x - mu| <= sqrt(N)*sd by the population-std bound.
     mu, sd = _masked_mean_std(nb, nb_mask, axis=0)
     nb_norm = jnp.where(sd > 0, (nb - mu) / jnp.where(sd == 0, 1.0, sd), 0.0)
+    nb_norm = jnp.where(nb_mask > 0, nb_norm, 0.0)
     own_norm = nb_norm[:s]
 
     # mutual information + dependency weights
