@@ -48,18 +48,8 @@ run() {  # run <label> <cmd...>   (no /usr/bin/time on this image)
   echo "--- $label exit=$rc $(cat $OUT/$label.time)"
 }
 
-# --- config 3 ---------------------------------------------------------
-mkscene $OUT/sc/s_path64.pbrt 64 path halton $OUT/ref64.exr
-mkscene $OUT/sc/s_rpf4.pbrt 4 rpf halton $OUT/rpf4_ms.exr
-mkscene $OUT/sc/s_path4.pbrt 4 path halton $OUT/path4.exr
-run cfg3_path64 $BIN/pbrt $OUT/sc/s_path64.pbrt
-run cfg3_path4 $BIN/pbrt $OUT/sc/s_path4.pbrt
-RPF_BOX_SIZES=55,35,17,7 run cfg3_rpf4_multiscale \
-  $BIN/pbrt-patched $OUT/sc/s_rpf4.pbrt
-$BIN/imgtool diff $OUT/rpf4_ms.exr $OUT/ref64.exr \
-  > $OUT/cfg3_mse_rpf4.log 2>&1
-$BIN/imgtool diff $OUT/path4.exr $OUT/ref64.exr \
-  > $OUT/cfg3_mse_path4.log 2>&1
+# Ordered cheap-first so a bounded session still yields measured rows;
+# config 3's box-55 multi-scale RPF pass (the multi-hour tail) runs last.
 
 # --- config 4 ---------------------------------------------------------
 for s in random stratified halton; do
@@ -67,7 +57,7 @@ for s in random stratified halton; do
   run cfg4_rpf_$s $BIN/pbrt-patched $OUT/sc/s_rpf_$s.pbrt
 done
 
-# --- config 5 ---------------------------------------------------------
+# --- config 5 (scene authored below, run before cfg3's long tail) -----
 python3 - $OUT <<'EOF'
 import os, sys
 sys.path.insert(0, "/root/repo")
@@ -87,6 +77,19 @@ scene = scene.replace('"direct_textured.exr"',
 open(os.path.join(out, "sc/s_direct_tex.pbrt"), "w").write(scene)
 EOF
 run cfg5_direct_textured $BIN/pbrt $OUT/sc/s_direct_tex.pbrt
+
+# --- config 3 ---------------------------------------------------------
+mkscene $OUT/sc/s_path64.pbrt 64 path halton $OUT/ref64.exr
+mkscene $OUT/sc/s_rpf4.pbrt 4 rpf halton $OUT/rpf4_ms.exr
+mkscene $OUT/sc/s_path4.pbrt 4 path halton $OUT/path4.exr
+run cfg3_path4 $BIN/pbrt $OUT/sc/s_path4.pbrt
+run cfg3_path64 $BIN/pbrt $OUT/sc/s_path64.pbrt
+RPF_BOX_SIZES=55,35,17,7 run cfg3_rpf4_multiscale \
+  $BIN/pbrt-patched $OUT/sc/s_rpf4.pbrt
+$BIN/imgtool diff $OUT/rpf4_ms.exr $OUT/ref64.exr \
+  > $OUT/cfg3_mse_rpf4.log 2>&1
+$BIN/imgtool diff $OUT/path4.exr $OUT/ref64.exr \
+  > $OUT/cfg3_mse_path4.log 2>&1
 
 echo "=== baseline_cpp done ==="
 grep -H . $OUT/*.time
