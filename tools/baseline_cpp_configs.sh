@@ -84,12 +84,14 @@ mkscene $OUT/sc/s_rpf4.pbrt 4 rpf halton $OUT/rpf4_ms.exr
 mkscene $OUT/sc/s_path4.pbrt 4 path halton $OUT/path4.exr
 run cfg3_path4 $BIN/pbrt $OUT/sc/s_path4.pbrt
 run cfg3_path64 $BIN/pbrt $OUT/sc/s_path64.pbrt
+# path4-vs-ref64 MSE depends only on the two runs above — record it before
+# the multi-hour RPF tail so a bounded session still yields this row.
+$BIN/imgtool diff $OUT/path4.exr $OUT/ref64.exr \
+  > $OUT/cfg3_mse_path4.log 2>&1
 RPF_BOX_SIZES=55,35,17,7 run cfg3_rpf4_multiscale \
   $BIN/pbrt-patched $OUT/sc/s_rpf4.pbrt
 $BIN/imgtool diff $OUT/rpf4_ms.exr $OUT/ref64.exr \
   > $OUT/cfg3_mse_rpf4.log 2>&1
-$BIN/imgtool diff $OUT/path4.exr $OUT/ref64.exr \
-  > $OUT/cfg3_mse_path4.log 2>&1
 
 echo "=== baseline_cpp done ==="
 grep -H . $OUT/*.time
