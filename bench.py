@@ -197,11 +197,12 @@ def main() -> int:
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser(os.environ.get("TPURT_CACHE", "~/.cache/tpurt"))
-        + "/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpurt.config import enable_compile_cache
+
+    # shared persistent XLA cache (measured working across processes on
+    # the axon tunnel: 3.5 s -> 0.5 s recompile on a toy jit); the CLI
+    # uses the same directory via enable_compile_cache
+    enable_compile_cache()
     jax.devices()  # force backend init under the watchdog
     _init_ok.set()
 

@@ -46,6 +46,10 @@ def main(argv=None) -> int:
                          "--profile/ProfilePhase, core/stats.cpp:254)")
     args = ap.parse_args(argv)
 
+    from tpurt.config import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.cat or args.toply:
         import os
 
@@ -75,17 +79,6 @@ def main(argv=None) -> int:
         ap.print_usage()
         print("error: no scene files given", file=sys.stderr)
         return 1
-
-    # defer heavy imports until after arg handling
-    import jax
-
-    import os
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("TPURT_CACHE",
-                       os.path.expanduser("~/.cache/tpurt")) + "/jaxcache",
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.spectrum != "rgb":
         from tpurt.config import set_config

@@ -95,6 +95,14 @@ class Config:
     # (round-1 behavior, and the A/B baseline).
     texture_filter: str = "ewa"
 
+    # EWA gather layout: True fetches 4x16-texel blocks (768 B) from a
+    # padded pyramid — 8 block gathers per level instead of 169
+    # single-texel gathers (the gather engine charges per fetched row,
+    # measured flat in row width through 768 B); measured 3.9x on chip
+    # at 2^17 lanes.  False is the round-2 texel-at-a-time window, kept
+    # as the A/B + parity oracle (tests/test_mipfilter.py pins equality).
+    ewa_blocked: bool = True
+
     # Grid-media delta/ratio-tracking step budget per segment (the
     # reference loops unboundedly, media/grid.cpp).  Overflow lanes are
     # counted in "Media/Grid tracking budget exhausted"; raise for very
@@ -113,6 +121,44 @@ def set_config(**kw) -> Config:
     global _CONFIG
     _CONFIG = dataclasses.replace(_CONFIG, **kw)
     return _CONFIG
+
+
+_CACHE_ENABLED = False
+
+
+def enable_compile_cache(path: str = "") -> bool:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    The C++ reference pays zero compile time; tpurt's cold-start XLA
+    compiles (~5 min for the 6-bounce path step on the axon backend)
+    were the one place it lost.  Measured on the axon TPU tunnel: a
+    fresh process recompiling a cached executable drops 3.5 s -> 0.5 s
+    on a toy jit, and the bench cold numbers shrink accordingly.  Opt
+    out with TPURT_COMPILE_CACHE=0; override the directory with
+    TPURT_COMPILE_CACHE_DIR (default $TPURT_CACHE/jaxcache)."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return True
+    if os.environ.get("TPURT_COMPILE_CACHE", "1") == "0":
+        return False
+    cache_dir = (path or os.environ.get("TPURT_COMPILE_CACHE_DIR")
+                 or os.environ.get("TPURT_CACHE",
+                                   os.path.expanduser("~/.cache/tpurt"))
+                 + "/jaxcache")
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _CACHE_ENABLED = True
+        return True
+    except Exception as e:  # old jax without the knobs, read-only fs, ...
+        import logging
+
+        logging.getLogger("tpurt").info("compile cache unavailable: %s", e)
+        return False
 
 
 def on_tpu() -> bool:

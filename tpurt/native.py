@@ -29,8 +29,17 @@ def _source_path() -> str:
 
 
 def _lib_path() -> str:
+    # key the artifact by source CONTENT, not mtime: several checkouts
+    # (worktrees, CI shards) share this cache directory, and an
+    # mtime-keyed single filename lets an older checkout clobber a newer
+    # build (observed: a round-2 worktree rebuilt the .so without
+    # build_kdtree_sah and broke the main checkout's loads)
+    import hashlib
+
+    with open(_source_path(), "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
     cache = os.environ.get("TPURT_CACHE", os.path.expanduser("~/.cache/tpurt"))
-    return os.path.join(cache, "libtpurt_native.so")
+    return os.path.join(cache, f"libtpurt_native-{tag}.so")
 
 
 def get_lib():

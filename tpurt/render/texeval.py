@@ -207,7 +207,163 @@ _EWA_MAX_ANISO = 2.9
 _EWA_TAPS = 13
 
 
+# Blocked EWA layout: each pyramid level is re-stored as 2D blocks of
+# 4 rows x 16 cols (768 B — the TPU gather engine charges per fetched
+# row and is measured FLAT in row width through 768 B, tools/probe.py)
+# with a 16-texel wrap-resolved apron on every side, so any 13x13 tap
+# window lands inside a static 4x2 block neighborhood.  One EWA level
+# is then EIGHT 768-byte block gathers instead of 169 texel gathers,
+# with bit-identical tap weights (measured 3.3x end-to-end at the
+# 16-texel-row stage already; the 4x16 stage roughly triples the
+# gather-row savings again).
+_EWA_BLOCK = 16   # cols per block
+_EWA_VBLOCK = 4   # rows per block
+_EWA_APRON = 16   # wrap-resolved apron texels on each side
+
+
+@lru_cache(maxsize=64)
+def _load_image_pyramid_blocked(filename: str, gamma: bool, wrap: str):
+    """Pyramid re-packed for the blocked EWA fetch: returns
+    (blocks (NB, 4, 16, 3) f32, boffs (L,), nbx (L,), ws (L,), hs (L,)).
+    Both wrap axes are baked into the apron texels: padded texel
+    (q, p) stores source (resolve(q - APRON), resolve(p - APRON))."""
+    levels = _load_image_pyramid(filename, gamma)
+    boffs, nbxs, ws, hs, parts = [], [], [], [], []
+    boff = 0
+    for lv in levels:
+        h, w = lv.shape[:2]
+        w_pad = -((w + 2 * _EWA_APRON) // -_EWA_BLOCK) * _EWA_BLOCK
+        h_pad = -((h + 2 * _EWA_APRON) // -_EWA_VBLOCK) * _EWA_VBLOCK
+        cols = np.arange(w_pad, dtype=np.int64) - _EWA_APRON
+        rows = np.arange(h_pad, dtype=np.int64) - _EWA_APRON
+        if wrap == "repeat":
+            src_c = np.mod(cols, w)
+            src_r = np.mod(rows, h)
+        else:  # clamp and black both store the clamped texel; black
+            # zeroes the WEIGHT at runtime exactly like the taps path
+            src_c = np.clip(cols, 0, w - 1)
+            src_r = np.clip(rows, 0, h - 1)
+        padded = lv[src_r][:, src_c, :]
+        if wrap == "black":
+            padded = padded.copy()
+            padded[(rows < 0) | (rows >= h), :, :] = 0.0
+            padded[:, (cols < 0) | (cols >= w), :] = 0.0
+        nby = h_pad // _EWA_VBLOCK
+        nbx = w_pad // _EWA_BLOCK
+        parts.append(padded.reshape(nby, _EWA_VBLOCK, nbx, _EWA_BLOCK, 3)
+                     .transpose(0, 2, 1, 3, 4)
+                     .reshape(nby * nbx, _EWA_VBLOCK, _EWA_BLOCK, 3))
+        boffs.append(boff)
+        nbxs.append(nbx)
+        ws.append(w)
+        hs.append(h)
+        boff += nby * nbx
+    return (np.concatenate(parts).astype(np.float32),
+            np.asarray(boffs, np.int32), np.asarray(nbxs, np.int32),
+            np.asarray(ws, np.int32), np.asarray(hs, np.int32))
+
+
 def _ewa_level(filename: str, gamma: bool, u, v, dst0, dst1, li, wrap: str):
+    from tpurt.config import get_config
+
+    impl = (_ewa_level_blocked if get_config().ewa_blocked
+            else _ewa_level_taps)
+    return impl(filename, gamma, u, v, dst0, dst1, li, wrap)
+
+
+def _ewa_level_blocked(filename: str, gamma: bool, u, v, dst0, dst1, li,
+                       wrap: str):
+    """Blocked-gather EWA at one MIP level: same tap weights as
+    _ewa_level_taps (the window mask reproduces its exact 13x13
+    support), fetched as a static 4x2 neighborhood of 4x16-texel blocks
+    (8 gathers of 768 B).
+
+    Exactness: identical tap weights and texels for repeat (u, v are
+    wrapped by floor first — an exact identity, the window and its
+    texels shift together) and for black (out-of-image taps carry zero
+    weight in both paths).  For clamp, identical while the window start
+    stays within the 16-texel apron (|overshoot| <= ~10 texels outside
+    [0,1] uv); beyond that the taps oracle (ewa_blocked=False) is the
+    reference behavior."""
+    if wrap == "repeat":
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+    blocks_np, boffs_np, nbx_np, ws_np, hs_np = \
+        _load_image_pyramid_blocked(filename, gamma, wrap)
+    flat_np, offs_np, _, _ = _load_image_pyramid_flat(filename, gamma)
+    blocks = jnp.asarray(blocks_np)
+    flat = jnp.asarray(flat_np)
+    offs = jnp.asarray(offs_np)
+    boffs = jnp.asarray(boffs_np)
+    nbx = jnp.asarray(nbx_np)
+    ws = jnp.asarray(ws_np)
+    hs = jnp.asarray(hs_np)
+    w_l = ws[li].astype(jnp.float32)
+    h_l = hs[li].astype(jnp.float32)
+    wi_i = ws[li]
+    hi_i = hs[li]
+    su = u * w_l - 0.5
+    sv = v * h_l - 0.5
+    d0u = dst0[:, 0] * w_l
+    d0v = dst0[:, 1] * h_l
+    d1u = dst1[:, 0] * w_l
+    d1v = dst1[:, 1] * h_l
+    A = d0v * d0v + d1v * d1v + 1.0
+    B = -2.0 * (d0u * d0v + d1u * d1v)
+    C = d0u * d0u + d1u * d1u + 1.0
+    inv_f = 1.0 / (A * C - B * B * 0.25)
+    A = (A * inv_f)[:, None, None]
+    B = (B * inv_f)[:, None, None]
+    C = (C * inv_f)[:, None, None]
+
+    iu0 = jnp.round(su).astype(jnp.int32) - _EWA_TAPS // 2
+    iv0 = jnp.round(sv).astype(jnp.int32) - _EWA_TAPS // 2
+    hb0 = (iu0 + _EWA_APRON) // _EWA_BLOCK   # first col-block of 2
+    vb0 = (iv0 + _EWA_APRON) // _EWA_VBLOCK  # first row-block of 4
+    # unwrapped source-texel coordinates covered by the fetched blocks
+    cols = (hb0[:, None] * _EWA_BLOCK - _EWA_APRON
+            + jnp.arange(2 * _EWA_BLOCK, dtype=jnp.int32)[None, :])
+    rows = (vb0[:, None] * _EWA_VBLOCK - _EWA_APRON
+            + jnp.arange(4 * _EWA_VBLOCK, dtype=jnp.int32)[None, :])
+    uu = (cols.astype(jnp.float32) - su[:, None])[:, None, :]
+    vv = (rows.astype(jnp.float32) - sv[:, None])[:, :, None]
+    inwin = ((cols >= iu0[:, None])
+             & (cols < (iu0 + _EWA_TAPS)[:, None]))[:, None, :] \
+        & ((rows >= iv0[:, None])
+           & (rows < (iv0 + _EWA_TAPS)[:, None]))[:, :, None]
+    if wrap == "black":
+        inwin = (inwin & ((cols >= 0) & (cols < wi_i[:, None]))[:, None, :]
+                 & ((rows >= 0) & (rows < hi_i[:, None]))[:, :, None])
+    r2 = A * uu * uu + B * uu * vv + C * vv * vv
+    exp_m2 = np.float32(np.exp(-2.0))
+    w = jnp.where(inwin & (r2 < 1.0),
+                  jnp.exp(-2.0 * jnp.minimum(r2, 1.0)) - exp_m2, 0.0)
+    # 8 block gathers -> a (N, 16, 32, 3) strip covering the window
+    base = boffs[li] + vb0 * nbx[li] + hb0
+    vrows = []
+    for dvb in range(4):
+        left = blocks[base + dvb * nbx[li]]
+        right = blocks[base + dvb * nbx[li] + 1]
+        vrows.append(jnp.concatenate([left, right], axis=2))
+    strip = jnp.concatenate(vrows, axis=1)
+    acc = jnp.einsum("nrk,nrkc->nc", w, strip)
+    wsum = jnp.sum(w, axis=(1, 2))
+    # degenerate ellipses (sub-texel): fall back to the centre texel
+    ok = wsum > 1e-8
+    off = offs[li]
+    if wrap == "repeat":
+        cx = jnp.mod(jnp.round(su).astype(jnp.int32), wi_i)
+        cy = jnp.mod(jnp.round(sv).astype(jnp.int32), hi_i)
+    else:
+        cx = jnp.clip(jnp.round(su).astype(jnp.int32), 0, wi_i - 1)
+        cy = jnp.clip(jnp.round(sv).astype(jnp.int32), 0, hi_i - 1)
+    centre = flat[jnp.clip(off + cy * wi_i + cx, 0, flat.shape[0] - 1)]
+    return jnp.where(ok[:, None], acc / jnp.maximum(wsum, 1e-8)[:, None],
+                     centre)
+
+
+def _ewa_level_taps(filename: str, gamma: bool, u, v, dst0, dst1, li,
+                    wrap: str):
     """EWA filter at one MIP level (MIPMap::EWA, mipmap.h): elliptical
     Gaussian weights over a STATIC tap window centred at (u, v)."""
     flat_np, offs_np, ws_np, hs_np = _load_image_pyramid_flat(filename, gamma)
