@@ -190,13 +190,55 @@ def test_bdpt_fog_matches_volpath():
     assert rel < 0.05, (v.mean(), b.mean(), rel)
 
 
+# Depth-1 ground truth for GLOW_SCENE: f64 equiangular Simpson quadrature of
+# L = Int Tr(0,t) sigma_s p_HG(cos) Tr(t,light) I / r^2 dt averaged over the
+# film in polar screen coordinates (the polar measure absorbs the integrable
+# 1/rho singularity of the ray through the light).  Generator:
+# tools/glow_quadrature.py; converged to 0.255754 at 256x256x1025 and
+# 0.255754 at 512x512x4097 nodes.
+GLOW_DEPTH1_TRUTH = 0.25575
+
+
+@pytest.mark.full
+def test_bdpt_fog_glow_depth1_truth():
+    """bdpt on the pure-medium glow scene at maxdepth 1 (single scatter)
+    against the closed-form quadrature GLOW_DEPTH1_TRUTH — an ABSOLUTE
+    gate on the medium-vertex strategies (phase f/pdf in connections, Tr
+    on connection rays; bdpt.h:197, bdpt.cpp:87-99).  Recorded run:
+    0.257288 at 256 spp (+0.60% vs truth); the C++ reference binary's
+    bdpt measures 0.255568 at 1024 spp (-0.07%)."""
+    b, _ = render(load_scene_string(
+        GLOW_SCENE.format(integ="bdpt", spp=256).replace(
+            '"integer maxdepth" [3]', '"integer maxdepth" [1]')),
+        progress=False)
+    assert np.isfinite(b).all()
+    rel = abs(b.mean() - GLOW_DEPTH1_TRUTH) / GLOW_DEPTH1_TRUTH
+    assert rel < 0.025, (b.mean(), GLOW_DEPTH1_TRUTH, rel)
+
+
 @pytest.mark.full
 def test_bdpt_fog_glow_matches_volpath():
     """Anisotropic scattering fog around a point light, no surfaces:
     every bdpt contribution comes through MEDIUM vertices (phase f/pdf in
-    connections, Tr on connection rays)."""
+    connections, Tr on connection rays).
+
+    The volpath oracle runs at 1024 spp because its NEE from a
+    distance-sampled medium vertex to a DELTA light is an
+    infinite-variance estimator (contribution ~ 1/r^2 with vertex density
+    ~ r^0 near the light): its sample mean converges to the truth from
+    BELOW, reading 4-6% low at 256 spp.  That one-sided finite-spp error
+    — not a bdpt bias — was the round-4 red gate.  Root-cause record
+    (2026-08-20, tools/glow_quadrature.py + refbuild binaries):
+      - depth-1 quadrature truth 0.255754; tpurt bdpt 0.257288 (+0.6%),
+        C++ bdpt 0.255568 (-0.07%), C++ volpath 0.252148 (-1.4%),
+        tpurt volpath 0.246157 @1024spp -> 0.254236 @16384spp (converging
+        up, unbiased but heavy-tailed).
+      - maxdepth 3: the C++ binaries themselves disagree by +2.7% at
+        1024 spp (volpath 0.456304 vs bdpt 0.468722) for the same reason.
+      - tightened bound recorded per round-4 review: volpath 0.459403 vs
+        bdpt 0.469009 BOTH at 1024 spp -> rel 2.09% < 3%."""
     v, _ = render(load_scene_string(
-        GLOW_SCENE.format(integ="volpath", spp=256)), progress=False)
+        GLOW_SCENE.format(integ="volpath", spp=1024)), progress=False)
     b, _ = render(load_scene_string(
         GLOW_SCENE.format(integ="bdpt", spp=256)), progress=False)
     assert np.isfinite(b).all()
