@@ -71,12 +71,32 @@ def test_interval_to_index_inverts_pixel_mapping():
     np.testing.assert_array_equal(got, idx.astype(np.uint64))
 
 
+def test_packaged_joe_kuo_table_without_reference_tree(monkeypatch):
+    """Per-sample Sobol' parity must not depend on /root/reference being
+    mounted: the published Joe-Kuo direction numbers ship in-repo
+    (sampling/data/sobol_matrices_256x32.npy) and get_sobol_matrices
+    prefers them.  Golden values spot-checked against the reference's
+    core/sobolmatrices.cpp SobolMatrices32 at extraction time."""
+    monkeypatch.delenv("TPURT_PBRT_SRC", raising=False)
+    monkeypatch.setattr(sb, "_find_reference_sobol_source", lambda: None)
+    mats = sb.get_sobol_matrices()
+    assert mats.shape == (256, 32) and mats.dtype == np.uint32
+    assert mats[0, 0] == 0x80000000
+    assert mats[1, 1] == 0xC0000000
+    assert mats[17, 5] == 0x64000000
+    assert mats[255, 31] == 0xD230013B
+    # Joe-Kuo dimension 2 differs from the self-generated fallback's
+    # classical LCG-seeded initialization — make sure we really are on
+    # the reference tables, not the fallback
+    assert not np.array_equal(mats, sb.generate_sobol_matrices())
+
+
 def test_device_sampler_matches_numpy_and_offsets_in_unit_square():
     import jax.numpy as jnp
     from tpurt.sampling.samplers import make_sobol
 
     s = make_sobol(spp=4, res_x=13, res_y=9)  # -> m=4 tiling
-    mats = sb.generate_sobol_matrices()
+    mats = sb.get_sobol_matrices()
     rng = np.random.default_rng(0)
     px = rng.integers(0, 13, 64).astype(np.int32)
     py = rng.integers(0, 9, 64).astype(np.int32)

@@ -25,10 +25,14 @@ and every sampler evaluates as batched elementwise math with no state.
 - stratified: jittered strata in every dimension, samples associated by
   index in dims 0-1 and decorrelated by a per-(pixel,dim) permutation
   elsewhere (statistical analog of stratified.cpp's Shuffle).
-- 02sequence / maxmindist / sobol: scrambled (0,2)-sequence for the 2D
-  dims + stratified/random tail (full 1000-dim Sobol matrices are a later
-  round; these match the reference's *statistical* behavior for the 2D
-  uses that dominate rendering).
+- 02sequence / maxmindist: scrambled (0,2)-sequence for the 2D dims +
+  stratified/random tail (statistical analog; maxmindist's pixel matrix
+  comes from a deterministic GF(2) search, sobol.py:maxmin_dist_matrix).
+- sobol: a REAL global Sobol' sampler (make_sobol below): the packaged
+  Joe-Kuo direction numbers (sobol.py get_sobol_matrices, 256 dims x 32
+  bits), the reference's pow2 pixel tiling, and a GF(2)-inverted
+  SobolIntervalToIndex analog — the per-sample point set matches the
+  reference's SobolSampler over the dims tpurt consumes.
 """
 
 from __future__ import annotations

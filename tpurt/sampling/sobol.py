@@ -4,7 +4,10 @@ Reference analog: core/lowdiscrepancy.{h,cpp} (SobolSample,
 SobolIntervalToIndex) + core/sobolmatrices.cpp and samplers/sobol.cpp.
 The reference ships 27 kLoC of pregenerated tables (NumSobolDimensions =
 1024, 52-bit matrices, plus VdCSobolMatrices/Inv for the interval-to-index
-solve).  This module generates everything at first use instead:
+solve).  This module ships the published Joe-Kuo direction numbers as a
+32 KB npy (sampling/data/, truncated to the 256 dims x 32 index bits tpurt
+consumes) so per-sample Sobol' parity holds standalone, and replaces the
+rest with build-time computation:
 
 * Direction numbers from a primitive-polynomial search over GF(2)
   (Bratley-Fox recurrence).  Dimension 0 is the van der Corput identity;
@@ -152,7 +155,7 @@ def extract_reference_sobol_matrices(src_path: str,
     with open(src_path) as f:
         text = f.read()
     m = re.search(
-        r"SobolMatrices32\s*\[\s*\]\s*=\s*\{(.*?)\};", text, re.S)
+        r"SobolMatrices32\s*\[[^\]]*\]\s*=\s*\{(.*?)\};", text, re.S)
     if m is None:
         raise ValueError(f"no SobolMatrices32 table in {src_path}")
     vals = np.array([int(tok, 0) for tok in
@@ -180,12 +183,26 @@ def _find_reference_sobol_source():
     return None
 
 
+_PACKAGED_TABLE = os.path.join(os.path.dirname(__file__), "data",
+                               f"sobol_matrices_{N_DIMS}x{N_BITS}.npy")
+
+
 def get_sobol_matrices(n_dims: int = N_DIMS,
                        n_bits: int = N_BITS) -> np.ndarray:
-    """Direction vectors for rendering: the reference's own tables when a
-    pbrt-v3 source tree is reachable (cached), else the self-generated
-    classical construction (statistically valid; per-sample sequence
-    differs from the reference — documented deviation)."""
+    """Direction vectors for rendering.  Priority:
+
+    1. the packaged Joe-Kuo table (sampling/data/sobol_matrices_*.npy, the
+       published new-joe-kuo-6 direction numbers, shipped in-repo so
+       per-sample Sobol' parity with pbrt-v3 holds WITHOUT a reference
+       source tree mounted);
+    2. runtime extraction from a pbrt-v3 core/sobolmatrices.cpp (refresh
+       path for different table sizes);
+    3. the self-generated classical construction (statistically valid
+       (t,s)-sequence; per-sample values differ — documented deviation,
+       only reachable for table shapes the package doesn't ship)."""
+    if (n_dims <= N_DIMS and n_bits == N_BITS
+            and os.path.exists(_PACKAGED_TABLE)):
+        return np.load(_PACKAGED_TABLE)[:n_dims]
     cache_dir = os.environ.get("TPURT_CACHE",
                                os.path.expanduser("~/.cache/tpurt"))
     path = os.path.join(cache_dir, f"sobol_ref_v1_{n_dims}x{n_bits}.npy")
