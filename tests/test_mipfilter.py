@@ -161,7 +161,82 @@ def test_ewa_grazing_checker_beats_trilinear(tmp_path):
     assert far.std() / max(far.mean(), 1e-6) < 0.35, (
         far.std(), far.mean())
     # mid-distance rows: EWA resolves more cross-axis detail than the
-    # isotropic cone, i.e. HIGHER local contrast where trilinear blurs
+    # isotropic cone, i.e. HIGHER local contrast where trilinear blurs.
+    # With the wide (maxanisotropy-8) pass the measured advantage is
+    # ~1.24x; require a real margin, not just parity (tightened round 5)
     mid_e = img_ewa[34:44, 8:40, 0]
     mid_t = img_tri[34:44, 8:40, 0]
-    assert mid_e.std() >= mid_t.std(), (mid_e.std(), mid_t.std())
+    assert mid_e.std() >= 1.1 * mid_t.std(), (mid_e.std(), mid_t.std())
+
+
+def test_ewa_wide_matches_35tap_oracle(tmp_path):
+    """The wide (high-anisotropy) EWA pass — K=4 oriented strip fetches
+    ownership-partitioned along the major axis — must reproduce a 35x35
+    static taps window exactly (35 taps bound the aniso-8 ellipse the way
+    13 bound the 2.9-clamped one): same weights, same support, for every
+    wrap mode, across 3:1 through 8:1 footprints at arbitrary angles and
+    overshooting uv (clamp within the apron, like the 13x13 gate)."""
+    from tpurt.render.texeval import _ewa_level_taps, _ewa_level_wide
+
+    rng = np.random.default_rng(11)
+    img = rng.random((37, 53, 3)).astype(np.float32)
+    p = str(tmp_path / "rand.exr")
+    tio.write_image(p, img)
+
+    n = 96
+    u = jnp.asarray(rng.random(n) * 1.6 - 0.3, jnp.float32)
+    v = jnp.asarray(rng.random(n) * 1.6 - 0.3, jnp.float32)
+    ang = rng.random(n) * np.pi
+    minor_mag = (1.0 + rng.random(n)) / 53.0  # ~1-2 texels at level 0
+    aniso = 3.0 + rng.random(n) * 5.0         # 3:1 .. 8:1
+    dst0 = jnp.asarray(np.stack([np.cos(ang), np.sin(ang)], -1)
+                       * (minor_mag * aniso)[:, None], jnp.float32)
+    dst1 = jnp.asarray(np.stack([-np.sin(ang), np.cos(ang)], -1)
+                       * minor_mag[:, None], jnp.float32)
+    li = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    for wrap in ("repeat", "clamp", "black"):
+        if wrap == "clamp":
+            uw, vw = jnp.clip(u, -0.05, 1.05), jnp.clip(v, -0.05, 1.05)
+        else:
+            uw, vw = u, v
+        a = np.asarray(_ewa_level_taps(p, False, uw, vw, dst0, dst1,
+                                       li, wrap, taps=35))
+        b = np.asarray(_ewa_level_wide(p, False, uw, vw, dst0, dst1,
+                                       li, wrap))
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6,
+                                   err_msg=wrap)
+
+
+def test_ewa_sample_honors_maxanisotropy(tmp_path):
+    """An 8:1 grazing footprint across fine horizontal stripes: honoring
+    "maxanisotropy" 8 (the reference default, imagemap.cpp:130) keeps the
+    minor axis near one texel -> a fine MIP level -> the stripes survive;
+    the old hard 2.9 clamp widened the minor ~3x -> level ~2 -> stripes
+    average away to the 0.5 mean."""
+    from tpurt.render.texeval import _ewa_sample
+
+    stripes = np.zeros((64, 64, 3), np.float32)
+    stripes[(np.arange(64) // 2) % 2 == 0, :, :] = 1.0  # period 4 in v
+    p = str(tmp_path / "stripes.exr")
+    tio.write_image(p, stripes)
+
+    n = 64
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random(n), jnp.float32)
+    # stripe centres (bright rows): v texel in {0,1, 4,5, 8,9, ...}
+    vt = (rng.integers(0, 16, n) * 4 + 0.5 + rng.integers(0, 2, n))
+    v = jnp.asarray((vt + 0.0) / 64.0, jnp.float32)
+    dst0 = jnp.asarray(np.stack([np.full(n, 12.0 / 64.0),
+                                 np.zeros(n)], -1), jnp.float32)  # major u
+    dst1 = jnp.asarray(np.stack([np.zeros(n),
+                                 np.full(n, 1.0 / 64.0)], -1), jnp.float32)
+    sharp = np.asarray(_ewa_sample(p, False, u, v, dst0, dst1, "repeat",
+                                   max_aniso=8.0))
+    blurred = np.asarray(_ewa_sample(p, False, u, v, dst0, dst1, "repeat",
+                                     max_aniso=2.9))
+    # bright-stripe lookups: the wide pass preserves contrast
+    # measured: sharp 0.741 (level ~0.6 keeps the stripes), blurred 0.500
+    # (level >= 2 averages them away entirely)
+    assert sharp[:, 0].mean() > 0.70, sharp[:, 0].mean()
+    assert blurred[:, 0].mean() < sharp[:, 0].mean() - 0.15, (
+        sharp[:, 0].mean(), blurred[:, 0].mean())

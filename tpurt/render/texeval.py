@@ -221,19 +221,17 @@ _EWA_VBLOCK = 4   # rows per block
 _EWA_APRON = 16   # wrap-resolved apron texels on each side
 
 
-@lru_cache(maxsize=64)
-def _load_image_pyramid_blocked(filename: str, gamma: bool, wrap: str):
-    """Pyramid re-packed for the blocked EWA fetch: returns
-    (blocks (NB, 4, 16, 3) f32, boffs (L,), nbx (L,), ws (L,), hs (L,)).
-    Both wrap axes are baked into the apron texels: padded texel
-    (q, p) stores source (resolve(q - APRON), resolve(p - APRON))."""
-    levels = _load_image_pyramid(filename, gamma)
-    boffs, nbxs, ws, hs, parts = [], [], [], [], []
+def _pack_blocked(levels, wrap: str, vb: int, hb: int):
+    """Re-pack pyramid levels as (nb, vb, hb, 3) blocks with a
+    wrap-resolved apron of _EWA_APRON texels on every side.  Returns
+    (blocks (NB, vb, hb, 3) f32, boffs (L,), nbx (L,), nby (L,),
+    ws (L,), hs (L,))."""
+    boffs, nbxs, nbys, ws, hs, parts = [], [], [], [], [], []
     boff = 0
     for lv in levels:
         h, w = lv.shape[:2]
-        w_pad = -((w + 2 * _EWA_APRON) // -_EWA_BLOCK) * _EWA_BLOCK
-        h_pad = -((h + 2 * _EWA_APRON) // -_EWA_VBLOCK) * _EWA_VBLOCK
+        w_pad = -((w + 2 * _EWA_APRON) // -hb) * hb
+        h_pad = -((h + 2 * _EWA_APRON) // -vb) * vb
         cols = np.arange(w_pad, dtype=np.int64) - _EWA_APRON
         rows = np.arange(h_pad, dtype=np.int64) - _EWA_APRON
         if wrap == "repeat":
@@ -248,19 +246,53 @@ def _load_image_pyramid_blocked(filename: str, gamma: bool, wrap: str):
             padded = padded.copy()
             padded[(rows < 0) | (rows >= h), :, :] = 0.0
             padded[:, (cols < 0) | (cols >= w), :] = 0.0
-        nby = h_pad // _EWA_VBLOCK
-        nbx = w_pad // _EWA_BLOCK
-        parts.append(padded.reshape(nby, _EWA_VBLOCK, nbx, _EWA_BLOCK, 3)
+        nby = h_pad // vb
+        nbx = w_pad // hb
+        parts.append(padded.reshape(nby, vb, nbx, hb, 3)
                      .transpose(0, 2, 1, 3, 4)
-                     .reshape(nby * nbx, _EWA_VBLOCK, _EWA_BLOCK, 3))
+                     .reshape(nby * nbx, vb, hb, 3))
         boffs.append(boff)
         nbxs.append(nbx)
+        nbys.append(nby)
         ws.append(w)
         hs.append(h)
         boff += nby * nbx
     return (np.concatenate(parts).astype(np.float32),
             np.asarray(boffs, np.int32), np.asarray(nbxs, np.int32),
+            np.asarray(nbys, np.int32),
             np.asarray(ws, np.int32), np.asarray(hs, np.int32))
+
+
+@lru_cache(maxsize=64)
+def _load_image_pyramid_blocked(filename: str, gamma: bool, wrap: str):
+    """Pyramid re-packed for the blocked EWA fetch: returns
+    (blocks (NB, 4, 16, 3) f32, boffs (L,), nbx (L,), ws (L,), hs (L,)).
+    Both wrap axes are baked into the apron texels: padded texel
+    (q, p) stores source (resolve(q - APRON), resolve(p - APRON))."""
+    levels = _load_image_pyramid(filename, gamma)
+    blocks, boffs, nbxs, _nbys, ws, hs = _pack_blocked(
+        levels, wrap, _EWA_VBLOCK, _EWA_BLOCK)
+    return blocks, boffs, nbxs, ws, hs
+
+
+@lru_cache(maxsize=64)
+def _load_image_pyramid_blocked_both(filename: str, gamma: bool, wrap: str):
+    """Both block orientations for the wide (high-anisotropy) EWA pass,
+    concatenated in ONE texel buffer of 64-texel blocks: R-blocks
+    (4 rows x 16 cols, index t = r*16 + c) first, then C-blocks
+    (16 rows x 4 cols, t = r*4 + c).  A strip of 8 R-blocks covers
+    16r x 32c; 8 C-blocks cover 32r x 16c — the per-lane choice keeps
+    the fetch footprint matched to the major-axis orientation."""
+    levels = _load_image_pyramid(filename, gamma)
+    br, boffs_r, nbx_r, nby_r, ws, hs = _pack_blocked(
+        levels, wrap, _EWA_VBLOCK, _EWA_BLOCK)
+    bc, boffs_c, nbx_c, nby_c, _, _ = _pack_blocked(
+        levels, wrap, _EWA_BLOCK, _EWA_VBLOCK)
+    n_r = br.shape[0]
+    blocks = np.concatenate([br.reshape(n_r, 64, 3),
+                             bc.reshape(bc.shape[0], 64, 3)])
+    return (blocks, boffs_r, nbx_r, nby_r,
+            boffs_c + np.int32(n_r), nbx_c, nby_c, ws, hs)
 
 
 def _ewa_level(filename: str, gamma: bool, u, v, dst0, dst1, li, wrap: str):
@@ -363,9 +395,12 @@ def _ewa_level_blocked(filename: str, gamma: bool, u, v, dst0, dst1, li,
 
 
 def _ewa_level_taps(filename: str, gamma: bool, u, v, dst0, dst1, li,
-                    wrap: str):
+                    wrap: str, taps: int = _EWA_TAPS):
     """EWA filter at one MIP level (MIPMap::EWA, mipmap.h): elliptical
-    Gaussian weights over a STATIC tap window centred at (u, v)."""
+    Gaussian weights over a STATIC tap window centred at (u, v).  `taps`
+    can be raised (tests only — the loop unrolls taps^2 gathers) to make
+    this the oracle for the wide high-anisotropy pass: 35 taps bound the
+    aniso-8 ellipse the same way 13 bound the 2.9-clamped one."""
     flat_np, offs_np, ws_np, hs_np = _load_image_pyramid_flat(filename, gamma)
     flat = jnp.asarray(flat_np)
     offs = jnp.asarray(offs_np)
@@ -392,13 +427,13 @@ def _ewa_level_taps(filename: str, gamma: bool, u, v, dst0, dst1, li,
     B = B * inv_f
     C = C * inv_f
 
-    iu0 = jnp.round(su).astype(jnp.int32) - _EWA_TAPS // 2
-    iv0 = jnp.round(sv).astype(jnp.int32) - _EWA_TAPS // 2
+    iu0 = jnp.round(su).astype(jnp.int32) - taps // 2
+    iv0 = jnp.round(sv).astype(jnp.int32) - taps // 2
     acc = jnp.zeros((u.shape[0], 3), jnp.float32)
     wsum = jnp.zeros(u.shape[0], jnp.float32)
     exp_m2 = np.float32(np.exp(-2.0))
-    for dv in range(_EWA_TAPS):
-        for du in range(_EWA_TAPS):
+    for dv in range(taps):
+        for du in range(taps):
             ti = iu0 + du
             tj = iv0 + dv
             uu = ti.astype(jnp.float32) - su
@@ -433,25 +468,235 @@ def _ewa_level_taps(filename: str, gamma: bool, u, v, dst0, dst1, li,
                      centre)
 
 
-def _ewa_sample(filename: str, gamma: bool, u, v, dst0, dst1, wrap: str):
+# Wide (high-anisotropy) EWA: K oriented strip fetches marching along the
+# major axis.  Each strip is 8 block gathers (like the 13x13 window) in
+# the orientation matched to the major direction (R-blocks 16r x 32c for
+# mostly-horizontal ellipses, C-blocks 32r x 16c for mostly-vertical);
+# strips OWN disjoint along-axis segments of the tap plane, so the summed
+# weights equal one big static window exactly (no tap is counted twice,
+# and the coverage bound below shows none is lost).
+#
+# Coverage: the level choice puts the clamped minor in [1, 2) texels at
+# the floor level, so the +1-widened support is within perp <= sqrt(5)
+# ~ 2.24 of the major line and within |along| <= L = sqrt(major^2+1)
+# <= sqrt(257) ~ 16.04 for aniso 8.  With K = 4 segments of half-length
+# L/K <= 4.2 and the dominant component of the unit major direction
+# >= 1/sqrt(2), a strip centred on its segment midpoint needs, around
+# that centre, at most 4.2 + 2.3 = 6.5 texels along the dominant axis
+# (strip gives +-8) and 4.2/sqrt(2) + 2.3 = 5.3 across it (strip gives
+# +-6 after block-grid alignment): every owned tap is fetched.
+_EWA_WIDE_ANISO = 8.0   # the reference's "maxanisotropy" default
+_EWA_WIDE_K = 4         # strips per level
+_EWA_WIDE_FRAC = 8      # budget: at most n/FRAC lanes take the wide pass
+
+
+def _report_tex_overflow(name: str, count) -> None:
+    import jax as _jax
+
+    from tpurt.utils.stats import STATS as _STATS
+
+    def _cb(c):
+        n = int(c)
+        if n:
+            _STATS.counter(name, n)
+
+    try:
+        _jax.debug.callback(_cb, count)
+    except Exception:  # pragma: no cover - callback-less backends
+        pass
+
+
+def _ewa_level_wide(filename: str, gamma: bool, u, v, dst_major, dst_minor,
+                    li, wrap: str):
+    """One MIP level of the wide EWA pass: K=4 oriented strips of 8 block
+    gathers each, ownership-partitioned along the major axis; same tap
+    weights as a (2*ceil(sqrt((2*aniso)^2+1))+1)^2 static taps window
+    (the taps oracle with taps=35 for aniso 8)."""
+    if wrap == "repeat":
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+    (blocks_np, boffs_r_np, nbx_r_np, nby_r_np, boffs_c_np, nbx_c_np,
+     nby_c_np, ws_np, hs_np) = \
+        _load_image_pyramid_blocked_both(filename, gamma, wrap)
+    flat_np, offs_np, _, _ = _load_image_pyramid_flat(filename, gamma)
+    blocks = jnp.asarray(blocks_np)
+    flat = jnp.asarray(flat_np)
+    offs = jnp.asarray(offs_np)
+    boffs_r = jnp.asarray(boffs_r_np)[li]
+    nbx_r = jnp.asarray(nbx_r_np)[li]
+    nby_r = jnp.asarray(nby_r_np)[li]
+    boffs_c = jnp.asarray(boffs_c_np)[li]
+    nbx_c = jnp.asarray(nbx_c_np)[li]
+    nby_c = jnp.asarray(nby_c_np)[li]
+    wi_i = jnp.asarray(ws_np)[li]
+    hi_i = jnp.asarray(hs_np)[li]
+    w_l = wi_i.astype(jnp.float32)
+    h_l = hi_i.astype(jnp.float32)
+    su = u * w_l - 0.5
+    sv = v * h_l - 0.5
+    d0u = dst_major[:, 0] * w_l
+    d0v = dst_major[:, 1] * h_l
+    d1u = dst_minor[:, 0] * w_l
+    d1v = dst_minor[:, 1] * h_l
+    A = d0v * d0v + d1v * d1v + 1.0
+    B = -2.0 * (d0u * d0v + d1u * d1v)
+    C = d0u * d0u + d1u * d1u + 1.0
+    inv_f = 1.0 / (A * C - B * B * 0.25)
+    An = (A * inv_f)[:, None]
+    Bn = (B * inv_f)[:, None]
+    Cn = (C * inv_f)[:, None]
+
+    maj_len = jnp.sqrt(jnp.maximum(d0u * d0u + d0v * d0v, 1e-12))
+    dir_u = d0u / maj_len
+    dir_v = d0v / maj_len
+    l_half = jnp.sqrt(maj_len * maj_len + 1.0) + 0.5
+    horiz = jnp.abs(dir_u) >= jnp.abs(dir_v)
+
+    t64 = jnp.arange(64, dtype=jnp.int32)
+    # in-block texel coordinates per layout
+    r_row, r_col = t64 // 16, t64 % 16   # R: 4r x 16c
+    c_row, c_col = t64 // 4, t64 % 4     # C: 16r x 4c
+
+    exp_m2 = np.float32(np.exp(-2.0))
+    acc = jnp.zeros((u.shape[0], 3), jnp.float32)
+    wsum = jnp.zeros(u.shape[0], jnp.float32)
+    k_arr = _EWA_WIDE_K
+    # ownership boundaries (projection onto the major direction)
+    bounds = [(-np.float32(1e9) if k == 0 else
+               l_half * (2.0 * k / k_arr - 1.0)) for k in range(k_arr)]
+    bounds.append(jnp.full_like(l_half, 1e9))
+    for k in range(k_arr):
+        off = l_half * ((2.0 * k + 1.0) / k_arr - 1.0)
+        scx = jnp.round(su + dir_u * off).astype(jnp.int32)
+        scy = jnp.round(sv + dir_v * off).astype(jnp.int32)
+        if wrap == "repeat":
+            wx = jnp.mod(scx, wi_i)
+            wy = jnp.mod(scy, hi_i)
+            dx = (scx - wx).astype(jnp.float32)
+            dy = (scy - wy).astype(jnp.float32)
+        else:
+            # apron-safe clip: blocks exist for centres in
+            # [-(APRON-8), w-1+(APRON-8)]; beyond that clamp-mode taps
+            # are lost (same apron caveat as the 13x13 blocked path),
+            # while black-mode taps out there carry zero weight anyway
+            wx = jnp.clip(scx, -8, jnp.maximum(wi_i + 7, -8))
+            wy = jnp.clip(scy, -8, jnp.maximum(hi_i + 7, -8))
+            dx = jnp.zeros_like(su)
+            dy = jnp.zeros_like(sv)
+        # R-layout strip: 4 vblocks x 2 hblocks (16r x 32c)
+        hb0_r = jnp.clip((wx - 8 + _EWA_APRON) // _EWA_BLOCK,
+                         0, jnp.maximum(nbx_r - 2, 0))
+        vb0_r = jnp.clip((wy - 6 + _EWA_APRON) // _EWA_VBLOCK,
+                         0, jnp.maximum(nby_r - 4, 0))
+        # C-layout strip: 2 vblocks x 4 hblocks (32r x 16c)
+        hb0_c = jnp.clip((wx - 6 + _EWA_APRON) // _EWA_VBLOCK,
+                         0, jnp.maximum(nbx_c - 4, 0))
+        vb0_c = jnp.clip((wy - 8 + _EWA_APRON) // _EWA_BLOCK,
+                         0, jnp.maximum(nby_c - 2, 0))
+        for j in range(8):
+            dvb_r, dhb_r = j // 2, j % 2
+            dvb_c, dhb_c = j // 4, j % 4
+            bid_r = boffs_r + (vb0_r + dvb_r) * nbx_r + hb0_r + dhb_r
+            bid_c = boffs_c + (vb0_c + dvb_c) * nbx_c + hb0_c + dhb_c
+            bid = jnp.where(horiz, bid_r, bid_c)
+            texels = blocks[bid]  # (N, 64, 3)
+            col_r = ((hb0_r + dhb_r) * _EWA_BLOCK - _EWA_APRON)[:, None] \
+                + r_col[None, :]
+            row_r = ((vb0_r + dvb_r) * _EWA_VBLOCK - _EWA_APRON)[:, None] \
+                + r_row[None, :]
+            col_c = ((hb0_c + dhb_c) * _EWA_VBLOCK - _EWA_APRON)[:, None] \
+                + c_col[None, :]
+            row_c = ((vb0_c + dvb_c) * _EWA_BLOCK - _EWA_APRON)[:, None] \
+                + c_row[None, :]
+            col = jnp.where(horiz[:, None], col_r, col_c)
+            row = jnp.where(horiz[:, None], row_r, row_c)
+            uu = col.astype(jnp.float32) + dx[:, None] - su[:, None]
+            vv = row.astype(jnp.float32) + dy[:, None] - sv[:, None]
+            proj = uu * dir_u[:, None] + vv * dir_v[:, None]
+            own = (proj >= (bounds[k][:, None] if k else bounds[k])) \
+                & (proj < bounds[k + 1][:, None])
+            r2 = An * uu * uu + Bn * uu * vv + Cn * vv * vv
+            w = jnp.where(own & (r2 < 1.0),
+                          jnp.exp(-2.0 * jnp.minimum(r2, 1.0)) - exp_m2,
+                          0.0)
+            if wrap == "black":
+                inimg = ((col >= 0) & (col < wi_i[:, None])
+                         & (row >= 0) & (row < hi_i[:, None]))
+                w = jnp.where(inimg, w, 0.0)
+            acc = acc + jnp.einsum("nk,nkc->nc", w, texels)
+            wsum = wsum + jnp.sum(w, axis=1)
+    ok = wsum > 1e-8
+    off0 = offs[li]
+    if wrap == "repeat":
+        cx = jnp.mod(jnp.round(su).astype(jnp.int32), wi_i)
+        cy = jnp.mod(jnp.round(sv).astype(jnp.int32), hi_i)
+    else:
+        cx = jnp.clip(jnp.round(su).astype(jnp.int32), 0, wi_i - 1)
+        cy = jnp.clip(jnp.round(sv).astype(jnp.int32), 0, hi_i - 1)
+    centre = flat[jnp.clip(off0 + cy * wi_i + cx, 0, flat.shape[0] - 1)]
+    return jnp.where(ok[:, None], acc / jnp.maximum(wsum, 1e-8)[:, None],
+                     centre)
+
+
+def _ewa_sample_wide(filename: str, gamma: bool, u, v, major_v, minor_v,
+                     wrap: str, clamp_aniso: float):
+    """Level choice + two-level blend for the wide pass: the minor axis
+    is widened only to `clamp_aniso` (<= 8), giving the finer MIP level
+    the reference's maxanisotropy=8 default implies (imagemap.cpp:130,
+    mipmap.h EWA clamp)."""
+    flat_np, offs_np, _, _ = _load_image_pyramid_flat(filename, gamma)
+    n_levels = len(offs_np)
+    major = jnp.sqrt(jnp.maximum(major_v[:, 0] ** 2 + major_v[:, 1] ** 2,
+                                 1e-24))
+    minor = jnp.sqrt(jnp.maximum(minor_v[:, 0] ** 2 + minor_v[:, 1] ** 2,
+                                 1e-24))
+    scale = jnp.where(minor * clamp_aniso < major,
+                      major / (minor * clamp_aniso), 1.0)
+    minor_v = minor_v * scale[:, None]
+    minor = minor * scale
+    lod = jnp.clip((n_levels - 1) + jnp.log2(jnp.maximum(minor, 1e-8)),
+                   0.0, n_levels - 1)
+    li = jnp.floor(lod).astype(jnp.int32)
+    dl = lod - li.astype(jnp.float32)
+    s0 = _ewa_level_wide(filename, gamma, u, v, major_v, minor_v, li, wrap)
+    s1 = _ewa_level_wide(filename, gamma, u, v, major_v, minor_v,
+                         jnp.minimum(li + 1, n_levels - 1), wrap)
+    return s0 * (1 - dl)[:, None] + s1 * dl[:, None]
+
+
+def _ewa_sample(filename: str, gamma: bool, u, v, dst0, dst1, wrap: str,
+                max_aniso: float = 8.0):
     """MIPMap::Lookup(st, dst0, dst1) (mipmap.h:56-63 + EWA): order the
     axes, clamp anisotropy, pick the level from the MINOR axis, blend two
-    EWA evaluations."""
+    EWA evaluations.
+
+    Anisotropy tiers: every lane runs the provably-bounded 13x13 blocked
+    window at a min(maxanisotropy, 2.9) clamp; when the texture's
+    maxanisotropy exceeds 2.9 (the reference default is 8,
+    imagemap.cpp:130), lanes whose raw footprint ratio exceeds 2.9 are
+    compacted (up to n/_EWA_WIDE_FRAC of the batch) into the wide pass —
+    exact EWA at the aniso-8 level via oriented strip fetches.  Lanes
+    beyond the budget keep the 2.9-clamped result (over-blurred along the
+    major axis only) and are counted in the
+    "Texture/EWA wide-pass budget exceeded" stat."""
+    from tpurt.config import get_config
+
     flat_np, offs_np, _, _ = _load_image_pyramid_flat(filename, gamma)
     n_levels = len(offs_np)
     l0_sq = jnp.sum(dst0 * dst0, axis=-1)
     l1_sq = jnp.sum(dst1 * dst1, axis=-1)
     swap = l0_sq < l1_sq
     major_v = jnp.where(swap[:, None], dst1, dst0)
-    minor_v = jnp.where(swap[:, None], dst0, dst1)
+    minor_raw_v = jnp.where(swap[:, None], dst0, dst1)
     major = jnp.sqrt(jnp.maximum(major_v[:, 0] ** 2 + major_v[:, 1] ** 2,
                                  1e-24))
-    minor = jnp.sqrt(jnp.maximum(minor_v[:, 0] ** 2 + minor_v[:, 1] ** 2,
-                                 1e-24))
-    scale = jnp.where(minor * _EWA_MAX_ANISO < major,
-                      major / (minor * _EWA_MAX_ANISO), 1.0)
-    minor_v = minor_v * scale[:, None]
-    minor = minor * scale
+    minor_raw = jnp.sqrt(jnp.maximum(minor_raw_v[:, 0] ** 2
+                                     + minor_raw_v[:, 1] ** 2, 1e-24))
+    tier1_aniso = min(float(max_aniso), _EWA_MAX_ANISO)
+    scale = jnp.where(minor_raw * tier1_aniso < major,
+                      major / (minor_raw * tier1_aniso), 1.0)
+    minor_v = minor_raw_v * scale[:, None]
+    minor = minor_raw * scale
     lod = jnp.clip((n_levels - 1) + jnp.log2(jnp.maximum(minor, 1e-8)),
                    0.0, n_levels - 1)
     li = jnp.floor(lod).astype(jnp.int32)
@@ -459,7 +704,29 @@ def _ewa_sample(filename: str, gamma: bool, u, v, dst0, dst1, wrap: str):
     s0 = _ewa_level(filename, gamma, u, v, major_v, minor_v, li, wrap)
     s1 = _ewa_level(filename, gamma, u, v, major_v, minor_v,
                     jnp.minimum(li + 1, n_levels - 1), wrap)
-    return s0 * (1 - dl)[:, None] + s1 * dl[:, None]
+    res = s0 * (1 - dl)[:, None] + s1 * dl[:, None]
+
+    if (float(max_aniso) <= _EWA_MAX_ANISO
+            or not get_config().ewa_blocked):
+        # the taps fallback stays at the 2.9 clamp (a 35x35 static taps
+        # loop would unroll 1225 gathers; the blocked path is the
+        # production default, the taps path the small-window oracle)
+        return res
+
+    n = u.shape[0]
+    budget = int(max(min(n, 128), n // _EWA_WIDE_FRAC))
+    need = major / jnp.maximum(minor_raw, 1e-12)
+    hi = need > _EWA_MAX_ANISO
+    order = jnp.argsort(jnp.where(hi, 0, 1))
+    sel = order[:budget]
+    valid = hi[sel]
+    wide = _ewa_sample_wide(
+        filename, gamma, u[sel], v[sel], major_v[sel], minor_raw_v[sel],
+        wrap, min(float(max_aniso), _EWA_WIDE_ANISO))
+    res = res.at[sel].set(jnp.where(valid[:, None], wide, res[sel]))
+    _report_tex_overflow("Texture/EWA wide-pass budget exceeded",
+                         jnp.sum(hi) - jnp.sum(valid))
+    return res
 
 
 @lru_cache(maxsize=32)
@@ -723,8 +990,12 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
         try:
             _load_ptex(fname)
         except (OSError, ValueError, RuntimeError) as e:
-            log.error("ptex %s unreadable: %s", fname, e)
-            return as_out(jnp.zeros((n,), jnp.float32))
+            # degrade to mid-gray so the render stays diagnosable (the
+            # reference's Ptex library errors out at creation instead;
+            # the parse-time warning in render/textures.py points here)
+            log.error("ptex %s unreadable (rendering 0.5 gray): %s",
+                      fname, e)
+            return as_out(jnp.full((n,), 0.5, jnp.float32))
         fi = (si.face_index if si.face_index is not None
               else jnp.zeros((n,), jnp.int32))
         rgb = _ptex_sample(fname, float(prm.get("gamma", 2.2)),
@@ -750,7 +1021,9 @@ def eval_texture(rec: TextureRecord, si, want3: bool):
             # derivative vectors in uv space
             sc = jnp.asarray([su, sv], jnp.float32)
             rgb = _ewa_sample(fname, prm.get("gamma", False), u, v,
-                              si.tex_dst0 * sc, si.tex_dst1 * sc, wrap)
+                              si.tex_dst0 * sc, si.tex_dst1 * sc, wrap,
+                              max_aniso=float(prm.get("maxanisotropy",
+                                                      8.0)))
         elif getattr(si, "tex_wu", None) is not None:
             # trilinear MIP filtering from the ray-footprint width
             width = jnp.maximum(si.tex_wu * su, si.tex_wv * sv)

@@ -9,6 +9,7 @@ api.cpp MakeFloatTexture/MakeSpectrumTexture (:610-680).  Records keep the
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -129,6 +130,12 @@ def make_texture(tex_class: str, tex_type: str, tex2world: Transform,
         # container natively (tpurt/io/ptex.py) — the reference snapshot
         # itself CANNOT (its src/ext/ptex submodule is empty).
         fname = ps.find_one_filename("filename", "")
+        if fname and not os.path.isfile(fname):
+            # surface the problem at parse time (the reference's Ptex
+            # library errors at texture creation, ptex.cpp:63-70); the
+            # lookup itself degrades to black at render time
+            log.warning('ptex file "%s" not found; texture will render '
+                        "0.5 gray", fname)
         return TextureRecord("ptex", tex_type, {
             "filename": fname,
             "gamma": ps.find_one_float("gamma", 2.2)})
