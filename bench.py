@@ -172,7 +172,34 @@ def main() -> int:
                     help="after timing, re-render once under "
                          "jax.profiler.trace and write the device trace "
                          "artifact to DIR (TensorBoard/Perfetto)")
+    ap.add_argument("--no-cold2", action="store_true",
+                    help="skip the fresh-process compile-cache probe "
+                         "(cold2_compile_s)")
+    ap.add_argument("--child-cold", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.child_cold:
+        # fresh-process probe: how much compile does a SECOND process pay
+        # for the same render step with the persistent cache populated?
+        from tpurt.config import enable_compile_cache
+
+        enable_compile_cache()
+        from tpurt.scene import load_scene
+        from tpurt.render.driver import render
+
+        sd = load_scene(args.scene)
+        t0 = time.time()
+        render(sd, progress=False)
+        t_first = time.time() - t0
+        t0 = time.time()
+        render(sd, progress=False)
+        t_second = time.time() - t0
+        print(json.dumps({"cold2_first_s": round(t_first, 2),
+                          "cold2_render_s": round(t_second, 2),
+                          "cold2_compile_s": round(t_first - t_second, 2)}),
+              flush=True)
+        return 0
 
     # Dead-tunnel watchdog: with the axon site hook active, a dead TPU
     # tunnel makes the first device touch HANG (it does not raise).
@@ -222,13 +249,18 @@ def main() -> int:
     w, h = job.film.width, job.film.height
     cam_rays = w * h * spp
     # warm-up/compile on a tiny crop is skipped: measure wall-clock incl.
-    # one compile, then a second timed run with the cache warm.
+    # one compile, then THREE timed steady-state runs (median + spread;
+    # round-4 review: a median-of-1 bench can't tell noise from
+    # regression).
     t0 = time.time()
     img, job = render(sd, progress=False, crop_override=crop)
     t_first = time.time() - t0
-    t0 = time.time()
-    img, job = render(sd, progress=False, crop_override=crop)
-    t_render = time.time() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        img, job = render(sd, progress=False, crop_override=crop)
+        runs.append(time.time() - t0)
+    t_render = sorted(runs)[1]
 
     if args.profile:
         # untimed third render under the profiler (tracing adds overhead,
@@ -256,21 +288,28 @@ def main() -> int:
             sd_rpf.sampler_params.add("integer", "pixelsamples", [args.spp])
         # steady-state timing like the render pass: first run compiles
         # (the axon PJRT plugin does not serve the persistent compile
-        # cache), second run measures — the C++ baseline's timings would
-        # not include compilation either
+        # cache), then THREE timed runs (median) — the C++ baseline's
+        # timings would not include compilation either
         t0 = time.time()
         render_rpf(sd_rpf, crop_override=crop, write_feature_exrs=False)
         t_rpf_cold = time.time() - t0
-        t0 = time.time()
-        _img2, _job2, extras = render_rpf(
-            sd_rpf, crop_override=crop, write_feature_exrs=False)
-        t_total_rpf = time.time() - t0
-        result["rpf_filter_ms"] = round(extras["filter_time"] * 1000.0, 1)
-        result["rpf_sampling_s"] = round(extras["sampling_time"], 2)
+        rpf_runs, filt_runs, samp_runs = [], [], []
+        for _ in range(3):
+            t0 = time.time()
+            _img2, _job2, extras = render_rpf(
+                sd_rpf, crop_override=crop, write_feature_exrs=False)
+            rpf_runs.append(time.time() - t0)
+            filt_runs.append(extras["filter_time"])
+            samp_runs.append(extras["sampling_time"])
+        t_total_rpf = sorted(rpf_runs)[1]
+        result["rpf_filter_ms"] = round(sorted(filt_runs)[1] * 1000.0, 1)
+        result["rpf_sampling_s"] = round(sorted(samp_runs)[1], 2)
         result["rpf_total_s"] = round(t_total_rpf, 2)
+        result["rpf_total_s_runs"] = [round(t, 2) for t in rpf_runs]
         result["rpf_compile_s"] = round(max(t_rpf_cold - t_total_rpf, 0.0), 2)
 
     result["render_s"] = round(t_render, 2)
+    result["render_s_runs"] = [round(t, 2) for t in runs]
     result["compile_s"] = round(max(t_first - t_render, 0.0), 2)
     # Measured C++ reference wall-clocks on this box (BASELINE.md, round 2;
     # refbuild/ rebuilds the binary to re-measure).  Scaled by ray count so
@@ -285,6 +324,24 @@ def main() -> int:
     # print the headline line IMMEDIATELY so a failure in the optional
     # configs below can't lose it (the driver reads the last line)
     print(json.dumps(result), flush=True)
+
+    if not args.no_cold2:
+        # round-4 review item: does the persistent compile cache serve the
+        # REAL render executable to a fresh process?  Spawn a child that
+        # renders the same scene once and report its compile seconds.
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scene", args.scene, "--child-cold"],
+                capture_output=True, text=True, timeout=1200)
+            last = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            result.update(json.loads(last))
+        except Exception as e:
+            result["cold2_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(result), flush=True)
 
     sample_scene = os.path.join(os.path.dirname(args.scene), "sample.pbrt")
     wanted = {c.strip() for c in args.configs.split(",") if c.strip()}

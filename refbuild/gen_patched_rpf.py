@@ -89,6 +89,15 @@ def main(src_path: str, dst_path: str) -> None:
       std::string tok;
       while (std::getline(bs_ss, tok, ',')) box_sizes.push_back(std::stoi(tok));
     }""", 1)
+    # measurement-harness convenience 2: the bilateral sigma seed is a
+    # hardcoded near-no-op 0.002 (rpf.cpp:533) — the strong-filter parity
+    # gate drives both implementations at a visible strength via
+    # RPF_SIGMA_SEED (tpurt side: config.rpf_sigma_seed)
+    src = src.replace(
+        "double sigma_fc_seed = 0.002;",
+        """double sigma_fc_seed = 0.002;
+    if (const char *ss_env = std::getenv("RPF_SIGMA_SEED"))
+      sigma_fc_seed = std::atof(ss_env);""", 1)
     src = src.replace(
         '#include <algorithm>',
         '#include <algorithm>\n#include <cstdlib>\n#include <sstream>', 1)
@@ -96,6 +105,7 @@ def main(src_path: str, dst_path: str) -> None:
     assert src.count("std::max(D_") == 3, "division guards not applied"
     assert src.count("stdDev[zi]") == 2, "z-norm zero guard not applied"
     assert src.count("RPF_BOX_SIZES") == 1, "box-size env hook not applied"
+    assert src.count("RPF_SIGMA_SEED") == 1, "sigma-seed env hook not applied"
     assert len(src) > n0
     open(dst_path, "w").write(src)
     print(f"patched rpf.cpp -> {dst_path}")

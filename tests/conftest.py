@@ -54,6 +54,19 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 
+# Render-loop tests listed in tests/slow_full.txt run only in the FULL
+# gate (`make test-full`); the quick gate must finish in minutes on a
+# 1-core box (round-5 review item 5).  Substring match on the nodeid.
+with open(os.path.join(os.path.dirname(__file__), "slow_full.txt")) as _f:
+    _SLOW_PATTERNS = [ln.strip() for ln in _f
+                      if ln.strip() and not ln.startswith("#")]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(pat in item.nodeid for pat in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.full)
+
 
 @pytest.fixture(scope="session")
 def scenes_dir():

@@ -392,6 +392,115 @@ def test_mlt_caustic_matches_cpp_binary(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# strong-filter RPF parity: round-4 review retired the "parity proven only
+# in the near-no-op regime" caveat — at the reference's hardcoded sigma
+# seed 0.002 (rpf.cpp:533) the filter barely changes the image, so the
+# near-no-op gates never exercised the bilateral blend.  Here BOTH
+# implementations run at sigma seed 0.5 (pbrt-patched: RPF_SIGMA_SEED env,
+# refbuild/gen_patched_rpf.py; tpurt: config.rpf_sigma_seed) where the
+# filter visibly denoises, and the gate checks agreement on the filtered
+# image AND on the filtered-minus-weak delta.
+# ---------------------------------------------------------------------------
+
+_RPF_SCENE = """
+LookAt 0 1.6 4.5  0 0 0  0 1 0
+Camera "perspective" "float fov" [48]
+Film "image" "integer xresolution" [96] "integer yresolution" [96]
+  "string filename" "{out}"
+Sampler "halton" "integer pixelsamples" [4]
+Integrator "rpf" "integer maxdepth" [4]
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [25 24 20]
+  Translate -1.5 3 1
+  Shape "sphere" "float radius" [0.35]
+AttributeEnd
+Material "plastic" "color Kd" [.25 .35 .6] "color Ks" [.5 .5 .5]
+  "float roughness" [.08]
+Shape "sphere" "float radius" [0.8]
+Material "matte" "color Kd" [.55 .5 .45]
+Translate 0 -0.8 0
+Shape "trianglemesh" "point P" [-7 0 -7  7 0 -7  7 0 7  -7 0 7]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+RPF_STRONG_SIGMA = 0.5
+
+
+def _find_patched_pbrt():
+    for c in [os.environ.get("TPURT_PBRT_PATCHED", ""),
+              "/tmp/refbuild-out/bin/pbrt-patched",
+              "/tmp/refbuild-check/bin/pbrt-patched",
+              "/tmp/refbuild/bin/pbrt-patched"]:
+        if c and os.path.isfile(c) and os.access(c, os.X_OK):
+            return c
+    return None
+
+
+def _cpp_rpf(tmp: str, name: str, sigma: float) -> np.ndarray:
+    import tpurt.io as tio
+
+    patched = _find_patched_pbrt()
+    if patched is None:
+        pytest.skip("pbrt-patched not built (make -C refbuild patched)")
+    out = os.path.join(tmp, name + ".exr")
+    scene = os.path.join(tmp, name + ".pbrt")
+    with open(scene, "w") as f:
+        f.write(_RPF_SCENE.format(out=out))
+    env = dict(os.environ, RPF_SIGMA_SEED=repr(sigma))
+    subprocess.run([patched, "--quiet", scene], cwd=tmp, check=True,
+                   timeout=1200, env=env)
+    return tio.read_image(out).astype(np.float64)
+
+
+def _tpu_rpf(tmp: str, sigma: float) -> np.ndarray:
+    from tpurt.config import set_config
+    from tpurt.scene import load_scene_string
+    from tpurt.rpf.driver import render_rpf
+
+    sd = load_scene_string(_RPF_SCENE.format(out="x.exr"), base_dir=tmp)
+    set_config(rpf_sigma_seed=sigma)
+    try:
+        img, _job, _extras = render_rpf(sd, write_feature_exrs=False)
+    finally:
+        set_config(rpf_sigma_seed=0.002)
+    return np.asarray(img, np.float64)
+
+
+@pytest.mark.full
+def test_strong_filter_rpf_matches_cpp_binary(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPURT_HALTON_SCRAMBLE", "pbrt")
+    tmp = str(tmp_path)
+    cpp_weak = _cpp_rpf(tmp, "rpf_weak", 0.002)
+    cpp_strong = _cpp_rpf(tmp, "rpf_strong", RPF_STRONG_SIGMA)
+    tpu_weak = _tpu_rpf(tmp, 0.002)
+    tpu_strong = _tpu_rpf(tmp, RPF_STRONG_SIGMA)
+
+    def mse(a, b):
+        return float(((a - b) ** 2).mean())
+
+    # 1. the strong filter must MATERIALLY change the image on both sides:
+    #    the strong-minus-weak delta >= 100x the near-no-op residual scale
+    d_cpp = cpp_strong - cpp_weak
+    d_tpu = tpu_strong - tpu_weak
+    noop = mse(cpp_weak, tpu_weak)  # near-no-op regime agreement level
+    assert mse(d_cpp, 0 * d_cpp) >= 100 * noop, (mse(d_cpp, 0 * d_cpp), noop)
+
+    # 2. filtered images agree (same bit-exact halton sampling pass, same
+    #    filter math; residual = the two float pipelines' MI/weight noise)
+    rel = mse(tpu_strong, cpp_strong) / max(mse(cpp_strong, 0 * cpp_strong),
+                                            1e-12)
+    assert rel < 0.01, f"strong-filter image rel MSE {rel:.3e}"
+
+    # 3. the DELTAS agree in direction and magnitude: the denoising the
+    #    two implementations apply is the same signal, not two different
+    #    smoothings of similar strength
+    drel = mse(d_tpu, d_cpp) / max(mse(d_cpp, 0 * d_cpp), 1e-12)
+    assert drel < 0.05, f"filter-delta rel MSE {drel:.3e}"
+
+
+# ---------------------------------------------------------------------------
 # sampled-spectrum parity: tpurt --spectrum sampled vs a
 # PBRT_SAMPLED_SPECTRUM build of the reference (pbrt.h:126-130)
 # ---------------------------------------------------------------------------

@@ -269,3 +269,42 @@ def test_fuse_shadow_rays_bit_identical():
     finally:
         set_config(fuse_shadow_rays=True)
     assert np.array_equal(np.asarray(img_f), np.asarray(img_s))
+
+
+def test_compact_bounces_matches_scan():
+    """config.compact_bounces toggles the bounce-compacted wavefront
+    driver (render.driver._render_compact) against the one-jit lax.scan
+    formulation.  Same rays, same hits, same film contributions — only
+    the film scatter-add ORDER differs (dead lanes bank early), so the
+    images must agree to f32 accumulation rounding."""
+    from tpurt.config import set_config
+
+    scene = """
+    Film "image" "integer xresolution" [32] "integer yresolution" [32]
+    Sampler "halton" "integer pixelsamples" [4]
+    Integrator "path" "integer maxdepth" [4]
+    Camera "perspective" "float fov" [55]
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "area" "color L" [12 12 12]
+      Translate 0 3 -4
+      Shape "sphere" "float radius" [0.5]
+    AttributeEnd
+    Material "matte" "color Kd" [.6 .55 .5]
+    Translate 0 0 -4
+    Shape "sphere" "float radius" [1]
+    Material "plastic" "color Kd" [.2 .3 .6] "float roughness" [.04]
+    Translate 0 -1.3 0
+    Shape "trianglemesh" "point P" [-5 0 -5  5 0 -5  5 0 5  -5 0 5]
+      "integer indices" [0 1 2 2 3 0]
+    WorldEnd
+    """
+    img_c = np.asarray(_render_scene(scene), np.float64)
+    set_config(compact_bounces=False)
+    try:
+        img_s = np.asarray(_render_scene(scene), np.float64)
+    finally:
+        set_config(compact_bounces=True)
+    mse = float(((img_c - img_s) ** 2).mean())
+    assert mse < 1e-12, mse
+    np.testing.assert_allclose(img_c, img_s, atol=1e-4)

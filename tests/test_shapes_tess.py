@@ -16,7 +16,10 @@ def _ps(d):
 
 
 def test_curve_cylinder_tube_geometry():
-    # straight bezier along +x with constant width: tube of radius w/2
+    # Round-3 curves are RAY-TRACED CurveRecord spans (scene/records.py:38,
+    # pre-split blossoms of curve.cpp:43-53), not tessellated meshes.
+    # Straight bezier along +x with constant width: every span control
+    # point stays on the x axis and keeps the full width.
     ps = _ps({
         ("point3", "P"): [0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 0, 0],
         ("string", "type"): ["cylinder"],
@@ -24,16 +27,17 @@ def test_curve_cylinder_tube_geometry():
     })
     recs = make_shapes("curve", Transform(), False, ps)
     assert len(recs) == 1
-    mesh = recs[0]
-    # all vertices lie on the Cauchy-corrected tube around the x axis:
-    # vertex radius = (w/2) * pi/(6 sin(pi/6)) so the hexagonal tube's
-    # MEAN silhouette width equals the true cylinder's (shapes.py)
-    r = np.sqrt(mesh.vertices[:, 1] ** 2 + mesh.vertices[:, 2] ** 2)
-    np.testing.assert_allclose(r, 0.1 * np.pi / (6 * np.sin(np.pi / 6)),
-                               atol=1e-5)
-    assert mesh.vertices[:, 0].min() >= -1e-6
-    assert mesh.vertices[:, 0].max() <= 3 + 1e-6
-    assert len(mesh.indices) > 0
+    rec = recs[0]
+    assert rec.kind == "curve" and rec.ctype == "cylinder"
+    cp = rec.cp.reshape(-1, 3)
+    np.testing.assert_allclose(cp[:, 1:], 0.0, atol=1e-6)
+    assert cp[:, 0].min() >= -1e-6 and cp[:, 0].max() <= 3 + 1e-6
+    np.testing.assert_allclose(rec.width, 0.2, atol=1e-6)
+    # spans tile the parameter range [0,1] without gaps
+    u = rec.u[np.argsort(rec.u[:, 0])]
+    np.testing.assert_allclose(u[0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(u[-1, 1], 1.0, atol=1e-6)
+    np.testing.assert_allclose(u[1:, 0], u[:-1, 1], atol=1e-6)
 
 
 def test_curve_flat_width_interpolation():
@@ -44,13 +48,11 @@ def test_curve_flat_width_interpolation():
         ("float", "width1"): [0.0],
     })
     recs = make_shapes("curve", Transform(), False, ps)
-    v = recs[0].vertices
-    m = len(v) // 2
-    # strip width tapers from 0.4 to 0 along u
-    widths = np.linalg.norm(v[m:] - v[:m], axis=-1)
-    np.testing.assert_allclose(widths[0], 0.4, atol=1e-5)
-    np.testing.assert_allclose(widths[-1], 0.0, atol=1e-5)
-    assert np.all(np.diff(widths) < 1e-6)
+    rec = recs[0]
+    assert rec.ctype == "flat"
+    # span end widths interpolate the shape's width0/width1 linearly in u
+    # (curve.cpp:96-97 Lerp(u, width[0], width[1]))
+    np.testing.assert_allclose(rec.width, 0.4 * (1.0 - rec.u), atol=1e-5)
 
 
 def test_curve_bspline_basis_accepted():
@@ -61,8 +63,11 @@ def test_curve_bspline_basis_accepted():
         ("float", "width"): [0.1],
     })
     recs = make_shapes("curve", Transform(), False, ps)
-    assert recs and len(recs[0].indices) > 0
-    assert np.isfinite(recs[0].vertices).all()
+    assert recs
+    # bspline with 5 control points -> 2 cubic segments' worth of spans
+    cp = np.concatenate([r.cp.reshape(-1, 3) for r in recs])
+    assert np.isfinite(cp).all() and len(cp) >= 8
+    assert all(np.isfinite(r.width).all() for r in recs)
 
 
 def test_nurbs_flat_patch():

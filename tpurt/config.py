@@ -103,6 +103,21 @@ class Config:
     # as the A/B + parity oracle (tests/test_mipfilter.py pins equality).
     ewa_blocked: bool = True
 
+    # Bounce-compacted wavefront (render.driver._render_compact): shrink
+    # the lane array between bounces as paths terminate instead of
+    # paying full-width masked traversals every bounce (measured: the
+    # killeroo step is traversal-floor-bound while survivors collapse
+    # 1.0->0.42->0.15->0.06).  False falls back to the one-jit lax.scan
+    # step (the formulation the sharded/multi-chip path always uses).
+    compact_bounces: bool = True
+
+    # RPF bilateral sigma seed (rpf.cpp:533 hardcodes 0.002, a near-no-op
+    # on the reference's own scenes — see BASELINE.md).  Raising it makes
+    # the filter actually denoise; the strong-filter parity gate drives
+    # BOTH sides at 0.05 (tpurt here, the C++ via pbrt-patched's
+    # RPF_SIGMA_SEED env override).
+    rpf_sigma_seed: float = 0.002
+
     # Grid-media delta/ratio-tracking step budget per segment (the
     # reference loops unboundedly, media/grid.cpp).  Overflow lanes are
     # counted in "Media/Grid tracking budget exhausted"; raise for very

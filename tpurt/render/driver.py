@@ -462,6 +462,11 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
 
         return render_sppm(sd, quick=quick, crop_override=crop_override,
                            return_state=return_state)
+    if (get_config().compact_bounces
+            and job.cfg.name in ("path", "directlighting", "whitted")
+            and not job.cfg.capture_features):
+        return _render_compact(sd, job, quick, crop_override, progress,
+                               return_state, cached_step)
     radiance_fn = RADIANCE_FNS[job.cfg.name]
     film = job.film
     spp = job.sampler.spp
@@ -523,6 +528,134 @@ def render(sd: SceneDescription, quick: bool = False, progress: bool = True,
     # (bdpt.cpp Render: WriteImage(1 / samplesPerPixel))
     splat_scale = 1.0 / spp if job.cfg.name in ("bdpt", "mlt") else 1.0
     img = film.to_image(state, splat_scale=splat_scale)
+    if return_state:
+        return img, job, state
+    return img, job
+
+
+# Bucket size below which compaction stops paying (per-call floor ~ a few
+# ms regardless of lane count; measured in tools/probe.py components).
+_COMPACT_MIN_LANES = 1 << 12
+
+
+def _render_compact(sd, job, quick, crop_override, progress, return_state,
+                    cached):
+    """Bounce-compacted wavefront render for the scan-free integrators
+    (path / directlighting / whitted).
+
+    Motivation (tools/probe.py components, killeroo on v5e): the full
+    integrator step costs ~70 ms/bounce at 2^18 lanes and masked-out dead
+    lanes barely help (traversal floors at 33-50 ms from 10% to 100%
+    occupancy), yet survivors collapse bounce-over-bounce
+    (1.0 -> 0.42 -> 0.15 -> 0.06 -> 0.006).  The lax.scan formulation
+    pays full-width every bounce; here each bounce is its own device call
+    over a lane-state dict (path_bounce_init/path_bounce_step), and
+    between bounces the wavefront is COMPACTED: alive lanes are gathered
+    to the front (stable argsort, deterministic) and the array halved
+    while alive <= half, banking the dropped — all dead — tail into the
+    film.  One executable serves every bounce per lane-count bucket
+    (bounce is a traced scalar), so compiles stay bounded:
+    log2(chunk/min) + 2 executables per scene.
+
+    The reference analog is the per-tile loop integrator.cpp:228-339;
+    its CPU threads never pay for terminated paths — this recovers the
+    same property under XLA's static shapes."""
+    film = job.film
+    spp = job.sampler.spp
+    spec_only = job.cfg.name in ("directlighting", "whitted")
+    total = max(1, film.width * film.height) * spp
+    min_chunk = 1 << 14
+    bucket = min_chunk
+    while bucket < total:
+        bucket *= 2
+    chunk = min(bucket, get_config().wavefront_size, 1 << 20)
+    chunk = max(chunk, min_chunk)
+    x0, _, y0, _ = film.crop
+
+    from tpurt.render.integrator import (_to_rgb_maybe, path_bounce_init,
+                                         path_bounce_step)
+
+    if cached is not None:
+        init_step, bounce_step, compact_half, bank = cached
+    else:
+        @partial(jax.jit, static_argnums=(3,))
+        def init_step(scene, camera, smplr, cfg, px, py, sidx, mask):
+            st = path_bounce_init(scene, smplr, camera, px, py, sidx, cfg,
+                                  crop_xy=(x0, y0),
+                                  texture_eval=job.texture_eval)
+            # padded lanes start dead so compaction drops them first
+            st = dict(st, alive=st["alive"] & mask, mask=mask)
+            return st, jnp.sum(st["alive"])
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(4,))
+        def bounce_step(scene, camera, smplr, cfg, st, bounce):
+            return path_bounce_step(scene, smplr, camera, cfg, st, bounce,
+                                    texture_eval=job.texture_eval,
+                                    specular_only=spec_only)
+
+        # donate only the film state: st's outputs are half-size, so its
+        # buffers can never be reused (donating them just warns)
+        @partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
+        def compact_half(st, fstate, cfg):
+            n = st["alive"].shape[0]
+            m = n // 2
+            # stable: alive lanes keep their relative order, so the
+            # result is deterministic run-to-run
+            perm = jnp.argsort(jnp.logical_not(st["alive"]), stable=True)
+            head = jax.tree.map(lambda a: jnp.take(a, perm[:m], axis=0), st)
+            tail = perm[m:]
+            # the dropped tail is all-dead (caller compacts only when
+            # n_alive <= m): bank its finished radiance now — every lane
+            # is banked exactly once, either in a tail or in the final
+            # bank of its chunk
+            fstate = film.add_samples(
+                fstate, st["p_film_crop"][tail],
+                _to_rgb_maybe(st["L"][tail], cfg),
+                st["ray_w"][tail], mask=st["mask"][tail])
+            return head, fstate
+
+        @partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
+        def bank(st, fstate, cfg):
+            return film.add_samples(
+                fstate, st["p_film_crop"], _to_rgb_maybe(st["L"], cfg),
+                st["ray_w"], mask=st["mask"])
+
+        _cache_job_step(sd, quick, crop_override, job,
+                        (init_step, bounce_step, compact_half, bank))
+
+    from tpurt.utils.stats import STATS, ProgressReporter
+
+    state = film.initial_state()
+    done = 0
+    t0 = time.time()
+    reporter = ProgressReporter(total, "Rendering", quiet=not progress)
+    for px, py, sidx, mask in _chunk_lanes(film, spp, chunk):
+        st, n_alive_dev = init_step(
+            job.scene, job.camera, job.sampler, job.cfg,
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(sidx),
+            jnp.asarray(mask))
+        n_alive = int(n_alive_dev)
+        for bounce in range(job.cfg.max_depth + 1):
+            if n_alive == 0:
+                break
+            while (st["alive"].shape[0] > _COMPACT_MIN_LANES
+                   and n_alive <= st["alive"].shape[0] // 2):
+                st, state = compact_half(st, state, job.cfg)
+            st, n_alive_dev = bounce_step(
+                job.scene, job.camera, job.sampler, job.cfg, st,
+                jnp.int32(bounce))
+            n_alive = int(n_alive_dev)
+        state = bank(st, state, job.cfg)
+        n_done = int(mask.sum())
+        done += n_done
+        reporter.update(n_done)
+    jax.block_until_ready(state.rgb)
+    reporter.done_report()
+    STATS.counter("Integrator/Camera rays traced", done)
+    STATS.phase_times["Render (trace + film)"] += time.time() - t0
+    log.info("render complete (compacted): %.2fs (%.2f Msamples/s)",
+             time.time() - t0, done / max(time.time() - t0, 1e-9) / 1e6)
+    img = film.to_image(state)
     if return_state:
         return img, job, state
     return img, job

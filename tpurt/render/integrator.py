@@ -833,6 +833,267 @@ def _camera_setup(sampler, camera, px, py, sidx, crop_xy):
     return p_film, p_film_crop, p_lens, o, d, ray_w, sctx, time
 
 
+def path_bounce_init(scene: SceneData, sampler, camera, px, py, sidx,
+                     cfg: IntegratorConfig, crop_xy=(0, 0),
+                     texture_eval=None) -> Dict[str, Any]:
+    """Build the per-lane wavefront state for path tracing: camera setup +
+    the bounce-0 closest hit.  EVERY leaf of the returned dict is per-lane
+    (leading axis N), so a driver may COMPACT the wavefront between
+    bounces by gathering rows (render.driver's bucket compaction)."""
+    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, l_time = _camera_setup(
+        sampler, camera, px, py, sidx, crop_xy)
+    nch = 60 if cfg.spectral else 3
+
+    rx_o = rx_d = ry_o = ry_d = None
+    use_ewa = scene.has_texfilter and get_config().texture_filter == "ewa"
+    if use_ewa:
+        rx_o, rx_d, ry_o, ry_d = camera_ray_differentials(
+            camera, sampler, p_film, p_lens, l_time, sampler.spp)
+
+    # all carries derived from lane data so they carry the same varying-axes
+    # type as the body's outputs under shard_map
+    v0 = px.astype(jnp.float32) * 0.0  # (n,) varying zero
+    v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
+    v0c = v0[:, None] * jnp.ones((1, nch), jnp.float32)
+    # bounce 0's closest runs before the bounce loop (the body shades the
+    # carried hit, then traces the NEXT one fused with the shadow ray)
+    hit0 = intersect_closest(scene.geo, o, d, v0 + INF, time=l_time)
+    return dict(
+        px=px, py=py, sidx=sidx, sctx=sctx, time=l_time,
+        rx_o=rx_o, rx_d=rx_d, ry_o=ry_o, ry_d=ry_d,
+        p_film=p_film, p_film_crop=p_film_crop, p_lens=p_lens, ray_w=ray_w,
+        o=o, d=d, hit_t=hit0.t, hit_prim=hit0.prim, hit_b0=hit0.b0,
+        hit_b1=hit0.b1, beta=v0c + 1.0, L=v0c, alive=px == px,
+        specular=px != px, prev_pdf=v0 + 1.0, prev_p=o,
+        eta_scale=v0 + 1.0, n0=v03, p0=v03, n1=v03, p1=v03)
+
+
+def path_bounce_step(scene: SceneData, sampler, camera,
+                     cfg: IntegratorConfig, state: Dict[str, Any], bounce,
+                     texture_eval=None, specular_only: bool = False):
+    """One shade-then-trace bounce over the lane-state dict (see
+    path_bounce_init).  `bounce` is a traced int32 scalar, so one compiled
+    executable per lane count serves every bounce.  Returns
+    (state, n_alive).
+
+    Shade-then-trace bounce structure: each call shades the hit CARRIED
+    from the previous one, then issues the next bounce's closest ray
+    together with this bounce's NEE shadow ray.  With fuse_shadow_rays
+    they share ONE mixed traversal (per-lane any-hit; the gather engine
+    amortizes with batch size and the schedule's fixed costs halve) —
+    1 + (maxdepth+1) traversal calls per path instead of
+    2*(maxdepth+1).  Results are bit-identical either way.
+    """
+    px, py, sidx = state["px"], state["py"], state["sidx"]
+    sctx, l_time = state["sctx"], state["time"]
+    rx_o, rx_d = state["rx_o"], state["rx_d"]
+    ry_o, ry_d = state["ry_o"], state["ry_d"]
+    n = px.shape[0]
+    inf_L, _ = _infinite_L(scene.lights)
+    has_inf = scene.lights.has_infinite
+    uniform_strategy = cfg.light_strategy not in ("power", "spatial")
+    nch = 60 if cfg.spectral else 3
+    use_ewa = scene.has_texfilter and get_config().texture_filter == "ewa"
+    fuse = get_config().fuse_shadow_rays
+
+    (o, d, hit_t, hit_prim, hit_b0, hit_b1, beta, L, alive, specular,
+     prev_pdf, prev_p, eta_scale, n0, p0, n1, p1) = (
+        state["o"], state["d"], state["hit_t"], state["hit_prim"],
+        state["hit_b0"], state["hit_b1"], state["beta"], state["L"],
+        state["alive"], state["specular"], state["prev_pdf"],
+        state["prev_p"], state["eta_scale"], state["n0"], state["p0"],
+        state["n1"], state["p1"])
+
+    hit = Hit(t=hit_t, prim=hit_prim, b0=hit_b0, b1=hit_b1)
+    si = compute_interaction(scene.geo, hit, o, d,
+                             tangents=scene.has_tangents,
+                             dpduv=scene.has_bump or scene.has_texfilter,
+                             time=l_time)
+    if scene.has_texfilter:
+        si = _tex_footprint(si, hit.t, camera)
+    if use_ewa:
+        # camera hits: TRUE ray differentials -> anisotropic EWA
+        # derivative vectors; deeper bounces keep the isotropic cone
+        # (the reference point-samples non-specular indirect lookups;
+        # the cone is a strict quality superset)
+        dd0, dd1, okd = _tex_differentials(si, rx_o, rx_d, ry_o, ry_d)
+        use = ((bounce == 0) & okd)[:, None]
+        zw = jnp.zeros_like(si.tex_wu)
+        si = si._replace(
+            tex_dst0=jnp.where(use, dd0,
+                               jnp.stack([si.tex_wu, zw], -1)),
+            tex_dst1=jnp.where(use, dd1,
+                               jnp.stack([zw, si.tex_wv], -1)))
+    if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
+        si = texture_eval.bump(si)
+
+    if cfg.capture_features:
+        # RPF captures the GEOMETRIC normal + hit point at bounces 0/1,
+        # after the escape check (rpf.cpp:851-857 uses isect.n/isect.p)
+        m0 = ((bounce == 0) & alive & si.valid)[:, None]
+        m1 = ((bounce == 1) & alive & si.valid)[:, None]
+        n0 = jnp.where(m0, si.ng, n0)
+        p0 = jnp.where(m0, si.p, p0)
+        n1 = jnp.where(m1, si.ng, n1)
+        p1 = jnp.where(m1, si.p, p1)
+
+    # ---- emitted light ----
+    Le, lrow = _emitted(scene, si)
+    Le = _lift_illum_maybe(Le, nch)
+    lrow_c = jnp.maximum(lrow, 0)
+    light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p, si.ng)
+    pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n, prev_p)
+    w_mis = power_heuristic(1.0, prev_pdf, 1.0, light_pdf * pmf)
+    w_emit = jnp.where((bounce == 0) | specular, 1.0, w_mis)
+    L = L + jnp.where((alive & si.valid)[:, None],
+                      beta * Le * w_emit[:, None], 0.0)
+
+    # escaped rays -> infinite lights
+    if has_inf:
+        if uniform_strategy:
+            pmf_inf = 1.0 / scene.lights.n_lights
+        else:
+            inf_mask = scene.lights.kind == LIGHT_INFINITE
+            pmf_inf = jnp.sum(jnp.where(inf_mask, scene.lights.power_pmf, 0.0))
+        w_mis_inf = power_heuristic(
+            1.0, prev_pdf, 1.0, _escape_pdf(scene.lights, d) * pmf_inf)
+        w_inf = jnp.where((bounce == 0) | specular, 1.0, w_mis_inf)
+        Le_inf = _lift_illum_maybe(
+            _escape_radiance(scene.lights, inf_L, d), nch)
+        L = L + jnp.where((alive & ~si.valid)[:, None],
+                          beta * Le_inf * w_inf[:, None], 0.0)
+
+    alive = alive & si.valid & (bounce < cfg.max_depth)
+
+    overrides = texture_eval(si) if texture_eval is not None else None
+    mrow = scene.mt_table[jnp.maximum(si.material_id, 0)]
+    lobes = fetch_lobes(scene.mt_table, si.material_id, overrides,
+                        has_mix=scene.mt_mix is not None,
+                        channels=nch, row=mrow)
+    hair_ctx = _hair_ctx(scene, si, mrow)
+    fourier_ctx = _fourier_ctx(scene, si, mrow)
+    any_lobe = jnp.any(lobes.active, axis=-1)
+    has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
+    if hair_ctx is not None:
+        any_lobe = any_lobe | hair_ctx[0]
+        has_smooth = has_smooth | hair_ctx[0]
+    if fourier_ctx is not None:
+        any_lobe = any_lobe | fourier_ctx[0]
+        has_smooth = has_smooth | fourier_ctx[0]
+    alive = alive & any_lobe
+
+    # ---- NEE ----
+    d0 = CAMERA_DIMS + bounce * (DIMS_PER_BOUNCE
+                                 + (BSS_DIMS if scene.has_bssrdf else 0))
+    u_choice = sampler.dim_dyn(px, py, sidx, d0, sctx)
+    u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1, sctx),
+                         sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)], axis=-1)
+    nee_c, o_sh, wi_sh, t_sh, nee_ok = _nee_prepare(
+        scene, si, lobes, u_choice, u_light, cfg.light_strategy,
+        alive & has_smooth, hair_ctx, fourier_ctx)
+    beta_nee = beta  # pre-continuation throughput scales the NEE term
+
+    # ---- BSDF sampling ----
+    u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 3, sctx)
+    u1 = sampler.dim_dyn(px, py, sidx, d0 + 4, sctx)
+    u2 = sampler.dim_dyn(px, py, sidx, d0 + 5, sctx)
+    t, b = _shading_frame(si)
+    wo_l = to_local(t, b, si.ns, si.wo)
+    wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
+    if hair_ctx is not None:
+        from tpurt.render.hair import hair_sample
+
+        is_hair, hp = hair_ctx
+        wi_h, f_h, pdf_h = hair_sample(hp, wo_l, u1, u2)
+        wi_l = jnp.where(is_hair[:, None], wi_h, wi_l)
+        f = jnp.where(is_hair[:, None], _lift_f_maybe(f_h, nch), f)
+        pdf = jnp.where(is_hair, pdf_h, pdf)
+        is_spec = is_spec & ~is_hair
+        is_trans = is_trans & ~is_hair
+    if fourier_ctx is not None:
+        from tpurt.render.fourier import fourier_sample
+
+        is_f, ftix = fourier_ctx
+        wi_f = jnp.zeros_like(wi_l)
+        f_f = jnp.zeros((n, 3), jnp.float32)
+        pdf_f = jnp.zeros_like(pdf)
+        for k, tbl in enumerate(scene.fr_tables):
+            mk = ftix == k
+            wi_k, fk, pk = fourier_sample(tbl, scene.fr_etas[k], wo_l,
+                                          u1, u2)
+            wi_f = jnp.where(mk[:, None], wi_k, wi_f)
+            f_f = jnp.where(mk[:, None], fk, f_f)
+            pdf_f = jnp.where(mk, pk, pdf_f)
+        wi_l = jnp.where(is_f[:, None], wi_f, wi_l)
+        f = jnp.where(is_f[:, None], _lift_f_maybe(f_f, nch), f)
+        pdf = jnp.where(is_f, pdf_f, pdf)
+        is_spec = is_spec & ~is_f
+        is_trans = jnp.where(is_f, wi_l[:, 2] * wo_l[:, 2] < 0, is_trans)
+    wi = to_world(t, b, si.ns, wi_l)
+
+    ok = alive & (pdf > 0) & jnp.any(f > 0, axis=-1)
+    if specular_only:
+        ok = ok & is_spec
+    beta = jnp.where(ok[:, None],
+                     beta * f * (jnp.abs(dot(wi, si.ns))
+                                 / jnp.maximum(pdf, 1e-20))[:, None], beta)
+    # refraction radiance scaling bookkeeping (path.cpp etaScale)
+    eta2 = jnp.where(dot(si.wo, si.ng) > 0, lobes.eta * lobes.eta,
+                     1.0 / jnp.maximum(lobes.eta * lobes.eta, 1e-9))
+    eta_scale = jnp.where(ok & is_spec & is_trans, eta_scale * eta2,
+                          eta_scale)
+    alive = ok
+    specular = is_spec
+    prev_pdf = jnp.maximum(pdf, 1e-20)
+    prev_p = si.p
+    o = offset_ray_origin(si.p, si.ng, wi, si.p_eps)
+    d = wi
+
+    # ---- subsurface hop (path.cpp:153-174) ----
+    if scene.has_bssrdf and not specular_only:
+        (o, d, beta, L, alive, specular, prev_pdf, prev_p) = _bssrdf_hop(
+            scene, si, lobes, t, b, o, d, beta, L, alive, specular,
+            prev_pdf, prev_p, is_spec, is_trans,
+            sampler, px, py, sidx, sctx, d0, cfg, time=l_time)
+
+    # ---- Russian roulette (path.cpp: bounces > 3) ----
+    u_rr = sampler.dim_dyn(px, py, sidx, d0 + 6, sctx)
+    rr_beta = jnp.max(beta, axis=-1) * eta_scale
+    q = jnp.maximum(0.05, 1.0 - rr_beta)
+    do_rr = (rr_beta < cfg.rr_threshold) & (bounce > 3) & alive
+    killed = do_rr & (u_rr < q)
+    alive = alive & ~killed
+    beta = jnp.where((do_rr & ~killed)[:, None],
+                     beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+
+    # ---- trace: next bounce's closest ray + this bounce's shadow ----
+    t_next = jnp.where(alive, INF, 0.0)
+    if fuse:
+        o_f = jnp.concatenate([o, o_sh], axis=0)
+        d_f = jnp.concatenate([d, wi_sh], axis=0)
+        tm_f = jnp.concatenate([t_next, t_sh], axis=0)
+        am_f = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(n, bool)])
+        tf = (jnp.concatenate([l_time, l_time], axis=0)
+              if l_time is not None else None)
+        h_f = intersect_mixed(scene.geo, o_f, d_f, tm_f, am_f, time=tf)
+        occluded = h_f.prim[n:] >= 0
+        hit_next = Hit(t=h_f.t[:n], prim=h_f.prim[:n],
+                       b0=h_f.b0[:n], b1=h_f.b1[:n])
+    else:
+        occluded = intersect_any(scene.geo, o_sh, wi_sh, t_sh,
+                                 time=l_time)
+        hit_next = intersect_closest(scene.geo, o, d, t_next,
+                                     time=l_time)
+    L = L + beta_nee * _nee_resolve(nee_c, nee_ok, occluded)
+
+    state = dict(state, o=o, d=d, hit_t=hit_next.t,
+                 hit_prim=hit_next.prim, hit_b0=hit_next.b0,
+                 hit_b1=hit_next.b1, beta=beta, L=L, alive=alive,
+                 specular=specular, prev_pdf=prev_pdf, prev_p=prev_p,
+                 eta_scale=eta_scale, n0=n0, p0=p0, n1=n1, p1=p1)
+    return state, jnp.sum(alive)
+
+
 def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                   cfg: IntegratorConfig, crop_xy=(0, 0),
                   texture_eval=None, specular_only: bool = False
@@ -842,247 +1103,30 @@ def path_radiance(scene: SceneData, sampler, camera, px, py, sidx,
     otherwise the full path integrator.
 
     px, py: (N,) global pixel coords; sidx: (N,) sample numbers.
+    Thin lax.scan wrapper over path_bounce_init/path_bounce_step; the
+    driver's compacted mode calls those directly instead so it can shrink
+    the wavefront between bounces.
     """
-    n = px.shape[0]
-    p_film, p_film_crop, p_lens, o, d, ray_w, sctx, l_time = _camera_setup(
-        sampler, camera, px, py, sidx, crop_xy)
+    st0 = path_bounce_init(scene, sampler, camera, px, py, sidx, cfg,
+                           crop_xy, texture_eval)
 
-    inf_L, _ = _infinite_L(scene.lights)
-    has_inf = scene.lights.has_infinite
-    uniform_strategy = cfg.light_strategy not in ("power", "spatial")
-    nch = 60 if cfg.spectral else 3
+    def body(carry, bounce):
+        return path_bounce_step(scene, sampler, camera, cfg, carry, bounce,
+                                texture_eval=texture_eval,
+                                specular_only=specular_only)
 
-    z3 = jnp.zeros((n, 3), jnp.float32)
-
-    rx_o = rx_d = ry_o = ry_d = None
-    use_ewa = scene.has_texfilter and get_config().texture_filter == "ewa"
-    if use_ewa:
-        rx_o, rx_d, ry_o, ry_d = camera_ray_differentials(
-            camera, sampler, p_film, p_lens, l_time, sampler.spp)
-
-    # Shade-then-trace bounce structure: each iteration shades the hit
-    # CARRIED from the previous one, then issues the next bounce's
-    # closest ray together with this bounce's NEE shadow ray.  With
-    # fuse_shadow_rays they share ONE mixed traversal (per-lane any-hit;
-    # the gather engine amortizes with batch size and the schedule's
-    # fixed costs halve) — 1 + (maxdepth+1) traversal calls per path
-    # instead of 2*(maxdepth+1).  Results are bit-identical either way.
-    fuse = get_config().fuse_shadow_rays
-
-    def bounce_body(carry, bounce):
-        (o, d, hit_t, hit_prim, hit_b0, hit_b1, beta, L, alive, specular,
-         prev_pdf, prev_p, eta_scale, n0, p0, n1, p1) = carry
-
-        hit = Hit(t=hit_t, prim=hit_prim, b0=hit_b0, b1=hit_b1)
-        si = compute_interaction(scene.geo, hit, o, d,
-                                 tangents=scene.has_tangents,
-                                 dpduv=scene.has_bump or scene.has_texfilter,
-                                 time=l_time)
-        if scene.has_texfilter:
-            si = _tex_footprint(si, hit.t, camera)
-        if use_ewa:
-            # camera hits: TRUE ray differentials -> anisotropic EWA
-            # derivative vectors; deeper bounces keep the isotropic cone
-            # (the reference point-samples non-specular indirect lookups;
-            # the cone is a strict quality superset)
-            dd0, dd1, okd = _tex_differentials(si, rx_o, rx_d, ry_o, ry_d)
-            use = ((bounce == 0) & okd)[:, None]
-            zw = jnp.zeros_like(si.tex_wu)
-            si = si._replace(
-                tex_dst0=jnp.where(use, dd0,
-                                   jnp.stack([si.tex_wu, zw], -1)),
-                tex_dst1=jnp.where(use, dd1,
-                                   jnp.stack([zw, si.tex_wv], -1)))
-        if scene.has_bump and getattr(texture_eval, "bump", None) is not None:
-            si = texture_eval.bump(si)
-
-        if cfg.capture_features:
-            # RPF captures the GEOMETRIC normal + hit point at bounces 0/1,
-            # after the escape check (rpf.cpp:851-857 uses isect.n/isect.p)
-            m0 = ((bounce == 0) & alive & si.valid)[:, None]
-            m1 = ((bounce == 1) & alive & si.valid)[:, None]
-            n0 = jnp.where(m0, si.ng, n0)
-            p0 = jnp.where(m0, si.p, p0)
-            n1 = jnp.where(m1, si.ng, n1)
-            p1 = jnp.where(m1, si.p, p1)
-
-        # ---- emitted light ----
-        Le, lrow = _emitted(scene, si)
-        Le = _lift_illum_maybe(Le, nch)
-        lrow_c = jnp.maximum(lrow, 0)
-        light_pdf = pdf_li_from_hit(scene.lights, lrow_c, prev_p, d, si.p, si.ng)
-        pmf = _choice_pmf_at(scene, lrow_c, cfg.light_strategy, n, prev_p)
-        w_mis = power_heuristic(1.0, prev_pdf, 1.0, light_pdf * pmf)
-        w_emit = jnp.where((bounce == 0) | specular, 1.0, w_mis)
-        L = L + jnp.where((alive & si.valid)[:, None],
-                          beta * Le * w_emit[:, None], 0.0)
-
-        # escaped rays -> infinite lights
-        if has_inf:
-            if uniform_strategy:
-                pmf_inf = 1.0 / scene.lights.n_lights
-            else:
-                inf_mask = scene.lights.kind == LIGHT_INFINITE
-                pmf_inf = jnp.sum(jnp.where(inf_mask, scene.lights.power_pmf, 0.0))
-            w_mis_inf = power_heuristic(
-                1.0, prev_pdf, 1.0, _escape_pdf(scene.lights, d) * pmf_inf)
-            w_inf = jnp.where((bounce == 0) | specular, 1.0, w_mis_inf)
-            Le_inf = _lift_illum_maybe(
-                _escape_radiance(scene.lights, inf_L, d), nch)
-            L = L + jnp.where((alive & ~si.valid)[:, None],
-                              beta * Le_inf * w_inf[:, None], 0.0)
-
-        alive = alive & si.valid & (bounce < cfg.max_depth)
-
-        overrides = texture_eval(si) if texture_eval is not None else None
-        mrow = scene.mt_table[jnp.maximum(si.material_id, 0)]
-        lobes = fetch_lobes(scene.mt_table, si.material_id, overrides,
-                            has_mix=scene.mt_mix is not None,
-                            channels=nch, row=mrow)
-        hair_ctx = _hair_ctx(scene, si, mrow)
-        fourier_ctx = _fourier_ctx(scene, si, mrow)
-        any_lobe = jnp.any(lobes.active, axis=-1)
-        has_smooth = lobes.active[:, 0] | lobes.active[:, 1]
-        if hair_ctx is not None:
-            any_lobe = any_lobe | hair_ctx[0]
-            has_smooth = has_smooth | hair_ctx[0]
-        if fourier_ctx is not None:
-            any_lobe = any_lobe | fourier_ctx[0]
-            has_smooth = has_smooth | fourier_ctx[0]
-        alive = alive & any_lobe
-
-        # ---- NEE ----
-        d0 = CAMERA_DIMS + bounce * (DIMS_PER_BOUNCE
-                                     + (BSS_DIMS if scene.has_bssrdf else 0))
-        u_choice = sampler.dim_dyn(px, py, sidx, d0, sctx)
-        u_light = jnp.stack([sampler.dim_dyn(px, py, sidx, d0 + 1, sctx),
-                             sampler.dim_dyn(px, py, sidx, d0 + 2, sctx)], axis=-1)
-        nee_c, o_sh, wi_sh, t_sh, nee_ok = _nee_prepare(
-            scene, si, lobes, u_choice, u_light, cfg.light_strategy,
-            alive & has_smooth, hair_ctx, fourier_ctx)
-        beta_nee = beta  # pre-continuation throughput scales the NEE term
-
-        # ---- BSDF sampling ----
-        u_lobe = sampler.dim_dyn(px, py, sidx, d0 + 3, sctx)
-        u1 = sampler.dim_dyn(px, py, sidx, d0 + 4, sctx)
-        u2 = sampler.dim_dyn(px, py, sidx, d0 + 5, sctx)
-        t, b = _shading_frame(si)
-        wo_l = to_local(t, b, si.ns, si.wo)
-        wi_l, f, pdf, is_spec, is_trans = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
-        if hair_ctx is not None:
-            from tpurt.render.hair import hair_sample
-
-            is_hair, hp = hair_ctx
-            wi_h, f_h, pdf_h = hair_sample(hp, wo_l, u1, u2)
-            wi_l = jnp.where(is_hair[:, None], wi_h, wi_l)
-            f = jnp.where(is_hair[:, None], _lift_f_maybe(f_h, nch), f)
-            pdf = jnp.where(is_hair, pdf_h, pdf)
-            is_spec = is_spec & ~is_hair
-            is_trans = is_trans & ~is_hair
-        if fourier_ctx is not None:
-            from tpurt.render.fourier import fourier_sample
-
-            is_f, ftix = fourier_ctx
-            wi_f = jnp.zeros_like(wi_l)
-            f_f = jnp.zeros((n, 3), jnp.float32)
-            pdf_f = jnp.zeros_like(pdf)
-            for k, tbl in enumerate(scene.fr_tables):
-                mk = ftix == k
-                wi_k, fk, pk = fourier_sample(tbl, scene.fr_etas[k], wo_l,
-                                              u1, u2)
-                wi_f = jnp.where(mk[:, None], wi_k, wi_f)
-                f_f = jnp.where(mk[:, None], fk, f_f)
-                pdf_f = jnp.where(mk, pk, pdf_f)
-            wi_l = jnp.where(is_f[:, None], wi_f, wi_l)
-            f = jnp.where(is_f[:, None], _lift_f_maybe(f_f, nch), f)
-            pdf = jnp.where(is_f, pdf_f, pdf)
-            is_spec = is_spec & ~is_f
-            is_trans = jnp.where(is_f, wi_l[:, 2] * wo_l[:, 2] < 0, is_trans)
-        wi = to_world(t, b, si.ns, wi_l)
-
-        ok = alive & (pdf > 0) & jnp.any(f > 0, axis=-1)
-        if specular_only:
-            ok = ok & is_spec
-        beta = jnp.where(ok[:, None],
-                         beta * f * (jnp.abs(dot(wi, si.ns))
-                                     / jnp.maximum(pdf, 1e-20))[:, None], beta)
-        # refraction radiance scaling bookkeeping (path.cpp etaScale)
-        eta2 = jnp.where(dot(si.wo, si.ng) > 0, lobes.eta * lobes.eta,
-                         1.0 / jnp.maximum(lobes.eta * lobes.eta, 1e-9))
-        eta_scale = jnp.where(ok & is_spec & is_trans, eta_scale * eta2,
-                              eta_scale)
-        alive = ok
-        specular = is_spec
-        prev_pdf = jnp.maximum(pdf, 1e-20)
-        prev_p = si.p
-        o = offset_ray_origin(si.p, si.ng, wi, si.p_eps)
-        d = wi
-
-        # ---- subsurface hop (path.cpp:153-174) ----
-        if scene.has_bssrdf and not specular_only:
-            (o, d, beta, L, alive, specular, prev_pdf, prev_p) = _bssrdf_hop(
-                scene, si, lobes, t, b, o, d, beta, L, alive, specular,
-                prev_pdf, prev_p, is_spec, is_trans,
-                sampler, px, py, sidx, sctx, d0, cfg, time=l_time)
-
-        # ---- Russian roulette (path.cpp: bounces > 3) ----
-        u_rr = sampler.dim_dyn(px, py, sidx, d0 + 6, sctx)
-        rr_beta = jnp.max(beta, axis=-1) * eta_scale
-        q = jnp.maximum(0.05, 1.0 - rr_beta)
-        do_rr = (rr_beta < cfg.rr_threshold) & (bounce > 3) & alive
-        killed = do_rr & (u_rr < q)
-        alive = alive & ~killed
-        beta = jnp.where((do_rr & ~killed)[:, None],
-                         beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
-
-        # ---- trace: next bounce's closest ray + this bounce's shadow ----
-        t_next = jnp.where(alive, INF, 0.0)
-        if fuse:
-            o_f = jnp.concatenate([o, o_sh], axis=0)
-            d_f = jnp.concatenate([d, wi_sh], axis=0)
-            tm_f = jnp.concatenate([t_next, t_sh], axis=0)
-            am_f = jnp.concatenate([jnp.zeros(n, bool), jnp.ones(n, bool)])
-            tf = (jnp.concatenate([l_time, l_time], axis=0)
-                  if l_time is not None else None)
-            h_f = intersect_mixed(scene.geo, o_f, d_f, tm_f, am_f, time=tf)
-            occluded = h_f.prim[n:] >= 0
-            hit_next = Hit(t=h_f.t[:n], prim=h_f.prim[:n],
-                           b0=h_f.b0[:n], b1=h_f.b1[:n])
-        else:
-            occluded = intersect_any(scene.geo, o_sh, wi_sh, t_sh,
-                                     time=l_time)
-            hit_next = intersect_closest(scene.geo, o, d, t_next,
-                                         time=l_time)
-        L = L + beta_nee * _nee_resolve(nee_c, nee_ok, occluded)
-
-        return (o, d, hit_next.t, hit_next.prim, hit_next.b0, hit_next.b1,
-                beta, L, alive, specular, prev_pdf, prev_p, eta_scale,
-                n0, p0, n1, p1), jnp.sum(alive)
-
-    # all carries derived from lane data so they carry the same varying-axes
-    # type as the body's outputs under shard_map
-    v0 = px.astype(jnp.float32) * 0.0  # (n,) varying zero
-    v03 = v0[:, None] * jnp.ones((1, 3), jnp.float32)
-    v0c = v0[:, None] * jnp.ones((1, nch), jnp.float32)
-    # bounce 0's closest runs before the scan (the body shades the
-    # carried hit, then traces the NEXT one fused with the shadow ray)
-    hit0 = intersect_closest(scene.geo, o, d, v0 + INF, time=l_time)
-    init = (o, d, hit0.t, hit0.prim, hit0.b0, hit0.b1, v0c + 1.0, v0c,
-            px == px, px != px,
-            v0 + 1.0, o, v0 + 1.0,
-            v03, v03, v03, v03)
     carry, alive_hist = jax.lax.scan(
-        bounce_body, init, jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
-    L = _to_rgb_maybe(carry[7], cfg)
+        body, st0, jnp.arange(cfg.max_depth + 1, dtype=jnp.int32))
+    L = _to_rgb_maybe(carry["L"], cfg)
     # per-bounce survivor counts (Integrator/Path-length distribution
     # analog of the reference's STAT_INT_DISTRIBUTION "Path length");
     # the driver ignores this key, perf probes read it.
-    out = {"p_film": p_film_crop, "L": L, "ray_weight": ray_w,
-           "alive_per_bounce": alive_hist}
+    out = {"p_film": carry["p_film_crop"], "L": L,
+           "ray_weight": carry["ray_w"], "alive_per_bounce": alive_hist}
     if cfg.capture_features:
-        out["features"] = {"n0": carry[13], "p0": carry[14],
-                           "n1": carry[15], "p1": carry[16]}
-        out["p_lens"] = p_lens
+        out["features"] = {"n0": carry["n0"], "p0": carry["p0"],
+                           "n1": carry["n1"], "p1": carry["p1"]}
+        out["p_lens"] = carry["p_lens"]
     return out
 
 

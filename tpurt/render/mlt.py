@@ -13,9 +13,16 @@ schedule makes DIMS fixed, and a VectorSampler replays X rows through the
 exact bdpt machinery (depth_select restricts to one path depth per chain
 group; a per-lane s_select picks the connection strategy, mirroring the
 reference's uniform strategy choice).  Each Metropolis step is one jitted
-wavefront: mutate X (whole-vector small/large step — equivalent to the
-reference's lazy per-dimension form since every dimension is consumed
-every evaluation), evaluate, accept/reject, splat both states.
+wavefront: mutate X, evaluate, accept/reject, splat both states.
+
+Mutation schedule fidelity (mlt.h:53-105): the reference's per-dimension
+LAZY small steps reduce exactly to a whole-vector form here because
+bdpt's static dimension schedule consumes EVERY dimension every
+iteration, so all dims share one lastModificationIteration per chain.
+The one surviving behavior — Restore() reverting
+lastModificationIteration on rejection so a k-long rejection streak
+proposes from the original point with effSigma = sigma*sqrt(k) — is
+carried as the per-chain `n_since` counter in chain_steps.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ import numpy as np
 
 from tpurt.render.bdpt import bdpt_radiance
 from tpurt.render.driver import build_job
+from tpurt.utils.stats import STATS
 
 log = logging.getLogger("tpurt.mlt")
 
@@ -177,14 +185,24 @@ def render_mlt(sd, quick: bool = False, crop_override=None,
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(6,))
     def chain_steps(depth, n_steps, key, X, y, cur_raster, state, cur_L,
-                    w_scale, b_d):
+                    w_scale, b_d, n_since, n_accept):
         def body(i, carry):
-            key, X, y, cur_raster, cur_L, st = carry
+            key, X, y, cur_raster, cur_L, st, n_since, n_acc = carry
             key, k1, k2, k3, k4 = jax.random.split(key, 5)
             n = X.shape[0]
             large = jax.random.uniform(k1, (n,)) < p_large
             Xl = jax.random.uniform(k2, X.shape)
-            Xs = (X + sigma * jax.random.normal(k3, X.shape)) % 1.0
+            # MLTSampler small step (mlt.h:53-105 / mlt.cpp EnsureReady):
+            # per-dimension LAZY mutation reduces, when every dimension is
+            # consumed every iteration (bdpt's static schedule does), to a
+            # whole-vector Gaussian with effSigma = sigma * sqrt(nSmall),
+            # nSmall = iterations since this chain's last ACCEPTED
+            # modification — PrimarySample::Restore reverts
+            # lastModificationIteration on rejection, so rejection streaks
+            # propose from the original point with a sqrt(k)-widened step.
+            eff_sigma = sigma * jnp.sqrt(n_since.astype(jnp.float32))
+            Xs = (X + eff_sigma[:, None]
+                  * jax.random.normal(k3, X.shape)) % 1.0
             Xp = jnp.where(large[:, None], Xl, Xs)
             val, raster = evals[depth](scene, camera, Xp)
             yp = _lum(val)
@@ -204,10 +222,14 @@ def render_mlt(sd, quick: bool = False, crop_override=None,
             y = jnp.where(accept, yp, y)
             cur_raster = jnp.where(accept[:, None], raster, cur_raster)
             cur_L = jnp.where(accept[:, None], val, cur_L)
-            return key, X, y, cur_raster, cur_L, st
+            n_since = jnp.where(accept, 1, n_since + 1)
+            n_acc = n_acc + jnp.sum(accept.astype(jnp.int32))
+            return key, X, y, cur_raster, cur_L, st, n_since, n_acc
 
-        return jax.lax.fori_loop(0, n_steps, body,
-                                  (key, X, y, cur_raster, cur_L, state))
+        out = jax.lax.fori_loop(
+            0, n_steps, body,
+            (key, X, y, cur_raster, cur_L, state, n_since, n_accept))
+        return out
 
     t0 = time.time()
     ran = 0
@@ -235,14 +257,20 @@ def render_mlt(sd, quick: bool = False, crop_override=None,
         # chunk steps so each device call stays under the watchdog
         per_call = max(1, min(steps, 64))
         done = 0
+        n_since = jnp.ones(chains, jnp.int32)
+        n_accept = jnp.zeros((), jnp.int32)
         while done < steps:
             key, k = jax.random.split(key)
             n_now = min(per_call, steps - done)
-            k, X, y, raster, val, state = chain_steps(
+            k, X, y, raster, val, state, n_since, n_accept = chain_steps(
                 d, n_now, k, X, y, raster, state, val, w_scale,
-                jnp.float32(b_per_depth[d]))
+                jnp.float32(b_per_depth[d]), n_since, n_accept)
             done += n_now
-        log.info("MLT depth %d: %d chains x %d steps", d, chains, steps)
+        acc_rate = float(n_accept) / max(chains * steps, 1)
+        STATS.counter("MLT/Mutations proposed", chains * steps)
+        STATS.counter("MLT/Mutations accepted", int(n_accept))
+        log.info("MLT depth %d: %d chains x %d steps (acceptance %.1f%%)",
+                 d, chains, steps, 100.0 * acc_rate)
     jax.block_until_ready(state.splat)
     log.info("MLT chains: %.1fs", time.time() - t0)
 

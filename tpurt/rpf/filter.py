@@ -193,7 +193,7 @@ def _cf_weights(mi):
 
 
 def _filter_pixel(own, window, window_valid, window_center, box_size, b_max,
-                  mi_idx=None):
+                  mi_idx=None, sigma_seed=SIGMA_FC_SEED):
     """Filter one pixel.
 
     own: (S, 19) the pixel's samples; window: (K, 19) all samples in the
@@ -255,7 +255,7 @@ def _filter_pixel(own, window, window_valid, window_center, box_size, b_max,
     # sigma_p, shared sigma_c/sigma_f inflated by the color randomness
     sigma_p = float(box_size // 4)
     sigma_p2 = max(sigma_p * sigma_p, 1e-12)
-    sigma_c2 = (SIGMA_FC_SEED ** 2) / jnp.maximum((1.0 - w_r_c) ** 2, 1e-12)
+    sigma_c2 = (sigma_seed ** 2) / jnp.maximum((1.0 - w_r_c) ** 2, 1e-12)
     sigma_f2 = sigma_c2
 
     dp = own_norm[:, None, POS] - nb_norm[None, :, POS]  # (S, N, 2)
@@ -279,7 +279,8 @@ MI_MAX_SAMPLES = 4096  # cap on the MI-estimation subset (see _filter_pixel)
 
 
 @lru_cache(maxsize=32)
-def _filter_run_call(box_size: int, s: int, pixel_chunk: int):
+def _filter_run_call(box_size: int, s: int, pixel_chunk: int,
+                     sigma_seed: float = SIGMA_FC_SEED):
     """Build (once per static config) the jitted chunk runner.  Module-
     level caching matters: a fresh jax.jit closure per apply call forced
     a retrace + compile-cache deserialization for every call (measured
@@ -310,7 +311,8 @@ def _filter_run_call(box_size: int, s: int, pixel_chunk: int):
         return _filter_pixel(own, win.reshape(k, SD_LEN),
                              jnp.repeat(val.reshape(-1), s),
                              jnp.repeat(center.reshape(-1), s),
-                             box_size, b_max, mi_idx=mi_idx)
+                             box_size, b_max, mi_idx=mi_idx,
+                             sigma_seed=sigma_seed)
 
     vone = jax.vmap(one, in_axes=(None, None, 0, 0))
 
@@ -371,7 +373,10 @@ def apply_rpf_filter(buffer: jnp.ndarray, box_size: int,
     ys = np.pad(ys.reshape(-1), (0, n_pad - n_pix)).astype(np.int32)
     xs = np.pad(xs.reshape(-1), (0, n_pad - n_pix)).astype(np.int32)
 
-    run_call = _filter_run_call(box_size, s, pixel_chunk)
+    from tpurt.config import get_config
+
+    run_call = _filter_run_call(box_size, s, pixel_chunk,
+                                float(get_config().rpf_sigma_seed))
     out_colors = []
     for start in range(0, n_pad, per_call):
         out_colors.append(run_call(padded, valid,
