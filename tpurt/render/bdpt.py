@@ -88,6 +88,11 @@ class VertexSoA(NamedTuple):
     med: jnp.ndarray      # (D,N) medium id the path ARRIVED in (-1 none);
                           # connection-ray Tr uses it (single-segment
                           # approximation, same as volpath's NEE)
+    p_eps: jnp.ndarray    # (D,N) minimum spawn offset at the vertex
+                          # (si.p_eps; curve hits sit on the span axis
+                          # plane and need pError = 2*hitWidth —
+                          # connection rays offset by less re-hit the
+                          # curve and read as occluded)
     shade: Any            # ShadeCtx, every leaf (D,N,...) — full material
                           # context incl. hair/fourier (no gray fallback)
 
@@ -284,6 +289,9 @@ def _random_walk_pair(scene, texture_eval, sampler, px, py, sidx, sctx,
             is_medium=sampled_med,
             g=g_med,
             med=med,
+            p_eps=(jnp.where(surf_valid, si.p_eps, 0.0)
+                   if si.p_eps is not None
+                   else jnp.zeros_like(hit.t)),
             shade=shade,
             prev_rev_dir=prev_rev_dir,
             prev_rev_from=p_v,
@@ -316,7 +324,7 @@ def _assemble(v0: dict, walk: dict, n_steps: int,
     cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)
     fields = {}
     for k in ("p", "ng", "ns", "beta", "pdf_fwd", "delta", "valid",
-              "escaped", "lrow", "is_medium", "g", "med"):
+              "escaped", "lrow", "is_medium", "g", "med", "p_eps"):
         fields[k] = cat(v0[k], walk[k])
     fields["shade"] = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a[None], b], axis=0),
@@ -422,7 +430,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         beta=onesc, pdf_fwd=jnp.ones(n), delta=jnp.zeros(n, bool),
         valid=jnp.ones(n, bool), escaped=jnp.zeros(n, bool),
         lrow=jnp.full(n, -1, jnp.int32),
-        is_medium=zb, g=zf, med=med_cam, shade=zsh)
+        is_medium=zb, g=zf, med=med_cam, p_eps=zf, shade=zsh)
     # ---- light subpath endpoint ----
     bl = 5 + dpb * (t_max_v - 1)
     u_choice = sampler.dim(px, py, sidx, bl, sctx)
@@ -442,7 +450,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
         beta=le_c / jnp.maximum(le.pdf_pos * lpmf, 1e-20)[:, None],
         pdf_fwd=le.pdf_pos * lpmf, delta=jnp.zeros(n, bool),
         valid=l_valid, escaped=jnp.zeros(n, bool),
-        lrow=lidx, is_medium=zb, g=zf, med=med_cam, shade=zsh)
+        lrow=lidx, is_medium=zb, g=zf, med=med_cam, p_eps=zf, shade=zsh)
     beta0 = (le_c * (jnp.abs(dot(le.n, le.d))
                      / jnp.maximum(lpmf * le.pdf_pos * le.pdf_dir,
                                    1e-20))[:, None])
@@ -658,7 +666,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                            * (amp / jnp.maximum(pdf_cam, 1e-20))[:, None])
                 usable = (ok & (pdf_cam > 0) & (we > 0)
                           & jnp.any(contrib > 0, axis=-1))
-                o_sh = offset_ray_origin(qs.p, qs.ng, wi)
+                o_sh = offset_ray_origin(qs.p, qs.ng, wi, qs.p_eps)
                 dist = jnp.linalg.norm(p_lens_w - o_sh, axis=-1)
                 t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS), 0.0)
                 # MIS: camera side has no interior vertices (t=1)
@@ -705,7 +713,7 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
                               / jnp.maximum(ls.pdf * pmf2, 1e-20))[:, None])
                 usable = (base_ok & (ls.pdf > 0)
                           & jnp.any(contrib > 0, axis=-1))
-                o_sh = offset_ray_origin(pt.p, pt.ng, ls.wi)
+                o_sh = offset_ray_origin(pt.p, pt.ng, ls.wi, pt.p_eps)
                 dist = jnp.linalg.norm(ls.p_light - o_sh, axis=-1)
                 t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS) - 2e-3
                                  * jnp.maximum(1.0, jnp.max(
@@ -763,8 +771,8 @@ def bdpt_radiance(scene: SceneData, sampler, camera, px, py, sidx,
             g = cos_pt * cos_qs / d2_c
             contrib = qs.beta * f_qs * f_pt * pt.beta * g[:, None]
             usable = ok & jnp.any(contrib > 0, axis=-1)
-            o_sh = offset_ray_origin(pt.p, pt.ng, w_c)
-            tgt = offset_ray_origin(qs.p, qs.ng, -w_c)
+            o_sh = offset_ray_origin(pt.p, pt.ng, w_c, pt.p_eps)
+            tgt = offset_ray_origin(qs.p, qs.ng, -w_c, qs.p_eps)
             dist = jnp.linalg.norm(tgt - o_sh, axis=-1)
             t_sh = jnp.where(usable, dist * (1 - SHADOW_EPS), 0.0)
             pt_med = pt.is_medium if has_media else None
